@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** The declared relational queries (SURVEY.md §2.3 Q01–Q18) — each operator
+  * of the reference (reifying/melt) reduced to its relational essence and
+  * expressed as a declarative DataFrame plan so Catalyst gets full freedom:
+  * parquet column pruning + predicate pushdown for the scans, partial/final
+  * hash aggregation for the group-bys, broadcast hash joins for the
+  * dim-table joins, sort-merge for fact-fact.
+  *
+  * Conventions (driver correctness gate):
+  *  - every query has a total ORDER BY so row order is deterministic;
+  *  - every computed column is aliased identically here and in the oracle SQL
+  *    (graft.SparkEntry.oracleSql) — the driver compares by column name;
+  *  - double aggregates are rounded to 2 decimals to absorb cross-engine
+  *    floating-point associativity drift.
+  */
+object Relational {
+
+  /** Q01 — full scan + projection (ref melt.clj:141-151 query-source +
+    * melt.clj:49-53 message projection). Column pruning reaches the scan. */
+  def q01Scan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 — predicate scan (user-SQL source, ref melt.clj:141-151; predicate
+    * pushes down to the parquet footer exactly as the reference pushes its
+    * WHERE into the DB). */
+  def q02PredicateScan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 25)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q03 — composite-PK key extraction as a canonical string (ref
+    * melt.clj:49-53 key = select-keys(row, keys); canonical string form per
+    * melt.clj:359-362 sorted-key serialization). */
+  def q03KeyExtraction(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")).as("k"),
+        col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .drop("l_orderkey", "l_linenumber")
+
+  /** Q04 — last-write-wins compaction (ref melt.clj:307-323 merge-seq-entry:
+    * newest record per key wins). One shuffle on the key; map-side partial
+    * max_by keeps it a single pass at any scale. */
+  def q04Compaction(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        expr("max_by(value, ts)").as("last_value"),
+        expr("max_by(event_type, ts)").as("last_type"))
+      .orderBy("user_id")
+
+  /** Q05 — grouped aggregation (per-source load counts, ref melt.clj:456-465;
+    * classic pricing-summary shape). Partial aggregation makes the shuffle
+    * carry only |groups| rows per partition. */
+  def q05Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q06 — count (ref melt.clj:301-305 count-topic). */
+  def q06Count(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(count(lit(1)).as("c"))
+
+  /** Q07 — top-k sample (ref melt.clj:153-174 sample-db `Select TOP 10 *`).
+    * Spark plans this as TakeOrderedAndProject — no full sort at scale. */
+  def q07Sample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(10)
+
+  /** Q08 — full-outer diff (ref melt.clj:418-429): source snapshot vs topic
+    * state, classified per key. Both sides aggregate before the join so the
+    * join keys are unique — the shuffle is on the compacted frames. */
+  def q08Diff(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def side(mod: Int): DataFrame = li
+      .where(col("l_orderkey") % mod === 0)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("v"))
+    val src = side(2).as("s")
+    val tpc = side(3).as("t")
+    src.join(tpc, col("s.k") === col("t.k"), "full_outer")
+      .select(
+        coalesce(col("s.k"), col("t.k")).as("k"),
+        when(col("t.k").isNull, "table-only")
+          .when(col("s.k").isNull, "topic-only")
+          .when(col("s.v") =!= col("t.v"), "differs")
+          .otherwise("match").as("side"))
+      .orderBy("k")
+  }
+
+  /** Q09 — deleted keys = anti-join (ref melt.clj:484-487): present on topic,
+    * absent from table → tombstone. */
+  def q09Deleted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Q10 — CDC entity join (ref sql_server.clj:85-95 change-entity-sql):
+    * change keys left-outer-joined to the current row. The dim side
+    * (customer) broadcasts. */
+  def q10EntityJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .select("o_orderkey", "o_orderstatus", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+
+  /** Q11 — set difference (ref sql_server.clj:48-51 trackable-untracked). */
+  def q11Except(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_custkey").as("k")).distinct()
+      .except(t(spark, dir, "customer")
+        .where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k")))
+      .orderBy("k")
+
+  /** Q12 — distinct topics (ref melt.clj:409-413). */
+  def q12Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select("event_type").distinct()
+      .orderBy("event_type")
+
+  /** Q13a — ordered change scan since a version (ref sql_server.clj:63-98
+    * change-sql: CHANGETABLE(CHANGES t, ?ver) ORDER BY sys_change_version). */
+  def q13Changes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(col("event_id") > 500)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  /** Q13b — watermark advance (ref sql_server.clj:126-132 last+count →
+    * agg(max) in a single distributed pass). */
+  def q13Version(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(col("event_id") > 500)
+      .agg(max(col("event_id")).as("ver"))
+
+  /** Q14 — xform-style scalar rewrites (ref melt.clj:30-31 ::xform; examples
+    * melt_test.clj:86-97). Scalar functions stay inside whole-stage codegen. */
+  def q14Xform(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").as("l")
+      .join(broadcast(t(spark, dir, "part").as("p")),
+        col("l.l_partkey") === col("p.p_partkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        lower(col("l_returnflag")).as("rf"),
+        substring(col("p_name"), 1, 8).as("p8"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q15 — verify equality as diff-is-empty (ref melt.clj:528-533). */
+  def q15Verify(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def counts: DataFrame = li.groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("v"))
+    val s = counts.as("s")
+    val tp = counts.as("tp")
+    s.join(tp, col("s.k") === col("tp.k"), "full_outer")
+      .where(!(col("s.v") <=> col("tp.v")))
+      .agg(count(lit(1)).as("mismatches"))
+  }
+
+  /** Q16 — schema-drift detection as bidirectional set diff (ref
+    * melt.clj:102-133 schema-diff intent). */
+  def q16Drift(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_suppkey").as("k")).distinct()
+    val su = t(spark, dir, "supplier").select(col("s_suppkey").as("k"))
+    val onlyA = li.except(su).select(lit("only_a").as("side"), col("k"))
+    val onlyB = su.except(li).select(lit("only_b").as("side"), col("k"))
+    onlyA.unionAll(onlyB).orderBy("side", "k")
+  }
+
+  /** Q17 — read-twice merge (ref melt.clj:342-357 read-topics-loop): two
+    * passes unioned, newest wins per key. */
+  def q17ReadTwice(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val pass1 = ev.where(col("event_id") <= 800)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("v"))
+    val pass2 = ev
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("v"))
+    pass1.unionAll(pass2).groupBy("k").agg(max(col("v")).as("v")).orderBy("k")
+  }
+
+  /** Q18 — tombstone projection (ref sql_server.clj:111-124
+    * relocate-tracking-fields + tombstone: op="D" ⇒ value NULL). */
+  def q18Tombstone(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("event_type") === "delete", lit(null).cast("string"))
+          .otherwise(col("props")).as("value"),
+        col("event_type").as("sys_change_operation"))
+      .orderBy("event_id")
+
+  /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
+    * on the same parquet and hash-compares. Aliases must match the DataFrame
+    * side exactly. */
+  val oracle: Map[String, String] = Map(
+    "q01_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02_predicate_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25 ORDER BY l_orderkey, l_linenumber",
+    "q03_key_extraction" ->
+      "SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS k, l_suppkey FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q04_compaction" ->
+      "SELECT user_id, max_by(value, ts) AS last_value, max_by(event_type, ts) AS last_type FROM events GROUP BY user_id ORDER BY user_id",
+    "q05_agg" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q06_count" ->
+      "SELECT COUNT(*) AS c FROM orders",
+    "q07_sample" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+    "q08_diff" ->
+      "WITH src AS (SELECT l_orderkey k, ROUND(SUM(l_extendedprice),2) v FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_orderkey), tpc AS (SELECT l_orderkey k, ROUND(SUM(l_extendedprice),2) v FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY l_orderkey) SELECT COALESCE(s.k, t.k) AS k, CASE WHEN t.k IS NULL THEN 'table-only' WHEN s.k IS NULL THEN 'topic-only' WHEN s.v <> t.v THEN 'differs' ELSE 'match' END AS side FROM src s FULL OUTER JOIN tpc t ON s.k = t.k ORDER BY k",
+    "q09_deleted" ->
+      "SELECT o.o_orderkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) ORDER BY o.o_orderkey",
+    "q10_entity_join" ->
+      "SELECT o.o_orderkey, o.o_orderstatus, c.c_name, c.c_mktsegment FROM orders o LEFT OUTER JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey",
+    "q11_except" ->
+      "SELECT DISTINCT o_custkey AS k FROM orders EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k",
+    "q12_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q13_changes" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_id > 500 ORDER BY event_id",
+    "q13_version" ->
+      "SELECT MAX(event_id) AS ver FROM events WHERE event_id > 500",
+    "q14_xform" ->
+      "SELECT l_orderkey, l_linenumber, LOWER(l_returnflag) AS rf, SUBSTRING(p.p_name, 1, 8) AS p8 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey ORDER BY l_orderkey, l_linenumber",
+    "q15_verify" ->
+      "WITH src AS (SELECT l_orderkey k, COUNT(*) v FROM lineitem GROUP BY l_orderkey), tpc AS (SELECT l_orderkey k, COUNT(*) v FROM lineitem GROUP BY l_orderkey) SELECT COUNT(*) AS mismatches FROM src s FULL OUTER JOIN tpc t ON s.k = t.k WHERE s.v IS DISTINCT FROM t.v",
+    "q16_drift" ->
+      "SELECT 'only_a' AS side, k FROM (SELECT DISTINCT l_suppkey k FROM lineitem EXCEPT SELECT s_suppkey FROM supplier) UNION ALL SELECT 'only_b', k FROM (SELECT s_suppkey k FROM supplier EXCEPT SELECT DISTINCT l_suppkey FROM lineitem) ORDER BY side, k",
+    "q17_read_twice" ->
+      "SELECT k, MAX(v) AS v FROM (SELECT user_id k, COUNT(*) v FROM events WHERE event_id <= 800 GROUP BY user_id UNION ALL SELECT user_id, COUNT(*) FROM events GROUP BY user_id) GROUP BY k ORDER BY k",
+    "q18_tombstone" ->
+      "SELECT event_id, CASE WHEN event_type = 'delete' THEN NULL ELSE props END AS value, event_type AS sys_change_operation FROM events ORDER BY event_id",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan" -> q01Scan _,
+    "q02_predicate_scan" -> q02PredicateScan _,
+    "q03_key_extraction" -> q03KeyExtraction _,
+    "q04_compaction" -> q04Compaction _,
+    "q05_agg" -> q05Agg _,
+    "q06_count" -> q06Count _,
+    "q07_sample" -> q07Sample _,
+    "q08_diff" -> q08Diff _,
+    "q09_deleted" -> q09Deleted _,
+    "q10_entity_join" -> q10EntityJoin _,
+    "q11_except" -> q11Except _,
+    "q12_distinct" -> q12Distinct _,
+    "q13_changes" -> q13Changes _,
+    "q13_version" -> q13Version _,
+    "q14_xform" -> q14Xform _,
+    "q15_verify" -> q15Verify _,
+    "q16_drift" -> q16Drift _,
+    "q17_read_twice" -> q17ReadTwice _,
+    "q18_tombstone" -> q18Tombstone _,
+  )
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <outDir> <sfDir>
+  <outDir>  output of `sbt "runMain graft.Verify <sfDir> <outDir>"`
+            (one parquet dir per query + oracle_sql.json)
+  <sfDir>   the testdata dir the queries ran against
+
+For each query: run the oracle SQL in DuckDB over the sf tables, load the
+Spark parquet, sort columns by name, compare row count, schema-ish, and
+values (exact string compare after normalization).
+"""
+import json, sys, glob, os
+import duckdb
+
+outDir, sfDir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfDir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outDir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outDir}/{name}"
+    if not os.path.isdir(spark_dir):
+        fails.append((name, "missing spark output")); continue
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    sdf = con.execute(
+        f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
+    ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+    if ocols != scols:
+        fails.append((name, f"cols differ: oracle={ocols} spark={scols}"))
+        continue
+    o, s = odf[ocols], sdf[scols]
+    if len(o) != len(s):
+        fails.append((name, f"rowcount oracle={len(o)} spark={len(s)}"))
+        continue
+    # value compare: stringify with repr-ish normalization
+    import pandas as pd
+    def norm(df):
+        out = df.copy()
+        for c in out.columns:
+            out[c] = out[c].map(lambda v: None if v is None or (isinstance(v, float) and pd.isna(v)) else v)
+        return [tuple(str(v) for v in row) for row in out.itertuples(index=False)]
+    no, ns = norm(o), norm(s)
+    bad = [i for i, (a, b) in enumerate(zip(no, ns)) if a != b]
+    if bad:
+        i = bad[0]
+        fails.append((name, f"{len(bad)} rows differ; first at {i}: oracle={no[i]} spark={ns[i]}"))
+    else:
+        print(f"OK   {name}  ({len(o)} rows)")
+
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
