@@ -1,0 +1,186 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Msg
+
+/** Topic-store abstraction (SURVEY.md §7.1 module io.kafka).
+  *
+  * The production impl is Kafka via Spark's built-in source/sink
+  * (`read/write.format("kafka")` — see KafkaStore below); tests and the
+  * offline environment use LocalStore, which emulates Kafka's log semantics
+  * on parquet (mirrors how the reference's tests inject fake send-fns
+  * instead of a producer, ref /root/reference/test/jdbc/melt_test.clj:20-30).
+  */
+trait MessageStore {
+  /** Append a message frame `(topic, key, value)`; returns records sent
+    * (ref melt.clj:445-465 per-source load counts). */
+  def send(messages: DataFrame): Long
+  /** Full log for the topics: `(topic, key, value, partition, offset)`,
+    * earliest→latest captured at read time (ref melt.clj:256-299 bounded
+    * consumption to pre-captured end offsets — Spark's batch Kafka source
+    * has the same planning-time snapshot semantics). */
+  def read(topics: Seq[String]): DataFrame
+  /** Incremental read: records strictly after the given per-(topic,partition)
+    * offsets (ref melt.clj:278-279,518-523 incremental refresh). */
+  def readFrom(topics: Seq[String], after: Map[(String, Int), Long]): DataFrame
+  def listTopics(): Seq[String]
+
+  /** Latest record per (topic, key), tombstones dropped — the compacted
+    * topic state (ref melt.clj:307-323 merge-seq-entry / reduce-consumer-seq).
+    *
+    * Correct because a key is pinned to one partition (keyed producer), so
+    * per-key order = offset order within that partition (SURVEY §7.4 #2).
+    * One shuffle on (topic,key); map-side partial max_by keeps the shuffle
+    * small at 100 TB — only one candidate row per key per input partition
+    * crosses the wire.
+    */
+  def topicState(topics: Seq[String]): DataFrame = {
+    val log = read(topics)
+    log.groupBy(Msg.Topic, Msg.Key)
+      .agg(max_by(col(Msg.Value), col(Msg.Offset)).as(Msg.Value))
+      .where(col(Msg.Value).isNotNull)
+  }
+
+  /** Current end offset per (topic, partition) — the incremental-read cursor. */
+  def endOffsets(topics: Seq[String]): Map[(String, Int), Long]
+}
+
+/** Kafka-log-on-parquet: append-only files carrying explicit (partition,
+  * offset) assigned exactly like a keyed Kafka producer would — partition =
+  * hash(key) % numPartitions (null keys hash the value), offset dense and
+  * monotone per partition. Gives tests real compaction/tombstone/incremental
+  * semantics with zero external systems. */
+final class LocalStore(spark: SparkSession, dir: String,
+    numPartitions: Int = 8) extends MessageStore {
+
+  private val path = s"$dir/log.parquet"
+
+  private def exists: Boolean =
+    new java.io.File(path).exists && new java.io.File(path).list() != null &&
+      new java.io.File(path).list().exists(_.endsWith(".parquet"))
+
+  private def fullLog(): DataFrame =
+    spark.read.parquet(path)
+
+  override def send(messages: DataFrame): Long = {
+    val hashSrc = coalesce(col(Msg.Key), col(Msg.Value), lit(""))
+    val withPart = messages.withColumn(
+      Msg.Partition, pmod(xxhash64(hashSrc), lit(numPartitions)).cast("int"))
+    val bases: Map[Int, Long] =
+      if (exists)
+        fullLog().groupBy(Msg.Partition).agg(max(Msg.Offset).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val baseCol = bases.foldLeft(lit(-1L)) { case (acc, (p, m)) =>
+      when(col(Msg.Partition) === p, lit(m)).otherwise(acc)
+    }
+    val w = Window.partitionBy(Msg.Partition)
+      .orderBy(monotonically_increasing_id())
+    val withOff = withPart
+      .withColumn(Msg.Offset, row_number().over(w).cast("long") + baseCol)
+      .select(Msg.Topic, Msg.Key, Msg.Value, Msg.Partition, Msg.Offset)
+    withOff.write.mode("append").parquet(path)
+    // count what actually landed for this batch (cheap metadata-ish scan on
+    // the new files is not addressable; count the delta via offsets)
+    val newEnd = spark.read.parquet(path).count()
+    newEnd - bases.values.map(_ + 1).sum
+  }
+
+  override def read(topics: Seq[String]): DataFrame = {
+    require(exists, s"LocalStore at $dir is empty")
+    fullLog().where(col(Msg.Topic).isin(topics: _*))
+  }
+
+  override def readFrom(topics: Seq[String],
+      after: Map[(String, Int), Long]): DataFrame = {
+    val log = read(topics)
+    if (after.isEmpty) log
+    else {
+      val cutoff = after.foldLeft(lit(-1L)) { case (acc, ((t, p), o)) =>
+        when(col(Msg.Topic) === t && col(Msg.Partition) === p, lit(o))
+          .otherwise(acc)
+      }
+      log.where(col(Msg.Offset) > cutoff)
+    }
+  }
+
+  override def listTopics(): Seq[String] =
+    if (!exists) Seq.empty
+    else fullLog().select(Msg.Topic).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+
+  override def endOffsets(topics: Seq[String]): Map[(String, Int), Long] =
+    if (!exists) Map.empty
+    else read(topics).groupBy(Msg.Topic, Msg.Partition)
+      .agg(max(Msg.Offset).as("m")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+}
+
+/** Production Kafka store — the Spark-native sink/source contract the message
+  * frame is shaped for (`df.write.format("kafka")` takes topic/key/value
+  * columns directly; serdes O24 of the reference drop out entirely).
+  * Unused in the offline test environment (no brokers), kept thin by design:
+  * everything interesting (canonicalization, compaction, diff) happens on
+  * DataFrames before/after this boundary. */
+final class KafkaStore(spark: SparkSession, bootstrap: String,
+    extraOpts: Map[String, String] = Map.empty) extends MessageStore {
+
+  override def send(messages: DataFrame): Long = {
+    val n = messages.persist().count()
+    messages
+      .selectExpr(s"${Msg.Topic}", s"CAST(${Msg.Key} AS BINARY) AS key",
+        s"CAST(${Msg.Value} AS BINARY) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("kafka.acks", "all") // ref integration_test.clj:25 acks=all
+      .options(extraOpts)
+      .save()
+    messages.unpersist()
+    n
+  }
+
+  override def read(topics: Seq[String]): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest") // ref melt.clj:249-254
+      .option("endingOffsets", "latest")     // ref melt.clj:264-276
+      .options(extraOpts)
+      .load()
+      .select(col("topic").as(Msg.Topic),
+        col("key").cast("string").as(Msg.Key),
+        col("value").cast("string").as(Msg.Value),
+        col("partition").as(Msg.Partition),
+        col("offset").as(Msg.Offset))
+
+  override def readFrom(topics: Seq[String],
+      after: Map[(String, Int), Long]): DataFrame = {
+    // startingOffsets JSON: {"topic":{"0":offset+1,...}} (ref melt.clj:278-279)
+    val byTopic = after.groupBy(_._1._1).map { case (t, m) =>
+      s""""$t":{${m.map { case ((_, p), o) => s""""$p":${o + 1}""" }.mkString(",")}}"""
+    }
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", s"{${byTopic.mkString(",")}}")
+      .option("endingOffsets", "latest")
+      .options(extraOpts)
+      .load()
+      .select(col("topic").as(Msg.Topic),
+        col("key").cast("string").as(Msg.Key),
+        col("value").cast("string").as(Msg.Value),
+        col("partition").as(Msg.Partition),
+        col("offset").as(Msg.Offset))
+  }
+
+  override def listTopics(): Seq[String] =
+    throw new UnsupportedOperationException(
+      "topic listing requires AdminClient; inject topics explicitly")
+
+  override def endOffsets(topics: Seq[String]): Map[(String, Int), Long] =
+    read(topics).groupBy(Msg.Topic, Msg.Partition)
+      .agg(max(Msg.Offset).as("m")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+}
