@@ -22,7 +22,9 @@ for p in glob.glob(f"{sfDir}/*.parquet"):
 oracle = json.load(open(f"{outDir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
-    spark_dir = f"{outDir}/{name}"
+    spark_dir = f"{outDir}/{name}.parquet"
+    if not os.path.isdir(spark_dir):
+        spark_dir = f"{outDir}/{name}"
     if not os.path.isdir(spark_dir):
         fails.append((name, "missing spark output")); continue
     try:
