@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7.6):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash — over `documents.text`.
+  *
+  * Scale design (the reason each variant exists):
+  *  - dd01 exact: one hash-groupBy shuffle on a 32-byte fingerprint; at
+  *    100 TB the shuffle carries (fp, doc_id) pairs only, never the text.
+  *  - dd02 n-gram Jaccard: the *inverted-index* formulation — join documents
+  *    on shared shingles rather than all-pairs cross product. Cost is
+  *    Σ_shingle df(s)², i.e. driven by document frequency, not n². At scale,
+  *    cap df with a stop-shingle filter (not applied here so the sf0.01
+  *    oracle stays exact).
+  *  - dd03 MinHash+LSH: the scale path. K=16 min-wise hashes → 8 bands of 2;
+  *    candidate pairs only where a band collides, then exact-Jaccard
+  *    verification of candidates only. Hash family is md5-derived modular
+  *    hashing — deterministic and engine-portable, so even the probabilistic
+  *    candidate set is bit-identical between Spark and the DuckDB oracle.
+  *  - dd04/dd05 SimHash: 32-bit signatures; near-dup = Hamming ≤ 4 found via
+  *    4×8-bit band blocking (pigeonhole: Hamming ≤ 4 over 4 bands ⇒ some
+  *    band is... — NOT exact for ≤4; it is the standard recall/blocking
+  *    trade-off, and deterministic, so the oracle computes the identical set).
+  *
+  * All hashing goes through md5 hex (identical in every engine); the only
+  * numeric tower is int64 modular arithmetic — no float drift anywhere until
+  * the final ROUND(jaccard, 3) presentation column.
+  */
+object Dedup {
+
+  /** Modulus for min-wise hashing (2^31 − 1, prime). */
+  private val P = 2147483647L
+  private val K = 16 // minhash signature length
+  private val R = 2  // rows per band → 8 bands
+
+  /** Distinct word-bigram shingles per doc: (doc_id, s). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.toks
+    val grams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array())
+    t(spark, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(grams).as("s"))
+      .distinct()
+  }
+
+  /** 60-bit integer hash of a string via md5 (engine-portable: DuckDB
+    * computes CAST('0x'||substr(md5(s),1,15) AS BIGINT)). */
+  private def md5Long(s: Column, hexChars: Int): Column =
+    conv(substring(md5(s), 1, hexChars), 16, 10).cast("long")
+
+  /** dd01 — exact dedup: normalize → fingerprint → keep the min doc_id per
+    * fingerprint group. Window over fp = one shuffle on the fingerprint. */
+  def dd01Exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .orderBy("doc_id")
+  }
+
+  /** Exact Jaccard over shingle sets for the given candidate pairs
+    * (ida < idb). Shared by dd02 (all co-shingled pairs) and dd03 (LSH
+    * candidates only). */
+  private def jaccardOf(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("ida"), col("s")), Seq("ida"))
+      .join(sh.select(col("doc_id").as("idb"), col("s")), Seq("idb", "s"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") /
+      (col("na") + col("nb") - col("c"))
+    inter
+      .join(n.select(col("doc_id").as("ida"), col("ns").as("na")), Seq("ida"))
+      .join(n.select(col("doc_id").as("idb"), col("ns").as("nb")), Seq("idb"))
+      .where(j >= threshold)
+      .select(col("ida"), col("idb"), round(j, 3).as("jaccard"))
+      .orderBy("ida", "idb")
+  }
+
+  /** dd02 — n-gram Jaccard near-dup via inverted-index join (see scale note
+    * above). Output: pairs with Jaccard ≥ 0.3. */
+  def dd02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val cand = sh.select(col("doc_id").as("ida"), col("s"))
+      .join(sh.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    jaccardOf(sh, cand, 0.3)
+  }
+
+  /** dd03 — MinHash+LSH near-dup: shingle → K min-wise hashes → band-bucket
+    * join → exact-Jaccard verification of the (tiny) candidate set. The
+    * banding join shuffles only (band, k1, k2, doc_id) tuples — at 100 TB
+    * this is the formulation that survives; dd02's inverted index does not
+    * once document frequency grows. */
+  def dd03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val hashed = sh.withColumn("hm", md5Long(col("s"), 15) % P)
+    val sigCols = (1 to K).map { j =>
+      val a = (j * 2654435761L) % P
+      val b = (j * 40503L + 7) % P
+      min((lit(a) * col("hm") + lit(b)) % P).as(s"m$j")
+    }
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until K / R).map { b =>
+      struct(lit(b).as("band"), col(s"m${2 * b + 1}").as("k1"),
+        col(s"m${2 * b + 2}").as("k2"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.k1"), col("bd.k2"))
+    val cand = bands.select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
+      .join(bands.select(col("doc_id").as("idb"), col("band"), col("k1"), col("k2")),
+        Seq("band", "k1", "k2"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    jaccardOf(sh, cand, 0.3)
+  }
+
+  /** Per-doc 32-bit SimHash signature frame: (doc_id, simhash). */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.toks).as("w"))
+      .distinct()
+    val hashed = tok.withColumn("h", md5Long(col("w"), 8))
+    val bits = hashed
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1).otherwise(-1)).as("v"))
+      .withColumn("bit", when(col("v") >= 0, 1L).otherwise(0L))
+    bits.groupBy("doc_id")
+      .agg(sum(expr("bit * shiftleft(cast(1 as bigint), j)")).as("simhash"))
+  }
+
+  /** dd04 — SimHash signatures (the per-document sketch; 32 bits here, 64 in
+    * production — the plan shape is identical). */
+  def dd04Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).orderBy("doc_id")
+
+  /** dd05 — SimHash near-dup pairs: block on 4×8-bit bands, verify
+    * Hamming ≤ 4 via bit_count(xor). */
+  def dd05SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(spark, dir)
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bk", expr("shiftright(simhash, band * 8) & 255"))
+    val cand = bands.select(col("doc_id").as("ida"), col("simhash").as("ha"),
+        col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("idb"), col("simhash").as("hb"),
+        col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb", "ha", "hb").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .where(col("hamming") <= 4)
+      .select("ida", "idb", "hamming")
+      .orderBy("ida", "idb")
+  }
+}

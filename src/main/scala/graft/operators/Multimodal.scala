@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Multimodal-column plumbing (SURVEY.md §7.6): treat media as opaque
+  * `binary` payloads with typed metadata, processed in per-partition batches.
+  *
+  * The testdata has no real image/audio bytes, so the payload is the
+  * document's UTF-8 bytes and `decodeStub` stands in for the real
+  * decoder — but everything Spark-side is the real production shape:
+  *  - schema: (doc_id: long, payload: binary) → (doc_id, meta struct);
+  *  - execution: `mapPartitions` over a typed Dataset, i.e. the decoder is
+  *    invoked once per partition batch with plain JVM arrays — exactly how a
+  *    JNI/FFI media decoder (libjpeg, ffmpeg) would be driven, amortizing
+  *    per-batch setup over all rows of the partition;
+  *  - parallelism: per-file-split partitions; no shuffle before the decode,
+  *    one presentation sort after.
+  *
+  * The stub's "features" are deterministic byte-level functions (length,
+  * mod-256 checksum, head byte, frame count at stride 100) so the whole
+  * pipeline — including the typed-Dataset round trip — is verified against
+  * the DuckDB oracle, not just smoke-tested.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata — what a real decoder would emit (width/height/
+    * duration map onto nBytes/headByte/nFrames here). */
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, checksum: Int,
+      head_byte: Int, n_frames: Int)
+
+  /** STUB — replace with the real decoder (libjpeg/ffmpeg via JNI/FFI).
+    * Deterministic fake: byte-level stats + frame sampling at stride 100. */
+  private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    MediaMeta(
+      doc_id = id,
+      n_bytes = payload.length,
+      checksum = (sum % 256).toInt,
+      head_byte = if (payload.nonEmpty) payload(0) & 0xff else -1,
+      n_frames = if (payload.isEmpty) 0 else (payload.length - 1) / 100 + 1)
+  }
+
+  /** m01 — binary ingest → per-partition batch decode → typed metadata. */
+  def m01Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real decoder: acquire codec context once per batch here
+        batch.map { case (id, payload) => decodeStub(id, payload) }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the training-data pipeline operators (dedup, similarity,
+  * text analysis, multimodal) — merged into SparkEntry.queries alongside the
+  * relational melt-parity queries. */
+object Pipelines {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count" -> TextAnalysis.t01TokenCount _,
+    "t02_quality" -> TextAnalysis.t02Quality _,
+    "t03_langid" -> TextAnalysis.t03LangId _,
+    "t04_fingerprint" -> TextAnalysis.t04Fingerprint _,
+    "dd01_exact" -> Dedup.dd01Exact _,
+    "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
+    "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,
+    "dd04_simhash" -> Dedup.dd04Simhash _,
+    "dd05_simhash_pairs" -> Dedup.dd05SimhashPairs _,
+    "ss01_cosine_topk" -> Similarity.ss01CosineTopK _,
+    "ss02_neardup" -> Similarity.ss02NearDup _,
+    "ss03_lsh_ann" -> Similarity.ss03LshAnn _,
+    "m01_decode" -> Multimodal.m01Decode _,
+  )
+
+  val oracle: Map[String, String] = PipelineOracle.sql
+}

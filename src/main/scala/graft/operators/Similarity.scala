@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * SURVEY.md §7.6 north-star: brute-force cosine top-k as the exact baseline,
+  * all-pairs near-dup, and a random-hyperplane-LSH bucketed ANN as the
+  * scale path.
+  *
+  * Engine-portability trick that also helps at scale: vectors are quantized
+  * to int64 (round(x·1000)) BEFORE any arithmetic, so dot products and norms
+  * are exact integer math — bit-identical between Spark and the DuckDB
+  * oracle regardless of summation order, and codegen-friendly (no FP
+  * reduction-order concerns under parallelism). Only the final cosine is a
+  * double, rounded to 4 decimals for presentation/ordering.
+  *
+  * Scale notes:
+  *  - ss01 top-k: the query vector broadcasts (one row); the scan is
+  *    embarrassingly parallel; TakeOrderedAndProject keeps only k rows per
+  *    partition. This is the right plan at any corpus size for a single query.
+  *  - ss02 all-pairs: BroadcastNestedLoopJoin with the quantized-array side
+  *    broadcast (n·64·8 bytes — 2.5 MB at sf0.1). Quadratic by nature; at
+  *    real scale use ss03's bucketing (or IVF) to bound the candidate set.
+  *  - ss03 LSH-ANN: 8 deterministic integer hyperplanes → 8-bit bucket;
+  *    candidates = same bucket as the query; exact cosine re-rank of the
+  *    candidates only. The hyperplanes are a fixed integer formula, not RNG,
+  *    so the bucketing is reproducible across engines and runs.
+  */
+object Similarity {
+
+  /** Quantized vector: array<long> of round(x·1000). */
+  private def quantized: Column =
+    transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+
+  /** (vec_id, i, q) exploded quantized elements. */
+  private def elements(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(quantized).as(Seq("i", "q")))
+
+  private def norms(el: DataFrame): DataFrame =
+    el.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+
+  /** ss01 — exact cosine top-10 neighbors of vec_id 0 (brute force). */
+  def ss01CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val el = elements(spark, dir)
+    val nrm = norms(el)
+    val dots = el.where(col("vec_id") === 0)
+      .select(col("i"), col("q").as("qa"))
+      .join(el.where(col("vec_id") =!= 0), Seq("i"))
+      .groupBy("vec_id").agg(sum(col("qa") * col("q")).as("dot"))
+    val q2 = nrm.where(col("vec_id") === 0).select(col("n2").as("qn2"))
+    dots
+      .join(nrm, Seq("vec_id"))
+      .crossJoin(broadcast(q2))
+      .select(col("vec_id"),
+        round(col("dot").cast("double") /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** ss02 — embedding-cosine near-dup: all pairs with cosine ≥ 0.4. Array
+    * formulation (zip_with dot product) so the only shuffle is the broadcast
+    * of the quantized vectors — no 64×n² exploded join. */
+  def ss02NearDup(spark: SparkSession, dir: String): DataFrame = {
+    val qv = t(spark, dir, "embeddings")
+      .select(col("vec_id"), quantized.as("q"))
+      .withColumn("n2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), col("n2").as("na"))
+    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), col("n2").as("nb"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val cosine = col("dot").cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("dot", dot)
+      .withColumn("c", cosine)
+      .where(col("c") >= 0.4)
+      .select(col("ida"), col("idb"), round(col("c"), 4).as("cos"))
+      .orderBy("ida", "idb")
+  }
+
+  /** ss03 — LSH-bucketed ANN: sign-of-projection onto 8 deterministic integer
+    * hyperplanes w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48 → 8-bit bucket;
+    * exact cosine re-rank of the query's bucket only. */
+  def ss03LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val el = elements(spark, dir)
+    val proj = el
+      .select(col("vec_id"), col("i"), col("q"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("q") *
+        (((col("i") + 1) * (col("j") + 7) * lit(2654435761L)) % 97 - 48))
+        .as("dot"))
+    val bkt = proj.groupBy("vec_id")
+      .agg(sum(when(col("dot") >= 0,
+        expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L)).as("bucket"))
+    val qb = bkt.where(col("vec_id") === 0).select(col("bucket").as("qbucket"))
+    val cand = bkt.crossJoin(broadcast(qb))
+      .where(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+      .select("vec_id")
+    val nrm = norms(el)
+    val dots = el.where(col("vec_id") === 0)
+      .select(col("i"), col("q").as("qa"))
+      .join(el.join(cand, Seq("vec_id"), "left_semi"), Seq("i"))
+      .groupBy("vec_id").agg(sum(col("qa") * col("q")).as("dot"))
+    val q2 = nrm.where(col("vec_id") === 0).select(col("n2").as("qn2"))
+    dots
+      .join(nrm, Seq("vec_id"))
+      .crossJoin(broadcast(q2))
+      .select(col("vec_id"),
+        round(col("dot").cast("double") /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+}

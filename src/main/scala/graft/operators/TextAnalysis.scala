@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §7.6 north-star): token counting, quality scoring,
+  * language-ID, document fingerprinting — all over the `documents` table.
+  *
+  * Every computation is a narrow per-row expression (no shuffle at all except
+  * the final presentation ORDER BY), stays inside whole-stage codegen, and
+  * the parquet scan reads only (doc_id, text[, lang, n_chars]) via column
+  * pruning — exactly the shape that scales to 100 TB: embarrassingly
+  * parallel over row groups.
+  *
+  * Determinism contract with the DuckDB oracle: tokenization is
+  * `split(lower(trim(text)), '\s+')` in both engines, hashing is md5 (hex
+  * string, identical across engines), ratios are rounded at the end only.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased document. */
+  private[operators] def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  private def countIn(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => w.isin(words: _*)))
+
+  /** t01 — token count per document (whitespace tokenizer; a BPE-ish regex
+    * tokenizer would swap in here as another `split` pattern). */
+  def t01TokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** t02 — quality scoring: stopword ratio + a length prior. The heuristic is
+    * deliberately simple and deterministic (the point is the distributed
+    * shape, not the linguistics): score = 0.5·stop_ratio + 0.5·[20 ≤ tokens ≤ 80]. */
+  def t02Quality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = toks
+    val nTok = size(ws)
+    val stopRatio = countIn(ws, stopwords).cast("double") / nTok
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        round(col("n_chars").cast("double") / size(col("ws")), 2)
+          .as("avg_token_len"),
+        round(countIn(col("ws"), stopwords).cast("double") / size(col("ws")), 3)
+          .as("stop_ratio"),
+        round(
+          countIn(col("ws"), stopwords).cast("double") / size(col("ws")) * 0.5 +
+            when(size(col("ws")).between(20, 80), 0.5).otherwise(0.0), 3)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t03 — language-ID by stopword evidence (n-gram-heuristic family): score
+    * each candidate language by its marker-word hits, argmax with a fixed
+    * tie-break order. Pure per-row map — no shuffle. */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = toks
+    val sEn = countIn(ws, Seq("the", "a", "is"))
+    val sFr = countIn(ws, Seq("le", "la", "et"))
+    val sDe = countIn(ws, Seq("der", "die", "und"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), sEn.as("s_en"), sFr.as("s_fr"),
+        sDe.as("s_de"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
+          col("s_en") > 0, "en")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** t04 — document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text. The canonical exact-dedup key (see Dedup.dd01Exact). */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Normalization + md5 shared by t04 and dd01. */
+  private[operators] def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
