@@ -51,6 +51,11 @@ object Canonical {
   def valueJson(df: DataFrame): Column =
     to_json(sortedStruct(df, df.columns.toSeq), jsonOpts)
 
+  /** Canonical JSON of a column subset (CDC values exclude the tracking
+    * fields, ref sql_server.clj:111-119 relocate-tracking-fields). */
+  def valueJsonOf(df: DataFrame, cols: Seq[String]): Column =
+    to_json(sortedStruct(df, cols), jsonOpts)
+
   /** Row frame → message frame `(topic, key, value)` (ref melt.clj:49-53
     * `message`: key = select-keys(row, keys), value = row). Keyless sources
     * use the whole row as key (ref integration_test.clj:158-184). */

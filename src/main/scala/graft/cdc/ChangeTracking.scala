@@ -1,0 +1,156 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Msg, SourceDef}
+import graft.canonical.Canonical
+import graft.store.MessageStore
+
+/** Change-tracking CDC (SURVEY.md §7.1 module cdc.sqlserver; ref
+  * /root/reference/src/jdbc/melt/sql_server.clj).
+  *
+  * The feed is abstracted behind [[ChangeFeed]]: production is SQL Server
+  * change tracking via JDBC (the CHANGETABLE query is a table-valued
+  * function, so it stays literal SQL pushed to the DB — pushdown by
+  * construction, SURVEY §4); tests use an in-memory feed. The version number
+  * is the stream's offset/watermark: capture → read → advance, idempotent
+  * upserts make overlap harmless (ref sql_server.clj:155-162).
+  */
+object ChangeTracking {
+
+  // --- O25: tracking admin DDL (ref sql_server.clj:9-61). Driver-side JDBC
+  // statements; generated here, executed by the caller's connection. ---
+
+  def enableDbTrackingSql(db: String): String =
+    s"ALTER DATABASE [$db] SET CHANGE_TRACKING = ON " +
+      "(CHANGE_RETENTION = 2 DAYS, AUTO_CLEANUP = ON)"
+
+  def trackTableSql(schema: String, table: String): String =
+    s"ALTER TABLE [$schema].[$table] ENABLE CHANGE_TRACKING"
+
+  def untrackTableSql(schema: String, table: String): String =
+    s"ALTER TABLE [$schema].[$table] DISABLE CHANGE_TRACKING"
+
+  /** Trackable = has a PK (ref sql_server.clj:23-27); trackable-untracked is
+    * a set difference (ref sql_server.clj:48-51). */
+  def trackableUntracked(all: Seq[SourceDef],
+      tracked: Set[(String, String)]): Seq[SourceDef] =
+    all.filter(s => s.keys.nonEmpty &&
+      !tracked.contains((s.schemaName, s.name)))
+
+  // --- O26: CHANGETABLE query builders (ref sql_server.clj:63-98). ---
+
+  val TrackingFields: Seq[String] = Seq("sys_change_version",
+    "sys_change_creation_version", "sys_change_operation",
+    "sys_change_columns", "sys_change_context")
+
+  /** Changes-only scan (ref sql_server.clj:63-69 change-sql). */
+  def changeSql(schema: String, table: String): String =
+    s"Select ct.* From CHANGETABLE(CHANGES [$schema].[$table], ?) As ct " +
+      "Order By ct.sys_change_version"
+
+  /** Entity scan: change rows left-outer-joined to the base table on PK so
+    * the current row accompanies each change — null row for deletes (ref
+    * sql_server.clj:85-95 change-entity-sql). The join and sort execute
+    * inside the source DB. */
+  def changeEntitySql(schema: String, table: String, keys: Seq[String],
+      nonKeyCols: Seq[String]): String = {
+    val ctCols = (TrackingFields ++ keys).map(c => s"ct.[$c]")
+    val tCols = nonKeyCols.map(c => s"t.[$c]")
+    val on = keys.map(k => s"ct.[$k] = t.[$k]").mkString(" And ")
+    s"Select ${(ctCols ++ tCols).mkString(", ")} " +
+      s"From CHANGETABLE(CHANGES [$schema].[$table], ?) As ct " +
+      s"Left Outer Join [$schema].[$table] As t On $on " +
+      "Order By ct.sys_change_version"
+  }
+
+  // --- O27: version watermark (ref sql_server.clj:100-109). ---
+
+  val CurrentVersionSql = "Select CHANGE_TRACKING_CURRENT_VERSION()"
+  def minValidVersionSql(schema: String, table: String): String =
+    s"Select CHANGE_TRACKING_MIN_VALID_VERSION(Object_Id('[$schema].[$table]'))"
+
+  /** The CDC source abstraction. `changesSince(ver)` returns the raw change
+    * frame: tracking columns + key columns + (nullable) entity columns. */
+  trait ChangeFeed {
+    def currentVersion(): Long
+    def minValidVersion(): Long
+    def changesSince(ver: Long): DataFrame
+  }
+
+  /** O28 — message projection of a change frame (ref sql_server.clj:111-124
+    * relocate-tracking-fields + tombstone): tracking fields leave the value;
+    * operation "D" ⇒ value NULL (tombstone). Key = canonical JSON of the PK
+    * columns; value = canonical JSON of the non-tracking columns. */
+  def changeMessages(changes: DataFrame, source: SourceDef): DataFrame = {
+    val df = Canonical.lowerCols(changes)
+    val tracking = TrackingFields.toSet
+    val entityCols = df.columns.filterNot(tracking.contains).toSeq
+    val entity = df.select(
+      (entityCols.map(col) :+ col("sys_change_operation") :+
+        col("sys_change_version")): _*)
+    val keyCols = source.keys.map(_.toLowerCase)
+    val base = entity.select(
+      lit(source.topic).as(Msg.Topic),
+      Canonical.keyJson(entity, keyCols).as(Msg.Key),
+      when(col("sys_change_operation") === "D", lit(null).cast("string"))
+        .otherwise(Canonical.valueJsonOf(entity, entityCols)).as(Msg.Value),
+      col("sys_change_version"))
+    source.transform.fold(base)(f => f(base))
+  }
+
+  final case class SendResult(version: Long, sentCount: Long)
+
+  /** O29 — one CDC micro-batch: changes since `ver` → messages → sink; the
+    * new watermark = max(sys_change_version) of the batch, computed as an
+    * aggregate in the same distributed pass (ref sql_server.clj:126-153
+    * send-changes; last+count becomes agg(max, count)). */
+  def sendChanges(feed: ChangeFeed, source: SourceDef, store: MessageStore,
+      ver: Long): SendResult = {
+    val msgs = changeMessages(feed.changesSince(ver), source).persist()
+    try {
+      val stats = msgs.agg(
+        max(col("sys_change_version")).as("v"),
+        count(lit(1)).as("n")).collect()(0)
+      if (stats.getLong(1) == 0L) SendResult(ver, 0)
+      else {
+        val sent = store.send(
+          msgs.select(Msg.Topic, Msg.Key, Msg.Value))
+        SendResult(stats.getLong(0), sent)
+      }
+    } finally { msgs.unpersist(); () }
+  }
+
+  /** O30 — bootstrap + CDC handoff (ref sql_server.clj:155-162): capture the
+    * version BEFORE the full sync so no change can fall in a gap; overlap is
+    * idempotent because sync sends upserts keyed by PK. */
+  def bootstrapThenChanges(feed: ChangeFeed, source: SourceDef,
+      store: MessageStore, fullSync: () => Long): SendResult = {
+    val ver = feed.currentVersion()
+    fullSync()
+    sendChanges(feed, source, store, ver)
+  }
+
+  /** Validity check before resuming from a stored version: if retention
+    * already discarded versions ≤ stored, a full re-sync is required (ref
+    * sql_server.clj:100-104; SURVEY §7.4 #5). */
+  def versionValid(feed: ChangeFeed, stored: Long): Boolean =
+    stored >= feed.minValidVersion()
+
+  /** Driver-side polling loop — the `foreachBatch`-style CDC runner
+    * (SURVEY §7.1 #7: polling loop first, DSv2 MicroBatchStream later). */
+  def poll(feed: ChangeFeed, source: SourceDef, store: MessageStore,
+      fromVer: Long, rounds: Int, delayMs: Long = 0): SendResult = {
+    var st = SendResult(fromVer, 0)
+    var total = 0L
+    var i = 0
+    while (i < rounds) {
+      if (i > 0 && delayMs > 0) Thread.sleep(delayMs)
+      val r = sendChanges(feed, source, store, st.version)
+      total += r.sentCount
+      st = SendResult(r.version, total)
+      i += 1
+    }
+    st
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Msg
+
+/** Structured Streaming surface (SURVEY.md §7.1 module stream).
+  *
+  * O21 `background-consume` (ref /root/reference/src/jdbc/melt.clj:325-340):
+  * the reference folds consumed records into an atom-held compacted map on a
+  * daemon thread. Spark-first, that state is a streaming aggregation — the
+  * state store is distributed, checkpointed, and sized by (topic,key)
+  * cardinality, not driver memory (removes the reference's in-memory cap,
+  * README.md:30-33).
+  *
+  * Scale notes: compaction state partitions by (topic, key) hash — the same
+  * layout as the batch compaction shuffle, so at 1000 executors each holds
+  * 1/1000th of the keys. Watermarking bounds the window-agg state; the
+  * compacted-state query is deliberately unbounded (it IS the materialized
+  * topic), which is the correct trade — its size is the key cardinality,
+  * the thing the system exists to hold.
+  */
+object Streaming {
+
+  /** Compacted topic state as a continuously-maintained streaming
+    * aggregation: last-write-wins per (topic, key) ordered by (partition,
+    * offset) — identical semantics to MessageStore.topicState, but
+    * incremental. Emit in Update mode; tombstoned keys surface with a null
+    * value so a downstream sink can delete them. */
+  def compactedState(log: DataFrame): DataFrame =
+    log.groupBy(Msg.Topic, Msg.Key)
+      .agg(max_by(col(Msg.Value), col(Msg.Offset)).as(Msg.Value))
+
+  /** Typed last-write-wins via mapGroupsWithState — the explicit-state
+    * variant (ref melt.clj:307-323 merge-seq-entry fold, incl. tombstone
+    * removal). Used where per-key custom logic (TTL, counters, conflation)
+    * outgrows a declarative aggregate. */
+  final case class KeyedRecord(topic: String, key: String,
+      value: Option[String], offset: Long)
+  final case class KeyState(value: Option[String], offset: Long)
+
+  def compactedStateTyped(spark: SparkSession, log: DataFrame): DataFrame = {
+    import spark.implicits._
+    log.select(col(Msg.Topic), col(Msg.Key), col(Msg.Value), col(Msg.Offset))
+      .as[(String, String, Option[String], Long)]
+      .map(r => KeyedRecord(r._1, r._2, r._3, r._4))
+      .groupByKey(r => (r.topic, r.key))
+      .mapGroupsWithState[KeyState, (String, String, Option[String])](
+        GroupStateTimeout.NoTimeout) {
+        case ((topic, key), records, state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(None, Long.MinValue))
+          // newest offset wins; a null value is a tombstone but must still
+          // advance the offset (ref melt.clj:316-321)
+          val newest = records.foldLeft(prev) { (acc, r) =>
+            if (r.offset > acc.offset) KeyState(r.value, r.offset) else acc
+          }
+          state.update(newest)
+          (topic, key, newest.value)
+      }
+      .toDF(Msg.Topic, Msg.Key, Msg.Value)
+  }
+
+  /** Event-time tumbling-window counts with late-data watermark — the
+    * standard streaming-analytics shape the north star adds on top of the
+    * reference (which orders by change version only, SURVEY §2.2). */
+  def windowedCounts(events: DataFrame, tsCol: String, window_ : String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Start a continuous compaction query over a message stream into an
+    * in-memory queryable table (the O21 "background consume with a handle
+    * you can close": stop via the returned query). */
+  def backgroundConsume(spark: SparkSession, log: DataFrame,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    compactedState(log).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

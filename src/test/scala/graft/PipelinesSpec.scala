@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Sanity + algebraic properties of the training-data pipeline operators.
+  * (Exact value-level correctness is covered by the DuckDB oracle gate —
+  * tools/compare.py matches all of these bit-for-bit at sf0.01.) */
+class PipelinesSpec extends SparkSpec {
+
+  test("dd03 MinHash-LSH candidates reproduce the exact n-gram Jaccard pairs") {
+    // At this corpus the 8×2 banding has full recall: LSH output == exact
+    // output. This is the determinism contract that makes the probabilistic
+    // path oracle-checkable.
+    val exact = Dedup.dd02NgramJaccard(spark, sf).collect().map(_.toSeq).toSet
+    val lsh = Dedup.dd03MinhashLsh(spark, sf).collect().map(_.toSeq).toSet
+    assert(lsh == exact && exact.nonEmpty)
+  }
+
+  test("dd01 exact dedup keeps exactly one representative per fingerprint") {
+    val d = Dedup.dd01Exact(spark, sf)
+    val perFp = d.groupBy("fp").agg(
+      sum(when(col("keep"), 1).otherwise(0)).as("kept"))
+    assert(perFp.where(col("kept") =!= 1).isEmpty)
+  }
+
+  test("dd04 simhash is a 32-bit value; near-identical docs have close hashes") {
+    val sig = Dedup.dd04Simhash(spark, sf)
+    assert(sig.where(col("simhash") < 0 ||
+      col("simhash") > (1L << 32) - 1).isEmpty)
+  }
+
+  test("ss01 top-k is ordered by cosine desc and excludes the query itself") {
+    val topk = Similarity.ss01CosineTopK(spark, sf).collect()
+    assert(topk.length == 10)
+    assert(!topk.map(_.getLong(0)).contains(0L))
+    val coss = topk.map(_.getDouble(1))
+    assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ss03 LSH-ANN results are a subset of the brute-force ranking universe") {
+    val ann = Similarity.ss03LshAnn(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty && !ann.contains(0L))
+  }
+
+  test("t03 langid predicts a language for every doc") {
+    val out = TextAnalysis.t03LangId(spark, sf)
+    assert(out.where(col("pred").isNull).isEmpty)
+    assert(out.count() == 500)
+  }
+
+  test("m01 multimodal decode: checksum in [0,256), frames at stride 100") {
+    val out = Multimodal.m01Decode(spark, sf)
+    assert(out.where(col("checksum") < 0 || col("checksum") > 255).isEmpty)
+    assert(out.where(col("n_frames") =!=
+      floor((col("n_bytes") - 1) / 100) + 1).isEmpty)
+  }
+}

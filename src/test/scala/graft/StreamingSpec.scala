@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+
+/** O21 continuous compaction + event-time windows, driven through real
+  * Structured Streaming micro-batches via MemoryStream (the offline stand-in
+  * for a live Kafka readStream). */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("O21 streaming compaction: last write wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, String, Long)]
+    val log = in.toDF().toDF("topic", "key", "value", "offset")
+    val q = Streaming.compactedState(log).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName("compacted")
+      .start()
+    try {
+      in.addData(("t", "k1", "v1", 0L), ("t", "k2", "v2", 1L))
+      q.processAllAvailable()
+      in.addData(("t", "k1", "v1b", 2L)) // overwrite k1 in a later batch
+      q.processAllAvailable()
+      val state = spark.table("compacted").collect()
+        .map(r => r.getString(1) -> r.getString(2)).toMap
+      assert(state == Map("k1" -> "v1b", "k2" -> "v2"))
+    } finally q.stop()
+  }
+
+  test("O21 typed mapGroupsWithState compaction honors offsets + tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Option[String], Long)]
+    val log = in.toDF().toDF("topic", "key", "value", "offset")
+    val q = Streaming.compactedStateTyped(spark, log).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("compacted_typed")
+      .start()
+    try {
+      in.addData(("t", "k1", Some("v1"), 0L), ("t", "k1", Some("v2"), 1L))
+      q.processAllAvailable()
+      in.addData(("t", "k1", None, 2L)) // tombstone arrives later
+      q.processAllAvailable()
+      val rows = spark.table("compacted_typed").collect()
+      // Update mode emits the latest state per key per batch; final state null
+      val last = rows.last
+      assert(last.getString(1) == "k1" && last.isNullAt(2))
+    } finally q.stop()
+  }
+
+  test("event-time tumbling windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(events, "ts", "10 minutes", "5 minutes")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("windowed")
+      .start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2026-01-01 00:04:00"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 00:11:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("windowed")
+        .selectExpr("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
