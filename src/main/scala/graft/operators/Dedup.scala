@@ -66,35 +66,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Exact Jaccard over shingle sets for the given candidate pairs
-    * (ida < idb). Shared by dd02 (all co-shingled pairs) and dd03 (LSH
-    * candidates only). */
-  private def jaccardOf(sh: DataFrame, cand: DataFrame,
+  /** Distinct shingles hashed to int64 — all joins and counts downstream run
+    * on fixed-width longs, not strings (cheaper shuffle, codegen-friendly
+    * comparisons). Collision probability over |shingle vocab|² / 2⁶⁴ is
+    * negligible at any realistic corpus. */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).select(col("doc_id"), xxhash64(col("s")).as("hs"))
+
+  /** Jaccard from precomputed pair-intersection counts. */
+  private def jaccardFromInter(inter: DataFrame, n: DataFrame,
       threshold: Double): DataFrame = {
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("ida"), col("s")), Seq("ida"))
-      .join(sh.select(col("doc_id").as("idb"), col("s")), Seq("idb", "s"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
     val j = col("c").cast("double") /
       (col("na") + col("nb") - col("c"))
     inter
-      .join(n.select(col("doc_id").as("ida"), col("ns").as("na")), Seq("ida"))
-      .join(n.select(col("doc_id").as("idb"), col("ns").as("nb")), Seq("idb"))
+      .join(broadcast(n.select(col("doc_id").as("ida"), col("ns").as("na"))), Seq("ida"))
+      .join(broadcast(n.select(col("doc_id").as("idb"), col("ns").as("nb"))), Seq("idb"))
       .where(j >= threshold)
       .select(col("ida"), col("idb"), round(j, 3).as("jaccard"))
       .orderBy("ida", "idb")
   }
 
   /** dd02 — n-gram Jaccard near-dup via inverted-index join (see scale note
-    * above). Output: pairs with Jaccard ≥ 0.3. */
+    * above): ONE self-join on the hashed shingle produces intersection
+    * counts directly (each matching shingle contributes one row to the
+    * (ida, idb) group). Output: pairs with Jaccard ≥ 0.3. */
   def dd02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val cand = sh.select(col("doc_id").as("ida"), col("s"))
-      .join(sh.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+    val sh = hashedShingles(spark, dir)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = sh.select(col("doc_id").as("ida"), col("hs"))
+      .join(broadcast(sh.select(col("doc_id").as("idb"), col("hs"))), Seq("hs"))
       .where(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    jaccardOf(sh, cand, 0.3)
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    jaccardFromInter(inter, n, 0.3)
   }
 
   /** dd03 — MinHash+LSH near-dup: shingle → K min-wise hashes → band-bucket
@@ -104,7 +107,8 @@ object Dedup {
     * once document frequency grows. */
   def dd03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val hashed = sh.withColumn("hm", md5Long(col("s"), 15) % P)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("hs"),
+      (md5Long(col("s"), 15) % P).as("hm"))
     val sigCols = (1 to K).map { j =>
       val a = (j * 2654435761L) % P
       val b = (j * 40503L + 7) % P
@@ -123,7 +127,14 @@ object Dedup {
         Seq("band", "k1", "k2"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    jaccardOf(sh, cand, 0.3)
+    // exact-Jaccard verification of the candidates only
+    val hsOnly = hashed.select(col("doc_id"), col("hs"))
+    val n = hsOnly.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = cand
+      .join(hsOnly.select(col("doc_id").as("ida"), col("hs")), Seq("ida"))
+      .join(hsOnly.select(col("doc_id").as("idb"), col("hs")), Seq("idb", "hs"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    jaccardFromInter(inter, n, 0.3)
   }
 
   /** Per-doc 32-bit SimHash signature frame: (doc_id, simhash). */

@@ -63,21 +63,22 @@ object Similarity {
   }
 
   /** ss02 — embedding-cosine near-dup: all pairs with cosine ≥ 0.4. Array
-    * formulation (zip_with dot product) so the only shuffle is the broadcast
-    * of the quantized vectors — no 64×n² exploded join. */
+    * formulation: the broadcast-nested-loop join streams quantized vectors,
+    * and the dot product is the native codegen'd [[graft.functions.ArrayDot]]
+    * expression — a tight primitive loop with no per-pair allocation (a
+    * zip_with/aggregate lambda pair is ~20× slower here because higher-order
+    * functions evaluate interpretively outside whole-stage codegen). */
   def ss02NearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
     val qv = t(spark, dir, "embeddings")
       .select(col("vec_id"), quantized.as("q"))
-      .withColumn("n2",
-        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
-    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), col("n2").as("na"))
-    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), col("n2").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val n2 = dotLong(col("q"), col("q"))
+    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), n2.as("na"))
+    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), n2.as("nb"))
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
     a.join(broadcast(b), col("ida") < col("idb"))
-      .withColumn("dot", dot)
+      .withColumn("dot", dotLong(col("qa"), col("qb")))
       .withColumn("c", cosine)
       .where(col("c") >= 0.4)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos"))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 split `Column` into the
+  * connect-agnostic sql-api (no `.expr`); the classic converters are
+  * `private[sql]`, so this shim lives in the sql package tree — the standard
+  * technique for libraries that add native Catalyst expressions. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayDot.dotLong
+
+/** Native codegen'd dot-product expression vs the higher-order-function
+  * reference implementation. */
+class ArrayDotSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dotLong equals the zip_with/aggregate reference on random vectors") {
+    val df = spark.range(100).select(
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(col("id") * 64 + i), lit(1000)) - 500).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(col("id") * 64 + i + 7), lit(1000)) - 500).as("b"))
+    val out = df.select(
+      dotLong(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("ref"))
+    assert(out.where(col("fast") =!= col("ref")).isEmpty)
+  }
+
+  test("dotLong null propagation and empty arrays") {
+    val df = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
+      (None, Some(Seq(1L))),
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])))
+      .toDF("a", "b")
+    val rows = df.select(dotLong(col("a"), col("b"))).collect()
+    assert(rows(0).getLong(0) == 11L)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 0L)
+  }
+}
