@@ -90,4 +90,20 @@ object TextAnalysis {
   /** Normalization + md5 shared by t04 and dd01. */
   private[operators] def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** t05 — BPE-ish sub-token counting: letter runs / digit runs / single
+    * punctuation, the pre-tokenization split every BPE-family tokenizer
+    * applies before merges. Compared against the whitespace word count —
+    * the subtoken:word ratio is a standard tokenizer-cost estimator. */
+  def t05BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val sub = regexp_extract_all(lower(trim(col("text"))),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"),
+        size(sub).as("n_subtokens"))
+      .withColumn("ratio",
+        round(col("n_subtokens").cast("double") / col("n_words"), 3))
+      .orderBy("doc_id")
+  }
 }

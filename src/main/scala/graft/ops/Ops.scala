@@ -89,19 +89,59 @@ object VerifyOps {
   final case class Result(matches: Boolean, attempts: Int,
       synced: Boolean, syncCount: Long)
 
+  /** Incrementally-refreshed compacted topic state for retry loops (ref
+    * melt.clj:518-523; SURVEY §7.4 #6): the first refresh reads the whole
+    * log once and caches the compacted frame; each later refresh reads only
+    * records past the cursor and merges them in — at scale a retry costs
+    * |keys| + |delta|, not another full topic scan. */
+  final class IncrementalTopicState(store: MessageStore, topics: Seq[String]) {
+    private var cursor: Map[(String, Int), Long] = Map.empty
+    private var state: Option[DataFrame] = None
+
+    /** Re-read what's new and return the current compacted state
+      * (tombstones included — filter for consumers who need live keys). */
+    def refresh(): DataFrame = {
+      val nextCursor = store.endOffsets(topics)
+      val merged = state match {
+        case None => MessageStore.compact(store.read(topics))
+        case Some(prev) =>
+          MessageStore.compact(prev.unionAll(store.readFrom(topics, cursor)
+            .select(Msg.Topic, Msg.Key, Msg.Value, Msg.Offset)))
+      }
+      state.foreach(_.unpersist())
+      val cached = merged.persist()
+      state = Some(cached)
+      cursor = nextCursor
+      cached
+    }
+
+    def current(): DataFrame = state.getOrElse(refresh())
+
+    def close(): Unit = { state.foreach(_.unpersist()); state = None }
+
+    /** Live (non-tombstoned) view in the (topic, key, value) contract. */
+    def live(): DataFrame = current()
+      .where(col(Msg.Value).isNotNull)
+      .select(Msg.Topic, Msg.Key, Msg.Value)
+  }
+
   /** Retry loop tolerating in-flight latency (ref melt.clj:518-546;
-    * monitoring = verify with latency allowance, DESIGN.md:26-27). */
+    * monitoring = verify with latency allowance, DESIGN.md:26-27). Topic
+    * state refreshes incrementally across retries instead of re-scanning. */
   def verify(rows: => DataFrame, source: SourceDef, store: MessageStore,
       retries: Int = 0, delayMs: Long = 1000): (Boolean, Int) = {
-    var attempts = 0
-    var ok = false
-    while (!ok && attempts <= retries) {
-      if (attempts > 0) Thread.sleep(delayMs)
-      attempts += 1
-      val src = Canonical.messages(rows, source)
-      ok = Diff.isEmpty(Diff.diff(src, store.topicState(Seq(source.topic))))
-    }
-    (ok, attempts)
+    val topic = new IncrementalTopicState(store, Seq(source.topic))
+    try {
+      var attempts = 0
+      var ok = false
+      while (!ok && attempts <= retries) {
+        if (attempts > 0) { Thread.sleep(delayMs); topic.refresh() }
+        attempts += 1
+        val src = Canonical.messages(rows, source)
+        ok = Diff.isEmpty(Diff.diff(src, topic.live()))
+      }
+      (ok, attempts)
+    } finally topic.close()
   }
 
   /** Verify; on failure sync once and verify once more (ref

@@ -36,15 +36,37 @@ trait MessageStore {
     * small at 100 TB — only one candidate row per key per input partition
     * crosses the wire.
     */
-  def topicState(topics: Seq[String]): DataFrame = {
-    val log = read(topics)
-    log.groupBy(Msg.Topic, Msg.Key)
-      .agg(max_by(col(Msg.Value), col(Msg.Offset)).as(Msg.Value))
+  def topicState(topics: Seq[String]): DataFrame =
+    MessageStore.compact(read(topics))
       .where(col(Msg.Value).isNotNull)
+      .select(Msg.Topic, Msg.Key, Msg.Value)
+
+  /** O12 read-twice (ref melt.clj:342-357 read-topics-loop): a long first
+    * read means its planned end offsets are stale on a live topic — one more
+    * incremental pass catches what landed meanwhile. The batch union is
+    * compacted as one frame, so duplicated offsets collapse in the max_by. */
+  def topicStateLive(topics: Seq[String]): DataFrame = {
+    val cursor = endOffsets(topics)
+    val first = read(topics)
+    val catchUp = readFrom(topics, cursor)
+    MessageStore.compact(first.unionAll(catchUp))
+      .where(col(Msg.Value).isNotNull)
+      .select(Msg.Topic, Msg.Key, Msg.Value)
   }
 
   /** Current end offset per (topic, partition) — the incremental-read cursor. */
   def endOffsets(topics: Seq[String]): Map[(String, Int), Long]
+}
+
+object MessageStore {
+  /** Latest record per (topic, key) INCLUDING tombstones (value null) — the
+    * mergeable compacted form: unioning two compacted frames (or a compacted
+    * frame with a raw increment) and re-compacting is associative because
+    * the max offset per key is retained. */
+  def compact(log: DataFrame): DataFrame =
+    log.groupBy(Msg.Topic, Msg.Key)
+      .agg(max_by(col(Msg.Value), col(Msg.Offset)).as(Msg.Value),
+        max(col(Msg.Offset)).as(Msg.Offset))
 }
 
 /** Kafka-log-on-parquet: append-only files carrying explicit (partition,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sample, VerifyOps}
+import graft.sources.Tables
+import graft.store.LocalStore
+
+/** O22 sampling, O12 read-twice, incremental verify state, and the SQL
+  * function surface. */
+class OpsExtraSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("O22 sample-db writes count + top-n per table (ref melt.clj:153-174)") {
+    val dir = tmpDir("samples")
+    val region = Tables.t(spark, sf, "region").orderBy("r_regionkey")
+    val paths = Sample.writeSamples(Seq("region" -> region), dir, n = 3)
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head)), "UTF-8")
+    val lines = content.split("\n")
+    assert(lines(0) == s"count: ${region.count()}")
+    assert(lines(1).contains("r_regionkey"))
+    assert(lines.length == 2 + math.min(3, region.count()).toInt)
+  }
+
+  test("O12 topicStateLive equals topicState on a quiescent topic") {
+    val store = new LocalStore(spark, tmpDir("live"))
+    store.send(Seq(("t", "k1", "v1"), ("t", "k2", "v2"), ("t", "k1", "v3"))
+      .toDF("topic", "key", "value"))
+    val a = store.topicState(Seq("t")).orderBy("key").collect().toSeq
+    val b = store.topicStateLive(Seq("t")).orderBy("key").collect().toSeq
+    assert(a == b && a.size == 2)
+  }
+
+  test("incremental topic state merges deltas without full re-read") {
+    val store = new LocalStore(spark, tmpDir("inc"))
+    store.send(Seq(("t", "k1", "v1"), ("t", "k2", "v2")).toDF("topic", "key", "value"))
+    val inc = new VerifyOps.IncrementalTopicState(store, Seq("t"))
+    assert(inc.live().count() == 2)
+    // new upsert + a tombstone for k2 arrive after the first read
+    store.send(Seq(("t", "k1", "v1b"), ("t", "k2", null.asInstanceOf[String]))
+      .toDF("topic", "key", "value"))
+    inc.refresh()
+    val state = inc.live().collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(state == Map("k1" -> "v1b"))
+    inc.close()
+  }
+
+  test("array_dot_long is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(r == 32L)
+  }
+}
