@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.Bridge
-import graft.functions.ArrayDotLong
+import graft.functions.{ArrayDotLong, ArrayIntersectCountLong}
 
 /** SQL-surface registration of graft's native expressions, so
   * `spark.sql("... array_dot_long(a, b) ...")` works like a built-in.
@@ -16,23 +16,31 @@ import graft.functions.ArrayDotLong
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.arrayDotLong)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val arrayDotLong: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("array_dot_long"),
-    new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
+  private type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def binary(name: String, clazz: Class[_],
+      mk: (Expression, Expression) => Expression): FunctionDescription = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
       require(children.length == 2,
-        s"array_dot_long takes 2 arguments, got ${children.length}")
-      ArrayDotLong(children.head, children(1))
+        s"$name takes 2 arguments, got ${children.length}")
+      mk(children.head, children(1))
     })
 
+  private val all: Seq[FunctionDescription] = Seq(
+    binary("array_dot_long", classOf[ArrayDotLong], ArrayDotLong.apply),
+    binary("array_intersect_count_long", classOf[ArrayIntersectCountLong],
+      ArrayIntersectCountLong.apply))
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = arrayDotLong
-    Bridge.registerFunction(spark, id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      Bridge.registerFunction(spark, id, info, builder)
+    }
 }

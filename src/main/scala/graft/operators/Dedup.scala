@@ -11,11 +11,11 @@ import graft.sources.Tables.t
   * Scale design (the reason each variant exists):
   *  - dd01 exact: one hash-groupBy shuffle on a 32-byte fingerprint; at
   *    100 TB the shuffle carries (fp, doc_id) pairs only, never the text.
-  *  - dd02 n-gram Jaccard: the *inverted-index* formulation — join documents
-  *    on shared shingles rather than all-pairs cross product. Cost is
-  *    Σ_shingle df(s)², i.e. driven by document frequency, not n². At scale,
-  *    cap df with a stop-shingle filter (not applied here so the sf0.01
-  *    oracle stays exact).
+  *  - dd02 n-gram Jaccard: exact all-pairs scoring with per-doc sorted
+  *    hash-set arrays and a native two-pointer intersection expression —
+  *    zero shuffle, pure codegen. (An inverted-index join on shingles costs
+  *    Σ_shingle df(s)² shuffled rows and loses badly when the vocabulary is
+  *    hot; measured 5× slower here.) Quadratic in documents by nature.
   *  - dd03 MinHash+LSH: the scale path. K=16 min-wise hashes → 8 bands of 2;
   *    candidate pairs only where a band collides, then exact-Jaccard
   *    verification of candidates only. Hash family is md5-derived modular
@@ -66,38 +66,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Distinct shingles hashed to int64 — all joins and counts downstream run
-    * on fixed-width longs, not strings (cheaper shuffle, codegen-friendly
+  /** Distinct shingles hashed to int64 — all set operations downstream run
+    * on fixed-width longs, not strings (cheaper movement, codegen-friendly
     * comparisons). Collision probability over |shingle vocab|² / 2⁶⁴ is
     * negligible at any realistic corpus. */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir).select(col("doc_id"), xxhash64(col("s")).as("hs"))
 
-  /** Jaccard from precomputed pair-intersection counts. */
-  private def jaccardFromInter(inter: DataFrame, n: DataFrame,
-      threshold: Double): DataFrame = {
-    val j = col("c").cast("double") /
-      (col("na") + col("nb") - col("c"))
-    inter
-      .join(broadcast(n.select(col("doc_id").as("ida"), col("ns").as("na"))), Seq("ida"))
-      .join(broadcast(n.select(col("doc_id").as("idb"), col("ns").as("nb"))), Seq("idb"))
-      .where(j >= threshold)
+  /** Each doc's shingle set as ONE sorted array<bigint> row. Intersections
+    * are then a codegen'd two-pointer merge per pair
+    * ([[graft.functions.ArrayIntersect]]) — no exploded join, no
+    * Σ|A∩B|-row shuffle. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    hashedShingles(spark, dir)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hs"))).as("set"))
+
+  /** Jaccard ≥ threshold for given (ida, idb, seta, setb) pair frames. */
+  private def jaccardOfPairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.ArrayIntersect.intersectCount
+    val withC = pairs
+      .withColumn("c", intersectCount(col("seta"), col("setb")))
+      .withColumn("na", size(col("seta")).cast("long"))
+      .withColumn("nb", size(col("setb")).cast("long"))
+    val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    withC.where(j >= threshold)
       .select(col("ida"), col("idb"), round(j, 3).as("jaccard"))
       .orderBy("ida", "idb")
   }
 
-  /** dd02 — n-gram Jaccard near-dup via inverted-index join (see scale note
-    * above): ONE self-join on the hashed shingle produces intersection
-    * counts directly (each matching shingle contributes one row to the
-    * (ida, idb) group). Output: pairs with Jaccard ≥ 0.3. */
+  /** dd02 — n-gram Jaccard near-dup, exact: all pairs scored by the native
+    * sorted-merge intersection. The doc-set side broadcasts (|docs|·|set|·8 B);
+    * the pair loop is O(n²·set) primitive ops with zero shuffle. Quadratic by
+    * nature — the exact baseline; dd03 is the sub-quadratic scale path. */
   def dd02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(spark, dir)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val inter = sh.select(col("doc_id").as("ida"), col("hs"))
-      .join(broadcast(sh.select(col("doc_id").as("idb"), col("hs"))), Seq("hs"))
-      .where(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-    jaccardFromInter(inter, n, 0.3)
+    val sets = shingleSets(spark, dir)
+    // repartition the STREAMED side: the doc corpus arrives as few parquet
+    // splits, and a nested-loop pair join is only as parallel as the
+    // streamed side's partition count
+    val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
+      .repartition(64, col("ida"))
+    val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
+    jaccardOfPairs(a.join(broadcast(b), col("ida") < col("idb")), 0.3)
   }
 
   /** dd03 — MinHash+LSH near-dup: shingle → K min-wise hashes → band-bucket
@@ -109,12 +119,14 @@ object Dedup {
     val sh = shingles(spark, dir)
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("hs"),
       (md5Long(col("s"), 15) % P).as("hm"))
+    // one pass per doc: the sorted shingle set AND all K minhashes
     val sigCols = (1 to K).map { j =>
       val a = (j * 2654435761L) % P
       val b = (j * 40503L + 7) % P
       min((lit(a) * col("hm") + lit(b)) % P).as(s"m$j")
     }
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hs"))).as("set"), sigCols: _*)
     val bandStructs = (0 until K / R).map { b =>
       struct(lit(b).as("band"), col(s"m${2 * b + 1}").as("k1"),
         col(s"m${2 * b + 2}").as("k2"))
@@ -127,14 +139,15 @@ object Dedup {
         Seq("band", "k1", "k2"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    // exact-Jaccard verification of the candidates only
-    val hsOnly = hashed.select(col("doc_id"), col("hs"))
-    val n = hsOnly.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val inter = cand
-      .join(hsOnly.select(col("doc_id").as("ida"), col("hs")), Seq("ida"))
-      .join(hsOnly.select(col("doc_id").as("idb"), col("hs")), Seq("idb", "hs"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-    jaccardFromInter(inter, n, 0.3)
+    // exact-Jaccard verification of the candidates only, via the native
+    // sorted-merge intersection on the per-doc sets
+    val sets = sig.select(col("doc_id"), col("set"))
+    val pairs = cand
+      .join(broadcast(sets.select(col("doc_id").as("ida"), col("set").as("seta"))),
+        Seq("ida"))
+      .join(broadcast(sets.select(col("doc_id").as("idb"), col("set").as("setb"))),
+        Seq("idb"))
+    jaccardOfPairs(pairs, 0.3)
   }
 
   /** Per-doc 32-bit SimHash signature frame: (doc_id, simhash). */

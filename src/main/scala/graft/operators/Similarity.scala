@@ -73,7 +73,10 @@ object Similarity {
     val qv = t(spark, dir, "embeddings")
       .select(col("vec_id"), quantized.as("q"))
     val n2 = dotLong(col("q"), col("q"))
+    // repartition the streamed side — the corpus is few parquet splits and a
+    // nested-loop pair join parallelizes only over streamed partitions
     val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), n2.as("na"))
+      .repartition(64, col("ida"))
     val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), n2.as("nb"))
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.canonical.Canonical
+import graft.ops.{Diff, Sync}
+import graft.store.LocalStore
+
+/** Property tests (SURVEY.md §5 engine test plan): canonicalization
+  * determinism and the diff/sync algebra
+  * `diff(a, apply(b, sync(diff(a, b)))) = ∅` — driven by ScalaCheck
+  * generators with fixed seeds (scalatestplus isn't available offline, so
+  * the sampling loop is explicit; failures print their seed). */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val source = SourceDef("c", "s", "t", Seq("id"))
+
+  private val rowsGen: Gen[List[(Long, String, Option[Double])]] = for {
+    n <- Gen.choose(0, 12)
+    ids <- Gen.pick(n, 0L to 30L)
+    rows <- Gen.sequence[List[(Long, String, Option[Double])],
+      (Long, String, Option[Double])](ids.map { id =>
+      for {
+        s <- Gen.alphaNumStr.map(_.take(6))
+        d <- Gen.option(Gen.choose(-1000.0, 1000.0))
+      } yield (id, s, d)
+    })
+  } yield rows
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("canonical key/value JSON is deterministic under column reordering") {
+    (1L to 8L).foreach { seed =>
+      val rows = sample(rowsGen, seed)
+      if (rows.nonEmpty) withClue(s"seed=$seed") {
+        val df = rows.toDF("id", "name", "score")
+        val shuffled = df.select("score", "id", "name")
+        val a = Canonical.messages(df, source).orderBy("key")
+          .collect().map(_.toSeq).toSeq
+        val b = Canonical.messages(shuffled, source).orderBy("key")
+          .collect().map(_.toSeq).toSeq
+        assert(a == b)
+      }
+    }
+  }
+
+  test("sync(diff(a, b)) repairs b to match a (diff/sync algebra)") {
+    (1L to 5L).foreach { seed =>
+      val aRows = sample(rowsGen, seed)
+      val bRows = sample(rowsGen, seed + 100)
+      withClue(s"seed=$seed") {
+        val store = new LocalStore(spark, tmpDir("prop"))
+        val a = aRows.toDF("id", "name", "score")
+        val b = bRows.toDF("id", "name", "score")
+        if (bRows.nonEmpty) store.send(Canonical.messages(b, source))
+        val topicState =
+          if (bRows.nonEmpty) store.topicState(Seq(source.topic))
+          else Canonical.messages(a, source).limit(0)
+        val d = Diff.diff(Canonical.messages(a, source), topicState)
+        Sync.syncFromDiff(d, store)
+        val repaired = store.topicState(Seq(source.topic))
+        val d2 = Diff.diff(Canonical.messages(a, source), repaired)
+        assert(Diff.isEmpty(d2))
+      }
+    }
+  }
+
+  test("tombstoned keys = anti-join of topic vs table (O17 algebra)") {
+    (1L to 8L).foreach { seed =>
+      val aRows = sample(rowsGen, seed + 7)
+      val bRows = sample(rowsGen, seed + 200)
+      withClue(s"seed=$seed") {
+        val a = aRows.toDF("id", "name", "score")
+        val b = bRows.toDF("id", "name", "score")
+        val d = Diff.diff(Canonical.messages(a, source),
+          Canonical.messages(b, source))
+        val deleted = Diff.deleted(d).select("key").collect()
+          .map(_.getString(0)).toSet
+        val expected = bRows.map(_._1).toSet -- aRows.map(_._1).toSet
+        assert(deleted == expected.map(id => s"""{"id":$id}"""))
+      }
+    }
+  }
+}
