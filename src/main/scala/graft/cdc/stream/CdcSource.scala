@@ -1,0 +1,119 @@
+package graft.cdc.stream
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 micro-batch CDC source: `spark.readStream
+  * .format("graft-cdc").option("feed", name)` — the streaming offset IS the
+  * change-tracking version (SURVEY.md §7.1 #7 "graduate to a DSv2
+  * MicroBatchStream whose offset is the change version"; ref
+  * /root/reference/src/jdbc/melt/sql_server.clj:126-162 where the version is
+  * chained between send-changes calls by hand).
+  *
+  * Versus the polling loop in [[graft.cdc.ChangeTracking]]: checkpointing,
+  * restart recovery, exactly-once batch planning, and trigger scheduling all
+  * come from the Structured Streaming engine; each micro-batch reads
+  * `(startVersion, endVersion]`.
+  *
+  * Feeds register in [[CdcFeedRegistry]] by name. A production SQL Server
+  * feed is a thin `VersionedFeed` whose `rows` runs the
+  * [[graft.cdc.ChangeTracking.changeEntitySql]] query over JDBC with the
+  * version range bound — per-executor connections, exactly like Spark's own
+  * JDBC source; tests register in-memory feeds. CDC batches are planned as a
+  * single partition: change volume per trigger is bounded by the trigger
+  * interval, and the DB's CHANGETABLE is itself a single cursor — the
+  * downstream message projection and sink write are where Spark fans out.
+  */
+object CdcFeedRegistry {
+  trait VersionedFeed {
+    def schema: StructType
+    def currentVersion(): Long
+    /** Rows with `sys_change_version` in `(fromExclusive, toInclusive]`. */
+    def rows(fromExclusive: Long, toInclusive: Long): Iterator[Row]
+  }
+
+  private val feeds = TrieMap.empty[String, VersionedFeed]
+  def register(name: String, feed: VersionedFeed): Unit = feeds.put(name, feed)
+  def get(name: String): VersionedFeed = feeds.getOrElse(name,
+    throw new IllegalArgumentException(s"no CDC feed registered as '$name'"))
+}
+
+final case class CdcOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+class CdcSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcFeedRegistry.get(options.get("feed")).schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcTable(properties.get("feed"), schema)
+}
+
+final class CdcTable(feedName: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc($feedName)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new CdcMicroBatchStream(feedName, tableSchema,
+          Option(options.get("fromversion")).map(_.toLong).getOrElse(0L))
+      override def toBatch: Batch =
+        throw new UnsupportedOperationException("graft-cdc is streaming-only")
+    }
+}
+
+final class CdcMicroBatchStream(feedName: String, schema: StructType,
+    fromVersion: Long) extends MicroBatchStream {
+  private def feed = CdcFeedRegistry.get(feedName)
+
+  override def initialOffset(): Offset = CdcOffset(fromVersion)
+  override def latestOffset(): Offset = CdcOffset(feed.currentVersion())
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(CdcInputPartition(feedName,
+      start.asInstanceOf[CdcOffset].version, end.asInstanceOf[CdcOffset].version))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(schema)
+}
+
+final case class CdcInputPartition(feedName: String, fromExclusive: Long,
+    toInclusive: Long) extends InputPartition
+
+final class CdcReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    val serializer = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .createSerializer()
+    val it = CdcFeedRegistry.get(p.feedName).rows(p.fromExclusive, p.toInclusive)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = serializer(it.next()).copy(); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
