@@ -57,4 +57,34 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_no: Int, n_bytes: Int,
+      checksum: Int)
+
+  /** m02 — frame sampling: one output row per fixed-stride chunk of the
+    * payload (video frame extraction / audio windowing shape: a flatMap
+    * that EXPANDS rows, the UDTF pattern). Runs as a typed mapPartitions so
+    * a real demuxer would be driven per partition batch; chunk features stay
+    * deterministic byte math so the expansion is oracle-checked. */
+  def m02Frames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = 100
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          // real demuxer: seek + decode one frame per stride here
+          payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+            var sum = 0L
+            var j = 0
+            while (j < chunk.length) { sum += chunk(j) & 0xff; j += 1 }
+            Frame(id, i, chunk.length, (sum % 256).toInt)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_no")
+  }
 }

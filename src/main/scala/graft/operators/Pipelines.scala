@@ -21,6 +21,7 @@ object Pipelines {
     "ss02_neardup" -> Similarity.ss02NearDup _,
     "ss03_lsh_ann" -> Similarity.ss03LshAnn _,
     "m01_decode" -> Multimodal.m01Decode _,
+    "m02_frames" -> Multimodal.m02Frames _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

@@ -209,6 +209,33 @@ object Relational {
         col("event_type").as("sys_change_operation"))
       .orderBy("event_id")
 
+  /** Q19 — salted two-phase aggregation: the skew-mitigation pattern for hot
+    * keys (prompt: "skewed keys → salting"). Phase 1 aggregates on
+    * (key, salt) so a hot key's rows spread over 8 reducers; phase 2 merges
+    * the 8 partials. Semantically identical to a plain groupBy — the oracle
+    * is the unsalted SQL — but the shuffle's max partition size drops 8×. */
+  def q19SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), pmod(col("event_id"), lit(8)).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy("user_id")
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy("user_id")
+
+  /** Q20 — last-write-wins as a window function (SURVEY §2.2: compaction ≡
+    * row_number() over (partition by key order by offset desc) = 1). One
+    * shuffle on the key; rank computed within sorted partitions. */
+  def q20LwwWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -251,6 +278,10 @@ object Relational {
       "SELECT k, MAX(v) AS v FROM (SELECT user_id k, COUNT(*) v FROM events WHERE event_id <= 800 GROUP BY user_id UNION ALL SELECT user_id, COUNT(*) FROM events GROUP BY user_id) GROUP BY k ORDER BY k",
     "q18_tombstone" ->
       "SELECT event_id, CASE WHEN event_type = 'delete' THEN NULL ELSE props END AS value, event_type AS sys_change_operation FROM events ORDER BY event_id",
+    "q19_salted_agg" ->
+      "SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
+    "q20_lww_window" ->
+      "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,5 +304,7 @@ object Relational {
     "q16_drift" -> q16Drift _,
     "q17_read_twice" -> q17ReadTwice _,
     "q18_tombstone" -> q18Tombstone _,
+    "q19_salted_agg" -> q19SaltedAgg _,
+    "q20_lww_window" -> q20LwwWindow _,
   )
 }
