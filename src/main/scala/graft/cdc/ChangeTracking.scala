@@ -137,6 +137,19 @@ object ChangeTracking {
   def versionValid(feed: ChangeFeed, stored: Long): Boolean =
     stored >= feed.minValidVersion()
 
+  /** Streaming CDC pipeline: the DSv2 source (`format("graft-cdc")`) piped
+    * through the message projection — changeMessages is pure column algebra,
+    * so the same code path serves batch and streaming. Start with
+    * `.writeStream.foreachBatch((b, _) => store.send(b))` or a Kafka sink. */
+  def changeStream(spark: org.apache.spark.sql.SparkSession, feedName: String,
+      source: SourceDef, fromVersion: Long = 0L): DataFrame =
+    changeMessages(
+      spark.readStream.format("graft-cdc")
+        .option("feed", feedName)
+        .option("fromVersion", fromVersion.toString)
+        .load(),
+      source)
+
   /** Driver-side polling loop — the `foreachBatch`-style CDC runner
     * (SURVEY §7.1 #7: polling loop first, DSv2 MicroBatchStream later). */
   def poll(feed: ChangeFeed, source: SourceDef, store: MessageStore,

@@ -92,6 +92,32 @@ class CdcStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming CDC → canonical messages → compacted store state") {
+    val feed = new MemFeed
+    feed.add("I", 1L, 10.0)
+    feed.add("I", 2L, 20.0)
+    CdcFeedRegistry.register("t4", feed)
+    val source = SourceDef("graft", "dbo", "orders", Seq("o_orderkey"))
+    val store = new graft.store.LocalStore(spark, tmpDir("cdcmsg"))
+    val q = graft.cdc.ChangeTracking.changeStream(spark, "t4", source)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.send(batch.select("topic", "key", "value")); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      feed.add("U", 1L, 11.0)
+      feed.add("D", 2L, null)
+      q.processAllAvailable()
+      val state = store.topicState(Seq(source.topic)).collect()
+        .map(r => r.getString(1) -> r.getString(2)).toMap
+      // key 2 tombstoned away; key 1 carries the updated value
+      assert(state.keySet == Set("""{"o_orderkey":1}"""))
+      assert(state.values.head.contains("11.0"))
+    } finally q.stop()
+  }
+
   test("fromVersion option starts past already-synced history") {
     val feed = new MemFeed
     feed.add("I", 1L, 1.0)
