@@ -82,13 +82,18 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("hs"))).as("set"))
 
-  /** Jaccard ≥ threshold for given (ida, idb, seta, setb) pair frames. */
+  /** Jaccard ≥ threshold for given (ida, idb, seta, setb) pair frames.
+    * Size prefilter first: c ≤ min(|A|,|B|) implies J ≤ min/max, so pairs
+    * with min/max < t can never qualify — the O(|A|+|B|) merge is skipped
+    * for size-mismatched pairs at the cost of two comparisons. */
   private def jaccardOfPairs(pairs: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.ArrayIntersect.intersectCount
     val withC = pairs
-      .withColumn("c", intersectCount(col("seta"), col("setb")))
       .withColumn("na", size(col("seta")).cast("long"))
       .withColumn("nb", size(col("setb")).cast("long"))
+      .where(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= threshold)
+      .withColumn("c", intersectCount(col("seta"), col("setb")))
     val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
     withC.where(j >= threshold)
       .select(col("ida"), col("idb"), round(j, 3).as("jaccard"))
@@ -177,16 +182,17 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bk", expr("shiftright(simhash, band * 8) & 255"))
-    val cand = bands.select(col("doc_id").as("ida"), col("simhash").as("ha"),
+    // hamming filter BEFORE distinct: it depends only on (ha, hb), so
+    // filtering the (duplicated) band-collision rows first shrinks the
+    // distinct's input by the filter selectivity
+    bands.select(col("doc_id").as("ida"), col("simhash").as("ha"),
         col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("idb"), col("simhash").as("hb"),
         col("band"), col("bk")), Seq("band", "bk"))
       .where(col("ida") < col("idb"))
-      .select("ida", "idb", "ha", "hb").distinct()
-    cand
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .where(col("hamming") <= 4)
-      .select("ida", "idb", "hamming")
+      .select("ida", "idb", "hamming").distinct()
       .orderBy("ida", "idb")
   }
 }

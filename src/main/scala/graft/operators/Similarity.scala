@@ -34,28 +34,26 @@ object Similarity {
   private def quantized: Column =
     transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
 
-  /** (vec_id, i, q) exploded quantized elements. */
-  private def elements(spark: SparkSession, dir: String): DataFrame =
+  /** Quantized corpus: (vec_id, q: array<long>, n2: |q|²). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
     t(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(quantized).as(Seq("i", "q")))
+      .select(col("vec_id"), quantized.as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+  }
 
-  private def norms(el: DataFrame): DataFrame =
-    el.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
-
-  /** ss01 — exact cosine top-10 neighbors of vec_id 0 (brute force). */
+  /** ss01 — exact cosine top-10 neighbors of vec_id 0 (brute force): one
+    * broadcast of the query vector, one scan of the corpus with the native
+    * dot product, TakeOrderedAndProject keeps k rows per partition. */
   def ss01CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val el = elements(spark, dir)
-    val nrm = norms(el)
-    val dots = el.where(col("vec_id") === 0)
-      .select(col("i"), col("q").as("qa"))
-      .join(el.where(col("vec_id") =!= 0), Seq("i"))
-      .groupBy("vec_id").agg(sum(col("qa") * col("q")).as("dot"))
-    val q2 = nrm.where(col("vec_id") === 0).select(col("n2").as("qn2"))
-    dots
-      .join(nrm, Seq("vec_id"))
-      .crossJoin(broadcast(q2))
+    import graft.functions.ArrayDot.dotLong
+    val qv = corpus(spark, dir)
+    val query = qv.where(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    qv.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        round(col("dot").cast("double") /
+        round(dotLong(col("q"), col("qq")).cast("double") /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -70,14 +68,12 @@ object Similarity {
     * functions evaluate interpretively outside whole-stage codegen). */
   def ss02NearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val qv = t(spark, dir, "embeddings")
-      .select(col("vec_id"), quantized.as("q"))
-    val n2 = dotLong(col("q"), col("q"))
+    val qv = corpus(spark, dir)
     // repartition the streamed side — the corpus is few parquet splits and a
     // nested-loop pair join parallelizes only over streamed partitions
-    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), n2.as("na"))
+    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), col("n2").as("na"))
       .repartition(64, col("ida"))
-    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), n2.as("nb"))
+    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), col("n2").as("nb"))
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
     a.join(broadcast(b), col("ida") < col("idb"))
@@ -92,32 +88,25 @@ object Similarity {
     * hyperplanes w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48 → 8-bit bucket;
     * exact cosine re-rank of the query's bucket only. */
   def ss03LshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val el = elements(spark, dir)
-    val proj = el
-      .select(col("vec_id"), col("i"), col("q"),
-        explode(sequence(lit(0), lit(7))).as("j"))
-      .groupBy("vec_id", "j")
-      .agg(sum(col("q") *
-        (((col("i") + 1) * (col("j") + 7) * lit(2654435761L)) % 97 - 48))
-        .as("dot"))
-    val bkt = proj.groupBy("vec_id")
-      .agg(sum(when(col("dot") >= 0,
-        expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L)).as("bucket"))
-    val qb = bkt.where(col("vec_id") === 0).select(col("bucket").as("qbucket"))
-    val cand = bkt.crossJoin(broadcast(qb))
-      .where(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
-      .select("vec_id")
-    val nrm = norms(el)
-    val dots = el.where(col("vec_id") === 0)
-      .select(col("i"), col("q").as("qa"))
-      .join(el.join(cand, Seq("vec_id"), "left_semi"), Seq("i"))
-      .groupBy("vec_id").agg(sum(col("qa") * col("q")).as("dot"))
-    val q2 = nrm.where(col("vec_id") === 0).select(col("n2").as("qn2"))
-    dots
-      .join(nrm, Seq("vec_id"))
-      .crossJoin(broadcast(q2))
+    import graft.functions.ArrayDot.dotLong
+    // the 8 hyperplanes as literal int arrays — each projection is one
+    // native dot product; the bucket is 8 sign bits
+    val planes = (0 until 8).map { j =>
+      array((0 until 64).map(i =>
+        lit(((i + 1).toLong * (j + 7) * 2654435761L) % 97 - 48)): _*)
+    }
+    def bucket = planes.zipWithIndex.map { case (w, j) =>
+      when(dotLong(col("q"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val qv = corpus(spark, dir).withColumn("bucket", bucket)
+    val query = qv.where(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2"),
+        col("bucket").as("qbucket"))
+    qv.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .where(col("bucket") === col("qbucket"))
       .select(col("vec_id"),
-        round(col("dot").cast("double") /
+        round(dotLong(col("q"), col("qq")).cast("double") /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
