@@ -108,8 +108,12 @@ object VerifyOps {
           MessageStore.compact(prev.unionAll(store.readFrom(topics, cursor)
             .select(Msg.Topic, Msg.Key, Msg.Value, Msg.Offset)))
       }
-      state.foreach(_.unpersist())
+      // materialize the merge BEFORE dropping the previous cache — merged
+      // reads prev; unpersisting first would silently recompute the full
+      // topic scan (and re-grow the lineage) on every refresh
       val cached = merged.persist()
+      cached.count()
+      state.foreach(_.unpersist())
       state = Some(cached)
       cursor = nextCursor
       cached
