@@ -25,6 +25,9 @@ object Canonical {
   val TimestampFmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
   private val jsonOpts = Map(
+    // pin the rendering zone HERE, not via session config: the literal 'Z'
+    // in the format would silently lie in a session left on local time
+    "timeZone" -> "UTC",
     "timestampFormat" -> TimestampFmt,
     // parquet timestamps with isAdjustedToUTC=false load as TIMESTAMP_NTZ,
     // which to_json formats via its own option; session TZ is pinned UTC so

@@ -78,11 +78,9 @@ object ChangeTracking {
     def changesSince(ver: Long): DataFrame
   }
 
-  /** O28 — message projection of a change frame (ref sql_server.clj:111-124
-    * relocate-tracking-fields + tombstone): tracking fields leave the value;
-    * operation "D" ⇒ value NULL (tombstone). Key = canonical JSON of the PK
-    * columns; value = canonical JSON of the non-tracking columns. */
-  def changeMessages(changes: DataFrame, source: SourceDef): DataFrame = {
+  /** Projection core: (topic, key, value, sys_change_version), no transform
+    * applied. Streaming-safe (no aggregation). */
+  private def projectChanges(changes: DataFrame, source: SourceDef): DataFrame = {
     val df = Canonical.lowerCols(changes)
     val tracking = TrackingFields.toSet
     val entityCols = df.columns.filterNot(tracking.contains).toSeq
@@ -90,35 +88,59 @@ object ChangeTracking {
       (entityCols.map(col) :+ col("sys_change_operation") :+
         col("sys_change_version")): _*)
     val keyCols = source.keys.map(_.toLowerCase)
-    val base = entity.select(
+    entity.select(
       lit(source.topic).as(Msg.Topic),
       Canonical.keyJson(entity, keyCols).as(Msg.Key),
       when(col("sys_change_operation") === "D", lit(null).cast("string"))
         .otherwise(Canonical.valueJsonOf(entity, entityCols)).as(Msg.Value),
       col("sys_change_version"))
+  }
+
+  /** O28 — message projection of a change frame (ref sql_server.clj:111-124
+    * relocate-tracking-fields + tombstone): tracking fields leave the value;
+    * operation "D" ⇒ value NULL (tombstone). Key = canonical JSON of the PK
+    * columns; value = canonical JSON of the non-tracking columns. The user
+    * transform sees the documented (topic, key, value) message frame — same
+    * contract as the load/sync paths (model.scala). */
+  def changeMessages(changes: DataFrame, source: SourceDef): DataFrame = {
+    val base = projectChanges(changes, source)
+      .select(Msg.Topic, Msg.Key, Msg.Value)
     source.transform.fold(base)(f => f(base))
+  }
+
+  /** Batch variant keeping only the NEWEST version per key: a sink append is
+    * unordered within a batch, so a row-level feed emitting several versions
+    * of one key would make downstream last-write-wins arbitrary. (Net change
+    * tracking already guarantees one row per key — then this is a no-op.)
+    * Not usable on streaming frames (aggregation); foreachBatch consumers of
+    * row-level feeds should apply the same compaction per batch. */
+  def changeMessagesCompacted(changes: DataFrame, source: SourceDef): DataFrame = {
+    val newest = projectChanges(changes, source)
+      .groupBy(Msg.Topic, Msg.Key)
+      .agg(max_by(col(Msg.Value), col("sys_change_version")).as(Msg.Value))
+    source.transform.fold(newest)(f => f(newest))
   }
 
   final case class SendResult(version: Long, sentCount: Long)
 
   /** O29 — one CDC micro-batch: changes since `ver` → messages → sink; the
-    * new watermark = max(sys_change_version) of the batch, computed as an
-    * aggregate in the same distributed pass (ref sql_server.clj:126-153
-    * send-changes; last+count becomes agg(max, count)). */
+    * new watermark = max(sys_change_version), computed on the RAW change
+    * frame (ref sql_server.clj:126-153 send-changes) so a user transform
+    * that drops rows or columns cannot lose the version cursor. */
   def sendChanges(feed: ChangeFeed, source: SourceDef, store: MessageStore,
       ver: Long): SendResult = {
-    val msgs = changeMessages(feed.changesSince(ver), source).persist()
+    val changes = feed.changesSince(ver).persist()
     try {
-      val stats = msgs.agg(
+      val stats = Canonical.lowerCols(changes).agg(
         max(col("sys_change_version")).as("v"),
         count(lit(1)).as("n")).collect()(0)
       if (stats.getLong(1) == 0L) SendResult(ver, 0)
       else {
-        val sent = store.send(
-          msgs.select(Msg.Topic, Msg.Key, Msg.Value))
+        val sent = store.send(changeMessagesCompacted(changes, source)
+          .select(Msg.Topic, Msg.Key, Msg.Value))
         SendResult(stats.getLong(0), sent)
       }
-    } finally { msgs.unpersist(); () }
+    } finally { changes.unpersist(); () }
   }
 
   /** O30 — bootstrap + CDC handoff (ref sql_server.clj:155-162): capture the

@@ -25,14 +25,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * come from the Structured Streaming engine; each micro-batch reads
   * `(startVersion, endVersion]`.
   *
-  * Feeds register in [[CdcFeedRegistry]] by name. A production SQL Server
-  * feed is a thin `VersionedFeed` whose `rows` runs the
-  * [[graft.cdc.ChangeTracking.changeEntitySql]] query over JDBC with the
-  * version range bound — per-executor connections, exactly like Spark's own
-  * JDBC source; tests register in-memory feeds. CDC batches are planned as a
-  * single partition: change volume per trigger is bounded by the trigger
-  * interval, and the DB's CHANGETABLE is itself a single cursor — the
-  * downstream message projection and sink write are where Spark fans out.
+  * Feeds resolve in two ways:
+  *  - `option("feedClass", fqcn)`: the class (a [[CdcFeedRegistry.FeedProvider]]
+  *    with a no-arg constructor) is instantiated FROM THE OPTIONS on
+  *    whichever JVM needs it — driver for offsets, executors for reads.
+  *    This is the cluster path: a SQL Server provider builds its JDBC
+  *    connection per executor and runs the
+  *    [[graft.cdc.ChangeTracking.changeEntitySql]] query with the version
+  *    range bound, exactly like Spark's own JDBC source.
+  *  - `option("feed", name)` alone: look up [[CdcFeedRegistry]] — a JVM-local
+  *    registry, valid only where driver and executors share the JVM
+  *    (local mode; tests register in-memory feeds here).
+  *
+  * CDC batches are planned as a single partition: change volume per trigger
+  * is bounded by the trigger interval, and the DB's CHANGETABLE is itself a
+  * single cursor — the downstream message projection and sink write are
+  * where Spark fans out.
   */
 object CdcFeedRegistry {
   trait VersionedFeed {
@@ -42,10 +50,30 @@ object CdcFeedRegistry {
     def rows(fromExclusive: Long, toInclusive: Long): Iterator[Row]
   }
 
+  /** Executor-constructible feed factory (cluster path): implementations
+    * need a public no-arg constructor; options carry the connection config. */
+  trait FeedProvider {
+    def create(options: Map[String, String]): VersionedFeed
+  }
+
   private val feeds = TrieMap.empty[String, VersionedFeed]
   def register(name: String, feed: VersionedFeed): Unit = feeds.put(name, feed)
   def get(name: String): VersionedFeed = feeds.getOrElse(name,
-    throw new IllegalArgumentException(s"no CDC feed registered as '$name'"))
+    throw new IllegalArgumentException(
+      s"no CDC feed registered as '$name' in this JVM — on a cluster use " +
+        "option(\"feedClass\", <FeedProvider class>) so executors can " +
+        "construct the feed themselves"))
+
+  /** Resolve a feed from source options (feedClass wins over registry). */
+  def resolve(options: Map[String, String]): VersionedFeed =
+    options.get("feedclass") match {
+      case Some(fqcn) =>
+        Class.forName(fqcn).getDeclaredConstructor().newInstance()
+          .asInstanceOf[FeedProvider].create(options)
+      case None => get(options.getOrElse("feed",
+        throw new IllegalArgumentException(
+          "graft-cdc requires option(\"feed\") or option(\"feedClass\")")))
+    }
 }
 
 final case class CdcOffset(version: Long) extends Offset {
@@ -55,15 +83,28 @@ final case class CdcOffset(version: Long) extends Offset {
 class CdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CdcFeedRegistry.get(options.get("feed")).schema
+    CdcFeedRegistry.resolve(CdcSourceProvider.toMap(options)).schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new CdcTable(properties.get("feed"), schema)
+      properties: util.Map[String, String]): Table = {
+    val opts = new java.util.HashMap[String, String](properties)
+    new CdcTable(CdcSourceProvider.toMap(new CaseInsensitiveStringMap(opts)),
+      schema)
+  }
 }
 
-final class CdcTable(feedName: String, tableSchema: StructType)
+object CdcSourceProvider {
+  private[stream] def toMap(o: CaseInsensitiveStringMap): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    o.asCaseSensitiveMap().asScala.map { case (k, v) =>
+      k.toLowerCase -> v
+    }.toMap
+  }
+}
+
+final class CdcTable(opts: Map[String, String], tableSchema: StructType)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-cdc($feedName)"
+  override def name(): String =
+    s"graft-cdc(${opts.getOrElse("feed", opts.getOrElse("feedclass", "?"))})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -72,16 +113,16 @@ final class CdcTable(feedName: String, tableSchema: StructType)
       override def build(): Scan = this
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new CdcMicroBatchStream(feedName, tableSchema,
-          Option(options.get("fromversion")).map(_.toLong).getOrElse(0L))
+        new CdcMicroBatchStream(opts, tableSchema,
+          opts.get("fromversion").map(_.toLong).getOrElse(0L))
       override def toBatch: Batch =
         throw new UnsupportedOperationException("graft-cdc is streaming-only")
     }
 }
 
-final class CdcMicroBatchStream(feedName: String, schema: StructType,
+final class CdcMicroBatchStream(opts: Map[String, String], schema: StructType,
     fromVersion: Long) extends MicroBatchStream {
-  private def feed = CdcFeedRegistry.get(feedName)
+  private def feed = CdcFeedRegistry.resolve(opts)
 
   override def initialOffset(): Offset = CdcOffset(fromVersion)
   override def latestOffset(): Offset = CdcOffset(feed.currentVersion())
@@ -90,15 +131,15 @@ final class CdcMicroBatchStream(feedName: String, schema: StructType,
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(CdcInputPartition(feedName,
+    Array(CdcInputPartition(opts,
       start.asInstanceOf[CdcOffset].version, end.asInstanceOf[CdcOffset].version))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(schema)
 }
 
-final case class CdcInputPartition(feedName: String, fromExclusive: Long,
-    toInclusive: Long) extends InputPartition
+final case class CdcInputPartition(opts: Map[String, String],
+    fromExclusive: Long, toInclusive: Long) extends InputPartition
 
 final class CdcReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -106,7 +147,9 @@ final class CdcReaderFactory(schema: StructType)
     val p = partition.asInstanceOf[CdcInputPartition]
     val serializer = ExpressionEncoder(RowEncoder.encoderFor(schema))
       .createSerializer()
-    val it = CdcFeedRegistry.get(p.feedName).rows(p.fromExclusive, p.toInclusive)
+    // resolved on the executor: feedClass constructs here; registry works
+    // only when this is the driver JVM (local mode / tests)
+    val it = CdcFeedRegistry.resolve(p.opts).rows(p.fromExclusive, p.toInclusive)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

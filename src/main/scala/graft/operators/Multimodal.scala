@@ -31,7 +31,10 @@ object Multimodal {
       head_byte: Int, n_frames: Int)
 
   /** STUB — replace with the real decoder (libjpeg/ffmpeg via JNI/FFI).
-    * Deterministic fake: byte-level stats + frame sampling at stride 100. */
+    * Deterministic fake: byte-level stats + frame sampling at stride 100.
+    * NOTE the oracle computes the same features per CHARACTER (ascii/substr)
+    * — equal only because the fixture text is ASCII (asserted true for all
+    * SFs); a non-ASCII or empty document would diverge bytes-vs-chars. */
   private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
     var sum = 0L
     var i = 0

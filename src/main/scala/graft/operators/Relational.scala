@@ -25,7 +25,10 @@ object Relational {
   def q01Scan(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // ORDER BY all projected columns: (l_orderkey, l_linenumber) is NOT
+      // unique in the synthetic data, and a partial order makes the
+      // positional row compare engine-dependent for tied rows
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
   /** Q02 — predicate scan (user-SQL source, ref melt.clj:141-151; predicate
     * pushes down to the parquet footer exactly as the reference pushes its
@@ -34,7 +37,7 @@ object Relational {
     t(spark, dir, "lineitem")
       .where(col("l_returnflag") === "R" && col("l_quantity") > 25)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
 
   /** Q03 — composite-PK key extraction as a canonical string (ref
     * melt.clj:49-53 key = select-keys(row, keys); canonical string form per
@@ -46,7 +49,7 @@ object Relational {
           col("l_linenumber").cast("string")).as("k"),
         col("l_suppkey"),
         col("l_orderkey"), col("l_linenumber"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
       .drop("l_orderkey", "l_linenumber")
 
   /** Q04 — last-write-wins compaction (ref melt.clj:307-323 merge-seq-entry:
@@ -163,7 +166,7 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         lower(col("l_returnflag")).as("rf"),
         substring(col("p_name"), 1, 8).as("p8"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "rf", "p8")
 
   /** Q15 — verify equality as diff-is-empty (ref melt.clj:528-533). */
   def q15Verify(spark: SparkSession, dir: String): DataFrame = {
@@ -241,11 +244,11 @@ object Relational {
     * side exactly. */
   val oracle: Map[String, String] = Map(
     "q01_scan" ->
-      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity",
     "q02_predicate_scan" ->
-      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25 ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25 ORDER BY l_orderkey, l_linenumber, l_extendedprice",
     "q03_key_extraction" ->
-      "SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS k, l_suppkey FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS k, l_suppkey FROM lineitem ORDER BY l_orderkey, l_linenumber, l_suppkey",
     "q04_compaction" ->
       "SELECT user_id, max_by(value, ts) AS last_value, max_by(event_type, ts) AS last_type FROM events GROUP BY user_id ORDER BY user_id",
     "q05_agg" ->
@@ -269,7 +272,7 @@ object Relational {
     "q13_version" ->
       "SELECT MAX(event_id) AS ver FROM events WHERE event_id > 500",
     "q14_xform" ->
-      "SELECT l_orderkey, l_linenumber, LOWER(l_returnflag) AS rf, SUBSTRING(p.p_name, 1, 8) AS p8 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, LOWER(l_returnflag) AS rf, SUBSTRING(p.p_name, 1, 8) AS p8 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey ORDER BY l_orderkey, l_linenumber, rf, p8",
     "q15_verify" ->
       "WITH src AS (SELECT l_orderkey k, COUNT(*) v FROM lineitem GROUP BY l_orderkey), tpc AS (SELECT l_orderkey k, COUNT(*) v FROM lineitem GROUP BY l_orderkey) SELECT COUNT(*) AS mismatches FROM src s FULL OUTER JOIN tpc t ON s.k = t.k WHERE s.v IS DISTINCT FROM t.v",
     "q16_drift" ->

@@ -43,11 +43,16 @@ trait MessageStore {
 
   /** O12 read-twice (ref melt.clj:342-357 read-topics-loop): a long first
     * read means its planned end offsets are stale on a live topic — one more
-    * incremental pass catches what landed meanwhile. The batch union is
-    * compacted as one frame, so duplicated offsets collapse in the max_by. */
+    * incremental pass catches what landed meanwhile. The first read is
+    * MATERIALIZED (persist + count) before the catch-up is planned;
+    * otherwise both reads resolve their end offsets at the same action and
+    * the second pass can never see anything new. Overlap is harmless — the
+    * union is compacted as one frame, duplicate offsets collapse in max_by.
+    * The first read's cache stays live inside the returned frame. */
   def topicStateLive(topics: Seq[String]): DataFrame = {
     val cursor = endOffsets(topics)
-    val first = read(topics)
+    val first = read(topics).persist()
+    first.count() // force the first pass NOW; catch-up plans later offsets
     val catchUp = readFrom(topics, cursor)
     MessageStore.compact(first.unionAll(catchUp))
       .where(col(Msg.Value).isNotNull)
@@ -147,7 +152,10 @@ final class LocalStore(spark: SparkSession, dir: String,
   * everything interesting (canonicalization, compaction, diff) happens on
   * DataFrames before/after this boundary. */
 final class KafkaStore(spark: SparkSession, bootstrap: String,
-    extraOpts: Map[String, String] = Map.empty) extends MessageStore {
+    extraOpts: Map[String, String] = Map.empty,
+    /** Full topic → partition-id map, if known (e.g. from AdminClient).
+      * Enables exact per-offset incremental reads in readFrom. */
+    partitionsOf: Option[Map[String, Seq[Int]]] = None) extends MessageStore {
 
   override def send(messages: DataFrame): Long = {
     val n = messages.persist().count()
@@ -163,12 +171,12 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     n
   }
 
-  override def read(topics: Seq[String]): DataFrame =
+  private def kafkaRead(topics: Seq[String], startingOffsets: String): DataFrame =
     spark.read.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest") // ref melt.clj:249-254
-      .option("endingOffsets", "latest")     // ref melt.clj:264-276
+      .option("startingOffsets", startingOffsets) // ref melt.clj:249-254
+      .option("endingOffsets", "latest")          // ref melt.clj:264-276
       .options(extraOpts)
       .load()
       .select(col("topic").as(Msg.Topic),
@@ -177,25 +185,40 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
         col("partition").as(Msg.Partition),
         col("offset").as(Msg.Offset))
 
+  override def read(topics: Seq[String]): DataFrame =
+    kafkaRead(topics, "earliest")
+
+  /** Incremental read past the cursor (ref melt.clj:278-279).
+    *
+    * Spark's Kafka source rejects a specific-offsets JSON that omits ANY
+    * partition of a subscribed topic, and the cursor (derived from observed
+    * records) cannot know about still-empty partitions — so the per-offset
+    * fast path is only taken when `partitionsOf` declares the full partition
+    * map (unknown partitions start at earliest = -2). Otherwise the read
+    * starts at earliest and filters — correct on every partition at the
+    * cost of a full scan. */
   override def readFrom(topics: Seq[String],
-      after: Map[(String, Int), Long]): DataFrame = {
-    // startingOffsets JSON: {"topic":{"0":offset+1,...}} (ref melt.clj:278-279)
-    val byTopic = after.groupBy(_._1._1).map { case (t, m) =>
-      s""""$t":{${m.map { case ((_, p), o) => s""""$p":${o + 1}""" }.mkString(",")}}"""
+      after: Map[(String, Int), Long]): DataFrame =
+    partitionsOf match {
+      case Some(parts) if after.nonEmpty =>
+        val byTopic = topics.map { t =>
+          val entries = parts.getOrElse(t, Seq.empty).map { p =>
+            s""""$p":${after.get((t, p)).map(_ + 1).getOrElse(-2L)}"""
+          }
+          s""""$t":{${entries.mkString(",")}}"""
+        }
+        kafkaRead(topics, s"{${byTopic.mkString(",")}}")
+      case _ =>
+        val log = read(topics)
+        if (after.isEmpty) log
+        else {
+          val cutoff = after.foldLeft(lit(-1L)) { case (acc, ((t, p), o)) =>
+            when(col(Msg.Topic) === t && col(Msg.Partition) === p, lit(o))
+              .otherwise(acc)
+          }
+          log.where(col(Msg.Offset) > cutoff)
+        }
     }
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", s"{${byTopic.mkString(",")}}")
-      .option("endingOffsets", "latest")
-      .options(extraOpts)
-      .load()
-      .select(col("topic").as(Msg.Topic),
-        col("key").cast("string").as(Msg.Key),
-        col("value").cast("string").as(Msg.Value),
-        col("partition").as(Msg.Partition),
-        col("offset").as(Msg.Offset))
-  }
 
   override def listTopics(): Seq[String] =
     throw new UnsupportedOperationException(

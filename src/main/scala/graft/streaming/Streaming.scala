@@ -73,7 +73,15 @@ object Streaming {
 
   /** Start a continuous compaction query over a message stream into an
     * in-memory queryable table (the O21 "background consume with a handle
-    * you can close": stop via the returned query). */
+    * you can close": stop via the returned query).
+    *
+    * LOCAL/DEV SURFACE ONLY: Complete mode + the memory sink materialize the
+    * whole compacted state in the driver — the faithful analogue of the
+    * reference's atom-held map (melt.clj:325-340) including its capacity
+    * cap. At scale, consume the Update-mode stream instead:
+    * `compactedState(log)` (or `compactedStateTyped`) with `foreachBatch`
+    * upserting into a keyed sink — state then lives in the distributed
+    * state store, sized by key cardinality per executor. */
   def backgroundConsume(spark: SparkSession, log: DataFrame,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     compactedState(log).writeStream

@@ -42,7 +42,8 @@ class CdcSpec extends SparkSpec {
   test("O28 change projection: tracking fields relocated, D ⇒ tombstone") {
     val ch = changesDf(Seq((5L, "U", 1L, 10.5), (6L, "D", 2L, null)))
     val msgs = ChangeTracking.changeMessages(ch, source)
-    val rows = msgs.orderBy("sys_change_version").collect()
+    assert(msgs.columns.toSeq == Seq("topic", "key", "value")) // xform contract
+    val rows = msgs.orderBy("key").collect()
     assert(rows(0).getAs[String]("key") == """{"o_orderkey":1}""")
     val v = rows(0).getAs[String]("value")
     // value carries entity columns only — no sys_change_* inside
@@ -98,9 +99,10 @@ class CdcSpec extends SparkSpec {
       changesDf(Seq((1L, "I", 1L, 1.0), (2L, "U", 1L, 2.0), (3L, "D", 1L, null))),
       current = 3)
     val r = ChangeTracking.poll(feed, source, store, fromVer = 0, rounds = 2)
-    // round 1 sends all 3 (tombstones count as sent, ref sql_server.clj:121-132);
-    // round 2 finds nothing newer than version 3
-    assert(r.version == 3 && r.sentCount == 3)
+    // round 1 compacts the 3 versions of key 1 to its newest (the v3
+    // tombstone) — batch-internal sink order is undefined, so only the
+    // newest version per key is sent; round 2 finds nothing newer
+    assert(r.version == 3 && r.sentCount == 1)
     assert(store.topicState(Seq(source.topic)).isEmpty) // final state: deleted
   }
 
