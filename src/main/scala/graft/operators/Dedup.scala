@@ -81,6 +81,9 @@ object Dedup {
     hashedShingles(spark, dir)
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("hs"))).as("set"))
+      // consumed twice (streamed side + broadcast side of the pair join);
+      // materialize once instead of replicating the shingle pipeline
+      .localCheckpoint()
 
   /** Jaccard ≥ threshold for given (ida, idb, seta, setb) pair frames.
     * Size prefilter first: c ≤ min(|A|,|B|) implies J ≤ min/max, so pairs
@@ -130,8 +133,12 @@ object Dedup {
       val b = (j * 40503L + 7) % P
       min((lit(a) * col("hm") + lit(b)) % P).as(s"m$j")
     }
+    // materialize the per-doc signatures once: sig feeds the band self-join
+    // (both sides) AND both set broadcasts — left as a pure plan the whole
+    // shingle pipeline is replicated 4-8x (verified: 8 parquet scans)
     val sig = hashed.groupBy("doc_id")
       .agg(sort_array(collect_set(col("hs"))).as("set"), sigCols: _*)
+      .localCheckpoint()
     val bandStructs = (0 until K / R).map { b =>
       struct(lit(b).as("band"), col(s"m${2 * b + 1}").as("k1"),
         col(s"m${2 * b + 2}").as("k2"))
@@ -168,6 +175,8 @@ object Dedup {
       .withColumn("bit", when(col("v") >= 0, 1L).otherwise(0L))
     bits.groupBy("doc_id")
       .agg(sum(expr("bit * shiftleft(cast(1 as bigint), j)")).as("simhash"))
+      // both sides of the band self-join consume this; materialize once
+      .localCheckpoint()
   }
 
   /** dd04 — SimHash signatures (the per-document sketch; 32 bits here, 64 in
