@@ -72,6 +72,22 @@ object MessageStore {
     log.groupBy(Msg.Topic, Msg.Key)
       .agg(max_by(col(Msg.Value), col(Msg.Offset)).as(Msg.Value),
         max(col(Msg.Offset)).as(Msg.Offset))
+
+  /** Spark-Kafka `startingOffsets` JSON for "strictly after the cursor":
+    * next offset for cursor partitions, earliest (-2) for partitions the
+    * cursor hasn't observed. Spark REQUIRES every partition of every
+    * subscribed topic to appear — hence the full partition map. */
+  def startingOffsetsJson(topics: Seq[String],
+      after: Map[(String, Int), Long],
+      partitionsOf: Map[String, Seq[Int]]): String = {
+    val byTopic = topics.map { t =>
+      val entries = partitionsOf.getOrElse(t, Seq.empty).sorted.map { p =>
+        s""""$p":${after.get((t, p)).map(_ + 1).getOrElse(-2L)}"""
+      }
+      s""""$t":{${entries.mkString(",")}}"""
+    }
+    s"{${byTopic.mkString(",")}}"
+  }
 }
 
 /** Kafka-log-on-parquet: append-only files carrying explicit (partition,
@@ -201,13 +217,8 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
       after: Map[(String, Int), Long]): DataFrame =
     partitionsOf match {
       case Some(parts) if after.nonEmpty =>
-        val byTopic = topics.map { t =>
-          val entries = parts.getOrElse(t, Seq.empty).map { p =>
-            s""""$p":${after.get((t, p)).map(_ + 1).getOrElse(-2L)}"""
-          }
-          s""""$t":{${entries.mkString(",")}}"""
-        }
-        kafkaRead(topics, s"{${byTopic.mkString(",")}}")
+        kafkaRead(topics,
+          MessageStore.startingOffsetsJson(topics, after, parts))
       case _ =>
         val log = read(topics)
         if (after.isEmpty) log

@@ -46,6 +46,15 @@ class OpsExtraSpec extends SparkSpec {
     inc.close()
   }
 
+  test("Kafka startingOffsets JSON covers every partition (cursor + earliest)") {
+    val json = graft.store.MessageStore.startingOffsetsJson(
+      topics = Seq("a", "b"),
+      after = Map(("a", 0) -> 41L, ("a", 2) -> 9L),
+      partitionsOf = Map("a" -> Seq(2, 0, 1), "b" -> Seq(0)))
+    // observed partitions resume AFTER the cursor; unobserved start earliest
+    assert(json == """{"a":{"0":42,"1":-2,"2":10},"b":{"0":-2}}""")
+  }
+
   test("array_dot_long is callable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
