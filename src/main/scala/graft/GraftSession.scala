@@ -16,9 +16,15 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Local session (tests, single-node runs). */
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    configure(SparkSession.builder().master(s"local[$cores]"), cores)
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = configure(SparkSession.builder().master(s"local[$cores]"), cores)
       .getOrCreate()
+    // getOrCreate may return a pre-existing session on which the static
+    // spark.sql.extensions conf was ignored — register directly (idempotent)
+    // so the SQL functions exist either way
+    GraftExtensions.register(spark)
+    spark
+  }
 
   /** Apply graft's required configs to any builder (cluster deployments
     * call this with their own master/resource settings). */

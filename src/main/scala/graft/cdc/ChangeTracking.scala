@@ -54,14 +54,26 @@ object ChangeTracking {
     * sql_server.clj:85-95 change-entity-sql). The join and sort execute
     * inside the source DB. */
   def changeEntitySql(schema: String, table: String, keys: Seq[String],
-      nonKeyCols: Seq[String]): String = {
+      nonKeyCols: Seq[String]): String =
+    entityScanSql(schema, table, keys, nonKeyCols, "?", ordered = true)
+
+  /** Variant for `spark.read.jdbc(query=…)`: version inlined (the query
+    * option cannot bind parameters) and no ORDER BY (Spark subquery-wraps
+    * the pushdown; SQL Server rejects ORDER BY there). */
+  def changeEntitySqlAt(schema: String, table: String, keys: Seq[String],
+      nonKeyCols: Seq[String], ver: Long): String =
+    entityScanSql(schema, table, keys, nonKeyCols, ver.toString,
+      ordered = false)
+
+  private def entityScanSql(schema: String, table: String, keys: Seq[String],
+      nonKeyCols: Seq[String], verExpr: String, ordered: Boolean): String = {
     val ctCols = (TrackingFields ++ keys).map(c => s"ct.[$c]")
     val tCols = nonKeyCols.map(c => s"t.[$c]")
     val on = keys.map(k => s"ct.[$k] = t.[$k]").mkString(" And ")
     s"Select ${(ctCols ++ tCols).mkString(", ")} " +
-      s"From CHANGETABLE(CHANGES [$schema].[$table], ?) As ct " +
-      s"Left Outer Join [$schema].[$table] As t On $on " +
-      "Order By ct.sys_change_version"
+      s"From CHANGETABLE(CHANGES [$schema].[$table], $verExpr) As ct " +
+      s"Left Outer Join [$schema].[$table] As t On $on" +
+      (if (ordered) " Order By ct.sys_change_version" else "")
   }
 
   // --- O27: version watermark (ref sql_server.clj:100-109). ---
@@ -160,12 +172,20 @@ object ChangeTracking {
     stored >= feed.minValidVersion()
 
   /** Streaming CDC pipeline: the DSv2 source (`format("graft-cdc")`) piped
-    * through the message projection — changeMessages is pure column algebra,
-    * so the same code path serves batch and streaming. Start with
-    * `.writeStream.foreachBatch((b, _) => store.send(b))` or a Kafka sink. */
+    * through the message projection. Emits (topic, key, value,
+    * sys_change_version) — the version column is kept so sinks can order
+    * within a batch. The safe sink recipe compacts per key before the
+    * append (batch-internal append order is undefined; a row-level feed may
+    * emit several versions of one key per trigger):
+    * {{{
+    *   .writeStream.foreachBatch { (b, _) =>
+    *     store.send(b.groupBy("topic", "key")
+    *       .agg(max_by(col("value"), col("sys_change_version")).as("value")))
+    *   }
+    * }}} */
   def changeStream(spark: org.apache.spark.sql.SparkSession, feedName: String,
       source: SourceDef, fromVersion: Long = 0L): DataFrame =
-    changeMessages(
+    projectChanges(
       spark.readStream.format("graft-cdc")
         .option("feed", feedName)
         .option("fromVersion", fromVersion.toString)

@@ -24,8 +24,13 @@ final class SqlServerFeed(spark: SparkSession, url: String, props: Properties,
     val conn = DriverManager.getConnection(url, props)
     try {
       val rs = conn.createStatement().executeQuery(sql)
-      rs.next()
-      rs.getLong(1)
+      if (!rs.next()) throw new IllegalStateException(s"no row from: $sql")
+      val v = rs.getLong(1)
+      // CHANGE_TRACKING_* return NULL when tracking is not enabled — 0 here
+      // would look like a valid watermark and silently deliver no changes
+      if (rs.wasNull()) throw new IllegalStateException(
+        s"change tracking not enabled (NULL from: $sql)")
+      v
     } finally conn.close()
   }
 
@@ -35,17 +40,15 @@ final class SqlServerFeed(spark: SparkSession, url: String, props: Properties,
   override def minValidVersion(): Long =
     scalarLong(ChangeTracking.minValidVersionSql(source.schemaName, source.name))
 
-  /** Changes strictly after `ver`. The version literal is inlined (Spark's
-    * JDBC `query` option cannot bind parameters); it is a Long, so no
-    * injection surface exists. The reference's ORDER BY is dropped: Spark
-    * wraps the query as a subquery (SQL Server rejects ORDER BY there), and
-    * this engine's watermark is agg(max), not last-row order
+  /** Changes strictly after `ver`. The version literal is inlined by the
+    * builder (Spark's JDBC `query` option cannot bind parameters); it is a
+    * Long, so no injection surface exists. No ORDER BY: Spark wraps the
+    * query as a subquery (SQL Server rejects ORDER BY there), and this
+    * engine's watermark is agg(max), not last-row order
     * (ChangeTracking.sendChanges). */
   override def changesSince(ver: Long): DataFrame = {
-    val sql = ChangeTracking
-      .changeEntitySql(source.schemaName, source.name, source.keys, nonKeyCols)
-      .replace("?", ver.toString)
-      .replace(" Order By ct.sys_change_version", "")
+    val sql = ChangeTracking.changeEntitySqlAt(
+      source.schemaName, source.name, source.keys, nonKeyCols, ver)
     val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("query", sql)

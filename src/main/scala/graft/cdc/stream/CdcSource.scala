@@ -64,12 +64,20 @@ object CdcFeedRegistry {
         "option(\"feedClass\", <FeedProvider class>) so executors can " +
         "construct the feed themselves"))
 
-  /** Resolve a feed from source options (feedClass wins over registry). */
+  private val constructed = TrieMap.empty[Map[String, String], VersionedFeed]
+
+  /** Resolve a feed from source options (feedClass wins over registry).
+    * feedClass instances are memoized per options map — latestOffset fires
+    * every trigger and readers once per batch; constructing (and letting a
+    * provider connect) each time would leak connections. Providers should
+    * still open per-query connections inside rows()/currentVersion() (as
+    * SqlServerFeed does) rather than holding one open. */
   def resolve(options: Map[String, String]): VersionedFeed =
     options.get("feedclass") match {
       case Some(fqcn) =>
-        Class.forName(fqcn).getDeclaredConstructor().newInstance()
-          .asInstanceOf[FeedProvider].create(options)
+        constructed.getOrElseUpdate(options,
+          Class.forName(fqcn).getDeclaredConstructor().newInstance()
+            .asInstanceOf[FeedProvider].create(options))
       case None => get(options.getOrElse("feed",
         throw new IllegalArgumentException(
           "graft-cdc requires option(\"feed\") or option(\"feedClass\")")))

@@ -135,7 +135,10 @@ object Dedup {
     }
     // materialize the per-doc signatures once: sig feeds the band self-join
     // (both sides) AND both set broadcasts — left as a pure plan the whole
-    // shingle pipeline is replicated 4-8x (verified: 8 parquet scans)
+    // shingle pipeline is replicated 4-8x (verified: 8 parquet scans).
+    // localCheckpoint trades fault-tolerance for speed (blocks are not
+    // recomputable after executor loss): right for this bounded |docs|-row
+    // aggregate; a spot-instance deployment would use reliable checkpointing
     val sig = hashed.groupBy("doc_id")
       .agg(sort_array(collect_set(col("hs"))).as("set"), sigCols: _*)
       .localCheckpoint()

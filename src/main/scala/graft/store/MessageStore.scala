@@ -51,8 +51,11 @@ trait MessageStore {
     * The first read's cache stays live inside the returned frame. */
   def topicStateLive(topics: Seq[String]): DataFrame = {
     val cursor = endOffsets(topics)
-    val first = read(topics).persist()
-    first.count() // force the first pass NOW; catch-up plans later offsets
+    // localCheckpoint (eager) forces the first pass NOW so the catch-up
+    // plans later end offsets; unlike persist(), its blocks are released by
+    // the ContextCleaner once the frame is unreachable — repeated polling
+    // doesn't accumulate pinned caches
+    val first = read(topics).localCheckpoint()
     val catchUp = readFrom(topics, cursor)
     MessageStore.compact(first.unionAll(catchUp))
       .where(col(Msg.Value).isNotNull)
@@ -81,13 +84,31 @@ object MessageStore {
       after: Map[(String, Int), Long],
       partitionsOf: Map[String, Seq[Int]]): String = {
     val byTopic = topics.map { t =>
-      val entries = partitionsOf.getOrElse(t, Seq.empty).sorted.map { p =>
+      // declared partitions ∪ cursor partitions: a partition added to the
+      // topic after partitionsOf was captured must not be dropped (the
+      // cursor knows it), and a stale cursor must not shrink the map
+      val parts = (partitionsOf.getOrElse(t, Seq.empty) ++
+        after.keys.collect { case (`t`, p) => p }).distinct.sorted
+      val entries = parts.map { p =>
         s""""$p":${after.get((t, p)).map(_ + 1).getOrElse(-2L)}"""
       }
       s""""$t":{${entries.mkString(",")}}"""
     }
     s"{${byTopic.mkString(",")}}"
   }
+
+  /** Records strictly after the per-(topic,partition) cursor, by filtering
+    * a full log frame — the store-agnostic incremental-read fallback. */
+  def filterAfter(log: DataFrame,
+      after: Map[(String, Int), Long]): DataFrame =
+    if (after.isEmpty) log
+    else {
+      val cutoff = after.foldLeft(lit(-1L)) { case (acc, ((t, p), o)) =>
+        when(col(Msg.Topic) === t && col(Msg.Partition) === p, lit(o))
+          .otherwise(acc)
+      }
+      log.where(col(Msg.Offset) > cutoff)
+    }
 }
 
 /** Kafka-log-on-parquet: append-only files carrying explicit (partition,
@@ -137,17 +158,8 @@ final class LocalStore(spark: SparkSession, dir: String,
   }
 
   override def readFrom(topics: Seq[String],
-      after: Map[(String, Int), Long]): DataFrame = {
-    val log = read(topics)
-    if (after.isEmpty) log
-    else {
-      val cutoff = after.foldLeft(lit(-1L)) { case (acc, ((t, p), o)) =>
-        when(col(Msg.Topic) === t && col(Msg.Partition) === p, lit(o))
-          .otherwise(acc)
-      }
-      log.where(col(Msg.Offset) > cutoff)
-    }
-  }
+      after: Map[(String, Int), Long]): DataFrame =
+    MessageStore.filterAfter(read(topics), after)
 
   override def listTopics(): Seq[String] =
     if (!exists) Seq.empty
@@ -220,15 +232,7 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
         kafkaRead(topics,
           MessageStore.startingOffsetsJson(topics, after, parts))
       case _ =>
-        val log = read(topics)
-        if (after.isEmpty) log
-        else {
-          val cutoff = after.foldLeft(lit(-1L)) { case (acc, ((t, p), o)) =>
-            when(col(Msg.Topic) === t && col(Msg.Partition) === p, lit(o))
-              .otherwise(acc)
-          }
-          log.where(col(Msg.Offset) > cutoff)
-        }
+        MessageStore.filterAfter(read(topics), after)
     }
 
   override def listTopics(): Seq[String] =

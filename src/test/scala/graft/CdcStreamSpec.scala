@@ -102,7 +102,11 @@ class CdcStreamSpec extends SparkSpec {
     val q = graft.cdc.ChangeTracking.changeStream(spark, "t4", source)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        store.send(batch.select("topic", "key", "value")); ()
+        // the documented safe recipe: newest version per key, then append
+        import org.apache.spark.sql.functions.{col, max_by}
+        store.send(batch.groupBy("topic", "key")
+          .agg(max_by(col("value"), col("sys_change_version")).as("value")))
+        ()
       }
       .start()
     try {

@@ -53,6 +53,13 @@ class OpsExtraSpec extends SparkSpec {
       partitionsOf = Map("a" -> Seq(2, 0, 1), "b" -> Seq(0)))
     // observed partitions resume AFTER the cursor; unobserved start earliest
     assert(json == """{"a":{"0":42,"1":-2,"2":10},"b":{"0":-2}}""")
+    // a partition seen by the cursor but absent from the declared map (topic
+    // repartitioned after the store was built) must not be dropped
+    val grown = graft.store.MessageStore.startingOffsetsJson(
+      topics = Seq("a"),
+      after = Map(("a", 0) -> 1L, ("a", 5) -> 7L),
+      partitionsOf = Map("a" -> Seq(0)))
+    assert(grown == """{"a":{"0":2,"5":8}}""")
   }
 
   test("array_dot_long is callable from SQL after registration") {
