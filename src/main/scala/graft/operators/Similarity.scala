@@ -84,21 +84,24 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
+  /** The 8 deterministic integer hyperplanes and the 8-sign-bit bucket. */
+  private def hyperplaneBucket: Column = {
+    import graft.functions.ArrayDot.dotLong
+    val planes = (0 until 8).map { j =>
+      array((0 until 64).map(i =>
+        lit(((i + 1).toLong * (j + 7) * 2654435761L) % 97 - 48)): _*)
+    }
+    planes.zipWithIndex.map { case (w, j) =>
+      when(dotLong(col("q"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** ss03 — LSH-bucketed ANN: sign-of-projection onto 8 deterministic integer
     * hyperplanes w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48 → 8-bit bucket;
     * exact cosine re-rank of the query's bucket only. */
   def ss03LshAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    // the 8 hyperplanes as literal int arrays — each projection is one
-    // native dot product; the bucket is 8 sign bits
-    val planes = (0 until 8).map { j =>
-      array((0 until 64).map(i =>
-        lit(((i + 1).toLong * (j + 7) * 2654435761L) % 97 - 48)): _*)
-    }
-    def bucket = planes.zipWithIndex.map { case (w, j) =>
-      when(dotLong(col("q"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val qv = corpus(spark, dir).withColumn("bucket", bucket)
+    val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket)
     val query = qv.where(col("vec_id") === 0)
       .select(col("q").as("qq"), col("n2").as("qn2"),
         col("bucket").as("qbucket"))
@@ -111,5 +114,31 @@ object Similarity {
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** ss04 — LSH-bucketed near-dup pairs: the sub-quadratic scale path for
+    * ss02 (exactly as dd03 is for dd02). Candidate pairs only within a
+    * shared hyperplane bucket — an equi-join on the bucket id, so the pair
+    * volume is Σ_bucket n_b² instead of n², and the join is a plain shuffle
+    * (or broadcast) hash join — then exact cosine ≥ 0.4 on candidates.
+    * Deterministic hyperplanes ⇒ the probabilistic candidate set is still
+    * bit-reproducible against the oracle. */
+  def ss04LshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket)
+      .localCheckpoint() // consumed by both sides of the bucket self-join
+    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"),
+      col("n2").as("na"), col("bucket"))
+    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"),
+      col("n2").as("nb"), col("bucket"))
+    val cosine = col("dot").cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    a.join(b, Seq("bucket"))
+      .where(col("ida") < col("idb"))
+      .withColumn("dot", dotLong(col("qa"), col("qb")))
+      .withColumn("c", cosine)
+      .where(col("c") >= 0.4)
+      .select(col("ida"), col("idb"), round(col("c"), 4).as("cos"))
+      .orderBy("ida", "idb")
   }
 }
