@@ -28,6 +28,13 @@ class CanonicalSpec extends SparkSpec {
     assert(v == """{"o_orderdate":"1997-01-15T00:00:00Z","o_orderkey":1}""")
   }
 
+  test("decimal columns render as plain JSON numbers (ref fixture subtotal)") {
+    val df = spark.sql(
+      "SELECT CAST(1003.91 AS DECIMAL(19,4)) AS subtotal, 1L AS id")
+    val v = df.select(Canonical.valueJson(df).as("v")).head().getString(0)
+    assert(v == """{"id":1,"subtotal":1003.9100}""")
+  }
+
   test("binary renders base64 (ref melt.clj:364-366 Blob encoder)") {
     val df = Seq((1, Array[Byte](1, 2, 3))).toDF("id", "blob")
     val v = df.select(Canonical.valueJson(df).as("v")).head().getString(0)

@@ -32,6 +32,33 @@ class OpsExtraSpec extends SparkSpec {
     assert(a == b && a.size == 2)
   }
 
+  test("LocalStore pins a key to one partition (last-write-wins precondition)") {
+    val store = new LocalStore(spark, tmpDir("pin"))
+    // three sends of the same key — offsets must land on ONE partition so
+    // per-key order = offset order (SURVEY §7.4 #2)
+    (1 to 3).foreach { i =>
+      store.send(Seq(("t", """{"id":7}""", s"v$i")).toDF("topic", "key", "value"))
+    }
+    val parts = store.read(Seq("t")).select("partition").distinct().count()
+    assert(parts == 1)
+    val st = store.topicState(Seq("t")).collect()
+    assert(st.length == 1 && st(0).getString(2) == "v3")
+  }
+
+  test("incremental state stays correct across three refresh rounds") {
+    val store = new LocalStore(spark, tmpDir("inc3"))
+    val inc = new VerifyOps.IncrementalTopicState(store, Seq("t"))
+    store.send(Seq(("t", "a", "1")).toDF("topic", "key", "value"))
+    inc.refresh()
+    store.send(Seq(("t", "b", "1"), ("t", "a", "2")).toDF("topic", "key", "value"))
+    inc.refresh()
+    store.send(Seq(("t", "b", null.asInstanceOf[String])).toDF("topic", "key", "value"))
+    inc.refresh()
+    val live = inc.live().collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(live == Map("a" -> "2"))
+    inc.close()
+  }
+
   test("incremental topic state merges deltas without full re-read") {
     val store = new LocalStore(spark, tmpDir("inc"))
     store.send(Seq(("t", "k1", "v1"), ("t", "k2", "v2")).toDF("topic", "key", "value"))

@@ -43,6 +43,16 @@ class PipelinesSpec extends SparkSpec {
     assert(ann.nonEmpty && !ann.contains(0L))
   }
 
+  test("ss04 LSH near-dup pairs are a subset of the exact ss02 pairs") {
+    // candidate generation can lose recall (one bucket table) but must
+    // never invent a pair: every surviving pair passed the exact filter
+    val exact = Similarity.ss02NearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.ss04LshNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact) && lsh.nonEmpty)
+  }
+
   test("t03 langid predicts a language for every doc") {
     val out = TextAnalysis.t03LangId(spark, sf)
     assert(out.where(col("pred").isNull).isEmpty)
