@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The fused training-data curation pipeline — what the individual
+  * dedup/quality operators exist FOR at 100 TB: one declarative plan that
+  * keeps a document iff it is (a) the canonical representative of its exact
+  * fingerprint group, (b) above the quality threshold, and (c) not the
+  * later twin of a near-duplicate pair (word-bigram Jaccard ≥ 0.9).
+  *
+  * Composing the operators as DataFrames lets Catalyst fuse the scans: the
+  * quality and fingerprint branches share the documents scan, and the
+  * near-dup branch reuses the dedup module's zero-shuffle set-intersection
+  * path. Anti-join for removal keeps the plan broadcast-friendly — the
+  * near-dup id set is tiny relative to the corpus. */
+object Curation {
+
+  def c01Curation(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.t02Quality(spark, dir)
+      .select("doc_id", "quality")
+    val keepers = Dedup.dd01Exact(spark, dir)
+      .where(col("keep")).select("doc_id")
+    val nearDupLosers = Dedup.dd02NgramJaccard(spark, dir)
+      .where(col("jaccard") >= 0.9)
+      .select(col("idb").as("doc_id")).distinct()
+    quality
+      .join(keepers, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .where(col("quality") >= 0.3)
+      .orderBy("doc_id")
+  }
+}
