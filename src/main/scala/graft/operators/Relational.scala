@@ -239,6 +239,29 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q21 — sessionization (gaps-and-islands): events more than 30 minutes
+    * apart start a new session per user. lag() marks the breaks, a running
+    * sum numbers the sessions, then a grouped rollup — the standard
+    * pre-processing shape for behavioral/training sequence data. One shuffle
+    * on user_id serves both window functions AND the final aggregation
+    * (same partitioning reused across stages). `ts` is epoch-nanos (the
+    * parquet nanos-as-long read), matching DuckDB's epoch_ns exactly. */
+  def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    val gapNs = 1800000000000L // 30 min
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts").as("tsn"))
+    val prev = lag(col("tsn"), 1).over(w)
+    e.withColumn("brk",
+        when(prev.isNull || col("tsn") - prev > gapNs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -285,6 +308,8 @@ object Relational {
       "SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
     "q20_lww_window" ->
       "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id",
+    "q21_sessionize" ->
+      "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events), x AS (SELECT user_id, event_id, tsn, CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, event_id, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM x) SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -309,5 +334,6 @@ object Relational {
     "q18_tombstone" -> q18Tombstone _,
     "q19_salted_agg" -> q19SaltedAgg _,
     "q20_lww_window" -> q20LwwWindow _,
+    "q21_sessionize" -> q21Sessionize _,
   )
 }
