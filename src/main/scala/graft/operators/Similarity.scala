@@ -141,4 +141,22 @@ object Similarity {
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos"))
       .orderBy("ida", "idb")
   }
+
+  /** ss05 — per-label centroid aggregation, the IVF coarse-quantizer
+    * building block: element-wise vector sums per group (one shuffle keyed
+    * by (label, dim), partial sums map-side) plus the summed vector's
+    * squared norm. All integer math on the quantized vectors — exact and
+    * engine-portable; a real IVF index divides by n at assignment time. */
+  def ss05LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val el = t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(quantized).as(Seq("i", "q")))
+    val sums = el.groupBy("label", "i").agg(sum(col("q")).as("sq"))
+    val counts = t(spark, dir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    sums.groupBy("label")
+      .agg(sum(col("sq") * col("sq")).as("centroid_norm2"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n"), col("centroid_norm2"))
+      .orderBy("label")
+  }
 }
