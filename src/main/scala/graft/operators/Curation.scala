@@ -21,9 +21,7 @@ object Curation {
       .select("doc_id", "quality")
     val keepers = Dedup.dd01Exact(spark, dir)
       .where(col("keep")).select("doc_id")
-    val nearDupLosers = Dedup.dd02NgramJaccard(spark, dir)
-      .where(col("jaccard") >= 0.9)
-      .select(col("idb").as("doc_id")).distinct()
+    val nearDupLosers = Dedup.nearDupLosers(spark, dir, roundedMin = 0.9)
     quality
       .join(keepers, "doc_id")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -107,7 +107,7 @@ object Dedup {
     * sorted-merge intersection. The doc-set side broadcasts (|docs|·|set|·8 B);
     * the pair loop is O(n²·set) primitive ops with zero shuffle. Quadratic by
     * nature — the exact baseline; dd03 is the sub-quadratic scale path. */
-  def dd02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def allPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
     // repartition the STREAMED side: the doc corpus arrives as few parquet
     // splits, and a nested-loop pair join is only as parallel as the
@@ -115,7 +115,29 @@ object Dedup {
     val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
       .repartition(64, col("ida"))
     val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
-    jaccardOfPairs(a.join(broadcast(b), col("ida") < col("idb")), 0.3)
+    a.join(broadcast(b), col("ida") < col("idb"))
+  }
+
+  def dd02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardOfPairs(allPairs(spark, dir), 0.3)
+
+  /** Near-dup LOSERS at rounded Jaccard ≥ `roundedMin` — the curation-path
+    * variant: the size prefilter is pushed down to the strict threshold
+    * (J ≥ 0.9 needs min/max ≥ 0.8995, so ~0.89 skips the two-pointer merge
+    * for nearly every pair a loose 0.3 prefilter would admit), and the final
+    * filter is on the ROUNDED value, matching the oracle's post-round cut. */
+  private[operators] def nearDupLosers(spark: SparkSession, dir: String,
+      roundedMin: Double): DataFrame = {
+    import graft.functions.ArrayIntersect.intersectCount
+    val withC = allPairs(spark, dir)
+      .withColumn("na", size(col("seta")).cast("long"))
+      .withColumn("nb", size(col("setb")).cast("long"))
+      .where(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= roundedMin - 0.01)
+      .withColumn("c", intersectCount(col("seta"), col("setb")))
+    val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    withC.where(round(j, 3) >= roundedMin)
+      .select(col("idb").as("doc_id")).distinct()
   }
 
   /** dd03 — MinHash+LSH near-dup: shingle → K min-wise hashes → band-bucket

@@ -244,17 +244,20 @@ object Relational {
     * sum numbers the sessions, then a grouped rollup — the standard
     * pre-processing shape for behavioral/training sequence data. One shuffle
     * on user_id serves both window functions AND the final aggregation
-    * (same partitioning reused across stages). `ts` is epoch-nanos (the
-    * parquet nanos-as-long read), matching DuckDB's epoch_ns exactly. */
+    * (same partitioning reused across stages). Gaps compare at MICROSECOND
+    * granularity on both sides: DuckDB reads parquet timestamp[ns] as a
+    * µs TIMESTAMP (its epoch_ns is µs-truncated), so comparing raw nanos
+    * here would diverge for gaps within 1 µs of the threshold. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
-    val gapNs = 1800000000000L // 30 min
+    val gapUs = 1800000000L // 30 min in µs
     val e = t(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts").as("tsn"))
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsn"))
     val prev = lag(col("tsn"), 1).over(w)
     e.withColumn("brk",
-        when(prev.isNull || col("tsn") - prev > gapNs, 1).otherwise(0))
+        when(prev.isNull || col("tsn") - prev > gapUs, 1).otherwise(0))
       .withColumn("session_no", sum(col("brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_no")
@@ -309,7 +312,7 @@ object Relational {
     "q20_lww_window" ->
       "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id",
     "q21_sessionize" ->
-      "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events), x AS (SELECT user_id, event_id, tsn, CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, event_id, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM x) SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), x AS (SELECT user_id, event_id, tsn, CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, event_id, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM x) SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
