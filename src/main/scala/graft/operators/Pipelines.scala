@@ -12,6 +12,7 @@ object Pipelines {
     "t03_langid" -> TextAnalysis.t03LangId _,
     "t04_fingerprint" -> TextAnalysis.t04Fingerprint _,
     "t05_bpe_tokens" -> TextAnalysis.t05BpeTokens _,
+    "t06_quality_topk" -> TextAnalysis.t06QualityTopK _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,

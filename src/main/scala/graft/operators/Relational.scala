@@ -265,6 +265,16 @@ object Relational {
       .orderBy("user_id", "session_no")
   }
 
+  /** Q22 — distinct aggregation (audience/user counts per stream): Spark
+    * plans COUNT(DISTINCT) as a two-round expand+aggregate — partial
+    * distinct per partition, then merge — so the shuffle carries distinct
+    * (event_type, user_id) pairs, not raw events. */
+  def q22DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -313,6 +323,8 @@ object Relational {
       "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id",
     "q21_sessionize" ->
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), x AS (SELECT user_id, event_id, tsn, CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, event_id, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM x) SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no",
+    "q22_distinct_agg" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -338,5 +350,6 @@ object Relational {
     "q19_salted_agg" -> q19SaltedAgg _,
     "q20_lww_window" -> q20LwwWindow _,
     "q21_sessionize" -> q21Sessionize _,
+    "q22_distinct_agg" -> q22DistinctAgg _,
   )
 }

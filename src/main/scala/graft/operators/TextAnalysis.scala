@@ -91,6 +91,23 @@ object TextAnalysis {
   private[operators] def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** t06 — per-language quality top-k: the "best documents per stratum"
+    * selection a curation pipeline runs after scoring. row_number over a
+    * (lang)-partitioned window ordered (quality desc, doc_id) — rank
+    * computed within sorted partitions, one shuffle on lang. */
+  def t06QualityTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = t02Quality(spark, dir).select("doc_id", "quality")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+    t(spark, dir, "documents").select("doc_id", "lang")
+      .join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("lang", "rk", "doc_id", "quality")
+      .orderBy("lang", "rk")
+  }
+
   /** t05 — BPE-ish sub-token counting: letter runs / digit runs / single
     * punctuation, the pre-tokenization split every BPE-family tokenizer
     * applies before merges. Compared against the whitespace word count —
