@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
-"""Prototype the LLM-pipeline oracle SQLs (DuckDB dialect) before mirroring
-them as Spark plans. Validates syntax + output size on sf0.01."""
+"""Prototype sandbox for LLM-pipeline oracle SQLs (DuckDB dialect).
+
+HISTORICAL: the authoritative oracle SQL lives in
+src/main/scala/graft/operators/PipelineOracle.scala (and Relational.scala
+for q01-q22); this script is kept as the scratchpad used to validate new
+oracles before mirroring them into Scala. Some entries here predate later
+fixes - do not copy from here without re-validating."""
 import duckdb, sys
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
