@@ -21,15 +21,20 @@ object ChangeTracking {
   // --- O25: tracking admin DDL (ref sql_server.clj:9-61). Driver-side JDBC
   // statements; generated here, executed by the caller's connection. ---
 
+  /** Bracket-quote a SQL Server identifier; ']' must double or a name
+    * containing it would break out of the quoting (injection surface —
+    * identifiers arrive from metadata discovery, not trusted input). */
+  private def br(ident: String): String = "[" + ident.replace("]", "]]") + "]"
+
   def enableDbTrackingSql(db: String): String =
-    s"ALTER DATABASE [$db] SET CHANGE_TRACKING = ON " +
+    s"ALTER DATABASE ${br(db)} SET CHANGE_TRACKING = ON " +
       "(CHANGE_RETENTION = 2 DAYS, AUTO_CLEANUP = ON)"
 
   def trackTableSql(schema: String, table: String): String =
-    s"ALTER TABLE [$schema].[$table] ENABLE CHANGE_TRACKING"
+    s"ALTER TABLE ${br(schema)}.${br(table)} ENABLE CHANGE_TRACKING"
 
   def untrackTableSql(schema: String, table: String): String =
-    s"ALTER TABLE [$schema].[$table] DISABLE CHANGE_TRACKING"
+    s"ALTER TABLE ${br(schema)}.${br(table)} DISABLE CHANGE_TRACKING"
 
   /** Trackable = has a PK (ref sql_server.clj:23-27); trackable-untracked is
     * a set difference (ref sql_server.clj:48-51). */
@@ -46,7 +51,7 @@ object ChangeTracking {
 
   /** Changes-only scan (ref sql_server.clj:63-69 change-sql). */
   def changeSql(schema: String, table: String): String =
-    s"Select ct.* From CHANGETABLE(CHANGES [$schema].[$table], ?) As ct " +
+    s"Select ct.* From CHANGETABLE(CHANGES ${br(schema)}.${br(table)}, ?) As ct " +
       "Order By ct.sys_change_version"
 
   /** Entity scan: change rows left-outer-joined to the base table on PK so
@@ -67,12 +72,12 @@ object ChangeTracking {
 
   private def entityScanSql(schema: String, table: String, keys: Seq[String],
       nonKeyCols: Seq[String], verExpr: String, ordered: Boolean): String = {
-    val ctCols = (TrackingFields ++ keys).map(c => s"ct.[$c]")
-    val tCols = nonKeyCols.map(c => s"t.[$c]")
-    val on = keys.map(k => s"ct.[$k] = t.[$k]").mkString(" And ")
+    val ctCols = (TrackingFields ++ keys).map(c => s"ct.${br(c)}")
+    val tCols = nonKeyCols.map(c => s"t.${br(c)}")
+    val on = keys.map(k => s"ct.${br(k)} = t.${br(k)}").mkString(" And ")
     s"Select ${(ctCols ++ tCols).mkString(", ")} " +
-      s"From CHANGETABLE(CHANGES [$schema].[$table], $verExpr) As ct " +
-      s"Left Outer Join [$schema].[$table] As t On $on" +
+      s"From CHANGETABLE(CHANGES ${br(schema)}.${br(table)}, $verExpr) As ct " +
+      s"Left Outer Join ${br(schema)}.${br(table)} As t On $on" +
       (if (ordered) " Order By ct.sys_change_version" else "")
   }
 
@@ -80,7 +85,7 @@ object ChangeTracking {
 
   val CurrentVersionSql = "Select CHANGE_TRACKING_CURRENT_VERSION()"
   def minValidVersionSql(schema: String, table: String): String =
-    s"Select CHANGE_TRACKING_MIN_VALID_VERSION(Object_Id('[$schema].[$table]'))"
+    s"Select CHANGE_TRACKING_MIN_VALID_VERSION(Object_Id('${br(schema)}.${br(table)}'))"
 
   /** The CDC source abstraction. `changesSince(ver)` returns the raw change
     * frame: tracking columns + key columns + (nullable) entity columns. */

@@ -85,23 +85,29 @@ object Dedup {
       // materialize once instead of replicating the shingle pipeline
       .localCheckpoint()
 
-  /** Jaccard ≥ threshold for given (ida, idb, seta, setb) pair frames.
-    * Size prefilter first: c ≤ min(|A|,|B|) implies J ≤ min/max, so pairs
-    * with min/max < t can never qualify — the O(|A|+|B|) merge is skipped
-    * for size-mismatched pairs at the cost of two comparisons. */
-  private def jaccardOfPairs(pairs: DataFrame, threshold: Double): DataFrame = {
+  /** Scored candidate pairs: size prefilter, then the codegen'd two-pointer
+    * intersection. c ≤ min(|A|,|B|) implies J ≤ min/max, so pairs with
+    * min/max < sizeRatioMin can never reach that Jaccard — the O(|A|+|B|)
+    * merge is skipped for size-mismatched pairs at the cost of two
+    * comparisons. Emits the raw Jaccard as `jraw`. */
+  private def scoredPairs(pairs: DataFrame, sizeRatioMin: Double): DataFrame = {
     import graft.functions.ArrayIntersect.intersectCount
-    val withC = pairs
+    pairs
       .withColumn("na", size(col("seta")).cast("long"))
       .withColumn("nb", size(col("setb")).cast("long"))
       .where(least(col("na"), col("nb")).cast("double") /
-        greatest(col("na"), col("nb")) >= threshold)
+        greatest(col("na"), col("nb")) >= sizeRatioMin)
       .withColumn("c", intersectCount(col("seta"), col("setb")))
-    val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
-    withC.where(j >= threshold)
-      .select(col("ida"), col("idb"), round(j, 3).as("jaccard"))
-      .orderBy("ida", "idb")
+      .withColumn("jraw",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
   }
+
+  /** Jaccard ≥ threshold (raw-value cut, oracle-parity for dd02/dd03). */
+  private def jaccardOfPairs(pairs: DataFrame, threshold: Double): DataFrame =
+    scoredPairs(pairs, threshold)
+      .where(col("jraw") >= threshold)
+      .select(col("ida"), col("idb"), round(col("jraw"), 3).as("jaccard"))
+      .orderBy("ida", "idb")
 
   /** dd02 — n-gram Jaccard near-dup, exact: all pairs scored by the native
     * sorted-merge intersection. The doc-set side broadcasts (|docs|·|set|·8 B);
@@ -123,22 +129,14 @@ object Dedup {
 
   /** Near-dup LOSERS at rounded Jaccard ≥ `roundedMin` — the curation-path
     * variant: the size prefilter is pushed down to the strict threshold
-    * (J ≥ 0.9 needs min/max ≥ 0.8995, so ~0.89 skips the two-pointer merge
-    * for nearly every pair a loose 0.3 prefilter would admit), and the final
+    * (J ≥ 0.9 needs min/max ≥ 0.8995, so the −0.01 margin skips the merge
+    * for nearly every pair a loose prefilter would admit), and the final
     * filter is on the ROUNDED value, matching the oracle's post-round cut. */
   private[operators] def nearDupLosers(spark: SparkSession, dir: String,
-      roundedMin: Double): DataFrame = {
-    import graft.functions.ArrayIntersect.intersectCount
-    val withC = allPairs(spark, dir)
-      .withColumn("na", size(col("seta")).cast("long"))
-      .withColumn("nb", size(col("setb")).cast("long"))
-      .where(least(col("na"), col("nb")).cast("double") /
-        greatest(col("na"), col("nb")) >= roundedMin - 0.01)
-      .withColumn("c", intersectCount(col("seta"), col("setb")))
-    val j = col("c").cast("double") / (col("na") + col("nb") - col("c"))
-    withC.where(round(j, 3) >= roundedMin)
+      roundedMin: Double): DataFrame =
+    scoredPairs(allPairs(spark, dir), roundedMin - 0.01)
+      .where(round(col("jraw"), 3) >= roundedMin)
       .select(col("idb").as("doc_id")).distinct()
-  }
 
   /** dd03 — MinHash+LSH near-dup: shingle → K min-wise hashes → band-bucket
     * join → exact-Jaccard verification of the (tiny) candidate set. The

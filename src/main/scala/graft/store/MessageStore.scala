@@ -142,19 +142,33 @@ final class LocalStore(spark: SparkSession, dir: String,
     }
     val w = Window.partitionBy(Msg.Partition)
       .orderBy(monotonically_increasing_id())
+    // pin the batch before counting AND writing: monotonically_increasing_id
+    // is non-deterministic across recomputation, and counting the batch
+    // directly avoids re-scanning the whole log after the append
     val withOff = withPart
       .withColumn(Msg.Offset, row_number().over(w).cast("long") + baseCol)
       .select(Msg.Topic, Msg.Key, Msg.Value, Msg.Partition, Msg.Offset)
-    withOff.write.mode("append").parquet(path)
-    // count what actually landed for this batch (cheap metadata-ish scan on
-    // the new files is not addressable; count the delta via offsets)
-    val newEnd = spark.read.parquet(path).count()
-    newEnd - bases.values.map(_ + 1).sum
+      .persist()
+    try {
+      val n = withOff.count()
+      withOff.write.mode("append").parquet(path)
+      n
+    } finally { withOff.unpersist(); () }
   }
 
-  override def read(topics: Seq[String]): DataFrame = {
-    require(exists, s"LocalStore at $dir is empty")
-    fullLog().where(col(Msg.Topic).isin(topics: _*))
+  /** Empty store = empty topic (matches Kafka semantics — a first
+    * sync/verify against a fresh store must see an empty log, not throw). */
+  override def read(topics: Seq[String]): DataFrame =
+    if (!exists) emptyLog()
+    else fullLog().where(col(Msg.Topic).isin(topics: _*))
+
+  private def emptyLog(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(Msg.Topic, StringType), StructField(Msg.Key, StringType),
+        StructField(Msg.Value, StringType), StructField(Msg.Partition, IntegerType),
+        StructField(Msg.Offset, LongType))))
   }
 
   override def readFrom(topics: Seq[String],
@@ -228,7 +242,9 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
   override def readFrom(topics: Seq[String],
       after: Map[(String, Int), Long]): DataFrame =
     partitionsOf match {
-      case Some(parts) if after.nonEmpty =>
+      // fast path requires EVERY subscribed topic declared — Spark rejects
+      // a specific-offsets JSON with an empty/missing partition set
+      case Some(parts) if after.nonEmpty && topics.forall(parts.contains) =>
         kafkaRead(topics,
           MessageStore.startingOffsetsJson(topics, after, parts))
       case _ =>
@@ -239,6 +255,11 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     throw new UnsupportedOperationException(
       "topic listing requires AdminClient; inject topics explicitly")
 
+  /** NOTE: derives offsets by scanning records — a full topic read per
+    * call. A production deployment overrides this with a driver-side
+    * `KafkaConsumer.endOffsets`/AdminClient call (reads zero records);
+    * kafka-clients is not on the offline classpath, so the scan is the
+    * only compilable fallback here. */
   override def endOffsets(topics: Seq[String]): Map[(String, Int), Long] =
     read(topics).groupBy(Msg.Topic, Msg.Partition)
       .agg(max(Msg.Offset).as("m")).collect()
