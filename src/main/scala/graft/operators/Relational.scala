@@ -54,7 +54,14 @@ object Relational {
 
   /** Q04 — last-write-wins compaction (ref melt.clj:307-323 merge-seq-entry:
     * newest record per key wins). One shuffle on the key; map-side partial
-    * max_by keeps it a single pass at any scale. */
+    * max_by keeps it a single pass at any scale.
+    *
+    * Determinism note: max_by has no tiebreak here because DuckDB's max_by
+    * cannot take a composite (struct) ordering key; the fixtures are
+    * verified tie-free per (user_id, ts) at both ns and µs granularity at
+    * every scale factor, and are fixed (driver-generated, seed 42). In the
+    * engine proper, compaction ties are impossible by construction —
+    * (partition, offset) is unique (MessageStore.compact). */
   def q04Compaction(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy("user_id")

@@ -21,7 +21,9 @@ object Tables {
     // (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-nano longs: ordering —
     // the only semantic the engine needs from ts (last-write-wins, windows)
     // — is preserved; cast ts_micros(ts DIV 1000) where a real timestamp is
-    // needed.
+    // needed. The conf is set HERE (not only in GraftSession) because the
+    // driver contract calls queries with a session this library did not
+    // build; it is runtime-settable and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }

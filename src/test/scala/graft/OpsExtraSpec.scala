@@ -32,6 +32,20 @@ class OpsExtraSpec extends SparkSpec {
     assert(a == b && a.size == 2)
   }
 
+  test("fresh store reads as an empty topic: first sync/verify bootstraps") {
+    val store = new LocalStore(spark, tmpDir("fresh"))
+    assert(store.read(Seq("t")).isEmpty)
+    assert(store.topicState(Seq("t")).isEmpty)
+    assert(store.endOffsets(Seq("t")).isEmpty)
+    // the bootstrap arc: sync against the empty store loads everything
+    val orders = graft.sources.Tables.t(spark, sf, "orders")
+      .where(col("o_orderkey") < 50)
+    val src = SourceDef("graft", "main", "orders", Seq("o_orderkey"))
+    val sent = graft.ops.Sync.sync(orders, src, store)
+    assert(sent == orders.count())
+    assert(graft.ops.VerifyOps.verify(orders, src, store)._1)
+  }
+
   test("LocalStore pins a key to one partition (last-write-wins precondition)") {
     val store = new LocalStore(spark, tmpDir("pin"))
     // three sends of the same key — offsets must land on ONE partition so
