@@ -29,7 +29,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val metric =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Round-1 driver lesson: the metric line arrived as `[info] {...}` via
+    // sbt's logger and parsed to null. Persist to a file AND print last
+    // (build.sbt routes forked run output straight to stdout, unprefixed).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), metric)
     spark.stop()
+    System.out.println(metric)
+    System.out.flush()
   }
 }

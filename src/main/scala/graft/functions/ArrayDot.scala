@@ -39,12 +39,17 @@ case class ArrayDotLong(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      // ev.value is already declared by the enclosing nullSafeCodeGen
+      // template — redeclaring it is a janino compile error (and a silent
+      // interpreted fallback). Accumulate in a fresh local, assign at end.
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long ${ev.value} = 0L;
+         |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

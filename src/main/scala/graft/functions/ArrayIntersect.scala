@@ -41,16 +41,21 @@ case class ArrayIntersectCountLong(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      // ev.value is pre-declared by nullSafeCodeGen's template; accumulate
+      // in a fresh local and assign once (redeclaration = janino error +
+      // silent interpreted fallback).
       s"""
          |int $i = 0, $j = 0;
          |int $n1 = $a.numElements(), $n2 = $b.numElements();
-         |long ${ev.value} = 0L;
+         |long $acc = 0L;
          |while ($i < $n1 && $j < $n2) {
          |  long $x = $a.getLong($i); long $y = $b.getLong($j);
          |  if ($x < $y) $i++;
          |  else if ($x > $y) $j++;
-         |  else { ${ev.value}++; $i++; $j++; }
+         |  else { $acc++; $i++; $j++; }
          |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -22,6 +22,22 @@ class ArrayDotSpec extends SparkSpec {
     assert(out.where(col("fast") =!= col("ref")).isEmpty)
   }
 
+  test("intersectCount equals the explode/join reference and compiles") {
+    import graft.functions.ArrayIntersect.intersectCount
+    // sorted distinct sets per row; fallback=false (SparkSpec) means a
+    // codegen compile failure aborts this query instead of hiding in WARNs
+    val df = spark.range(200).select(
+      col("id"),
+      array_sort(array_distinct(transform(sequence(lit(0), lit(19)),
+        i => pmod(xxhash64(col("id") * 20 + i), lit(40))))).as("a"),
+      array_sort(array_distinct(transform(sequence(lit(0), lit(19)),
+        i => pmod(xxhash64(col("id") * 20 + i + 3), lit(40))))).as("b"))
+    val out = df.select(
+      intersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    assert(out.where(col("fast") =!= col("ref")).isEmpty)
+  }
+
   test("dotLong null propagation and empty arrays") {
     val df = Seq(
       (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
