@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Composing the operators as DataFrames lets Catalyst fuse the scans: the
   * quality and fingerprint branches share the documents scan, and the
-  * near-dup branch reuses the dedup module's zero-shuffle set-intersection
-  * path. Anti-join for removal keeps the plan broadcast-friendly — the
-  * near-dup id set is tiny relative to the corpus. */
+  * near-dup branch routes through the MinHash-LSH banded candidates (the
+  * dd03 scale path — sub-quadratic, no BroadcastNestedLoopJoin anywhere in
+  * the plan), with exact-Jaccard verification of candidates only. Anti-join
+  * for removal keeps the plan broadcast-friendly — the near-dup id set is
+  * tiny relative to the corpus. */
 object Curation {
 
   def c01Curation(spark: SparkSession, dir: String): DataFrame = {
@@ -21,7 +23,7 @@ object Curation {
       .select("doc_id", "quality")
     val keepers = Dedup.dd01Exact(spark, dir)
       .where(col("keep")).select("doc_id")
-    val nearDupLosers = Dedup.nearDupLosers(spark, dir, roundedMin = 0.9)
+    val nearDupLosers = Dedup.lshNearDupLosers(spark, dir, roundedMin = 0.9)
     quality
       .join(keepers, "doc_id")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

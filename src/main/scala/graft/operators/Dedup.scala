@@ -128,22 +128,28 @@ object Dedup {
     jaccardOfPairs(allPairs(spark, dir), 0.3)
 
   /** Near-dup LOSERS at rounded Jaccard ≥ `roundedMin` — the curation-path
-    * variant: the size prefilter is pushed down to the strict threshold
-    * (J ≥ 0.9 needs min/max ≥ 0.8995, so the −0.01 margin skips the merge
-    * for nearly every pair a loose prefilter would admit), and the final
-    * filter is on the ROUNDED value, matching the oracle's post-round cut. */
-  private[operators] def nearDupLosers(spark: SparkSession, dir: String,
+    * variant, routed through the MinHash-LSH banded candidates (the dd03
+    * scale path) instead of the quadratic all-pairs join: at J ≥ 0.9 a
+    * band of 2 collides with prob 0.81, so ≥1-of-8 bands ≈ 0.99997 per-pair
+    * recall — and the md5-derived hash family is deterministic, so the
+    * candidate set (and hence the result) is bit-identical to the oracle,
+    * which computes the same banding. The size prefilter is pushed down to
+    * the strict threshold (J ≥ 0.9 needs min/max ≥ 0.8995, so the −0.01
+    * margin skips the merge for nearly every size-mismatched candidate), and
+    * the final filter is on the ROUNDED value, matching the oracle's cut. */
+  private[operators] def lshNearDupLosers(spark: SparkSession, dir: String,
       roundedMin: Double): DataFrame =
-    scoredPairs(allPairs(spark, dir), roundedMin - 0.01)
+    scoredPairs(minhashCandidatePairs(spark, dir), roundedMin - 0.01)
       .where(round(col("jraw"), 3) >= roundedMin)
       .select(col("idb").as("doc_id")).distinct()
 
-  /** dd03 — MinHash+LSH near-dup: shingle → K min-wise hashes → band-bucket
-    * join → exact-Jaccard verification of the (tiny) candidate set. The
-    * banding join shuffles only (band, k1, k2, doc_id) tuples — at 100 TB
-    * this is the formulation that survives; dd02's inverted index does not
-    * once document frequency grows. */
-  def dd03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash-LSH candidate pairs with both shingle sets attached:
+    * (ida, idb, seta, setb). Shingle → K min-wise hashes → band-bucket
+    * equi-join; the banding join shuffles only (band, k1, k2, doc_id)
+    * tuples — at 100 TB this is the formulation that survives; an inverted
+    * index does not once document frequency grows. Shared by dd03 and the
+    * curation pipeline's near-dup removal. */
+  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("hs"),
       (md5Long(col("s"), 15) % P).as("hm"))
@@ -174,54 +180,66 @@ object Dedup {
         Seq("band", "k1", "k2"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    // exact-Jaccard verification of the candidates only, via the native
-    // sorted-merge intersection on the per-doc sets
+    // attach both shingle sets so callers can verify candidates exactly
     val sets = sig.select(col("doc_id"), col("set"))
-    val pairs = cand
+    cand
       .join(broadcast(sets.select(col("doc_id").as("ida"), col("set").as("seta"))),
         Seq("ida"))
       .join(broadcast(sets.select(col("doc_id").as("idb"), col("set").as("setb"))),
         Seq("idb"))
-    jaccardOfPairs(pairs, 0.3)
   }
 
-  /** Per-doc 32-bit SimHash signature frame: (doc_id, simhash). */
+  /** dd03 — MinHash+LSH near-dup: banded candidates, then exact-Jaccard
+    * verification of the (tiny) candidate set only, via the native
+    * sorted-merge intersection on the per-doc sets. */
+  def dd03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    jaccardOfPairs(minhashCandidatePairs(spark, dir), 0.3)
+
+  /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
+    * 15 md5 hex chars — the widest md5 prefix that stays positive in an
+    * int64 in every engine; production-strength discrimination (a 32-bit
+    * signature admits ~20% of all pairs as candidates at this corpus size;
+    * 60 bits admits ~the true-positive rate). */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), explode(TextAnalysis.toks).as("w"))
       .distinct()
-    val hashed = tok.withColumn("h", md5Long(col("w"), 8))
-    val bits = hashed
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1).otherwise(-1)).as("v"))
-      .withColumn("bit", when(col("v") >= 0, 1L).otherwise(0L))
-    bits.groupBy("doc_id")
-      .agg(sum(expr("bit * shiftleft(cast(1 as bigint), j)")).as("simhash"))
+    val hashed = tok.withColumn("h", md5Long(col("w"), 15))
+    // all 60 bit-sums in ONE aggregation: the shuffle carries 60 longs per
+    // doc (map-side combined) instead of 60 exploded rows per TOKEN — at
+    // 100 TB that's the difference between docs·480 B and tokens·60 rows
+    val sums = (0 until 60).map(j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j"))
+    val sig = (0 until 60).map(j =>
+      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    hashed.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
       // both sides of the band self-join consume this; materialize once
       .localCheckpoint()
   }
 
-  /** dd04 — SimHash signatures (the per-document sketch; 32 bits here, 64 in
-    * production — the plan shape is identical). */
+  /** dd04 — SimHash signatures (the per-document sketch). */
   def dd04Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy("doc_id")
 
-  /** dd05 — SimHash near-dup pairs: block on 4×8-bit bands, verify
-    * Hamming ≤ 4 via bit_count(xor). */
+  /** dd05 — SimHash near-dup pairs: block on 5×12-bit bands, verify
+    * Hamming ≤ 4 via bit_count(xor). Pigeonhole: ≤4 differing bits touch at
+    * most 4 of the 5 bands, so every Hamming ≤ 4 pair shares at least one
+    * band verbatim — the blocking is EXACT (100% recall), not a trade-off.
+    * The band self-join is salted ([[Skew.selfPairs]]) so a hot 12-bit
+    * bucket (e.g. a boilerplate-heavy corpus slice) cannot pin one task. */
   def dd05SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
     val bands = sig
-      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bk", expr("shiftright(simhash, band * 8) & 255"))
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(4))).as("band"))
+      .withColumn("bk", expr("shiftright(simhash, band * 12) & 4095"))
     // hamming filter BEFORE distinct: it depends only on (ha, hb), so
     // filtering the (duplicated) band-collision rows first shrinks the
     // distinct's input by the filter selectivity
-    bands.select(col("doc_id").as("ida"), col("simhash").as("ha"),
-        col("band"), col("bk"))
-      .join(bands.select(col("doc_id").as("idb"), col("simhash").as("hb"),
-        col("band"), col("bk")), Seq("band", "bk"))
-      .where(col("ida") < col("idb"))
+    Skew.selfPairs(bands, Seq("band", "bk"), "doc_id", maxGroup = 4096)
+      .select(col("a.doc_id").as("ida"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("idb"), col("b.simhash").as("hb"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .where(col("hamming") <= 4)
       .select("ida", "idb", "hamming").distinct()

@@ -122,19 +122,19 @@ object Similarity {
     * volume is Σ_bucket n_b² instead of n², and the join is a plain shuffle
     * (or broadcast) hash join — then exact cosine ≥ 0.4 on candidates.
     * Deterministic hyperplanes ⇒ the probabilistic candidate set is still
-    * bit-reproducible against the oracle. */
+    * bit-reproducible against the oracle. The self-join goes through
+    * [[Skew.selfPairs]]: a hot bucket (embeddings cluster hard — one dense
+    * region can hold a large fraction of the corpus) is salted into
+    * bounded cells instead of pinning one task with its n_b² pairs. */
   def ss04LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket)
-      .localCheckpoint() // consumed by both sides of the bucket self-join
-    val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"),
-      col("n2").as("na"), col("bucket"))
-    val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"),
-      col("n2").as("nb"), col("bucket"))
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
-    a.join(b, Seq("bucket"))
-      .where(col("ida") < col("idb"))
+    Skew.selfPairs(qv, Seq("bucket"), "vec_id", maxGroup = 4096)
+      .select(col("a.vec_id").as("ida"), col("a.q").as("qa"),
+        col("a.n2").as("na"), col("b.vec_id").as("idb"),
+        col("b.q").as("qb"), col("b.n2").as("nb"))
       .withColumn("dot", dotLong(col("qa"), col("qb")))
       .withColumn("c", cosine)
       .where(col("c") >= 0.4)

@@ -24,10 +24,32 @@ class PipelinesSpec extends SparkSpec {
     assert(perFp.where(col("kept") =!= 1).isEmpty)
   }
 
-  test("dd04 simhash is a 32-bit value; near-identical docs have close hashes") {
+  test("dd04 simhash is a 60-bit value") {
     val sig = Dedup.dd04Simhash(spark, sf)
     assert(sig.where(col("simhash") < 0 ||
-      col("simhash") > (1L << 32) - 1).isEmpty)
+      col("simhash") > (1L << 60) - 1).isEmpty)
+  }
+
+  test("dd05 5x12-bit banding is exact for Hamming <= 4 (pigeonhole)") {
+    // <=4 differing bits touch at most 4 of 5 bands => >=1 band collides,
+    // so blocking loses NO true pair: dd05 == brute-force Hamming filter
+    val sig = Dedup.dd04Simhash(spark, sf).select("doc_id", "simhash")
+    val a = sig.select(col("doc_id").as("ida"), col("simhash").as("ha"))
+    val brute = a.crossJoin(
+        sig.select(col("doc_id").as("idb"), col("simhash").as("hb")))
+      .where(col("ida") < col("idb"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .where(col("hamming") <= 4)
+      .select("ida", "idb", "hamming")
+    val banded = Dedup.dd05SimhashPairs(spark, sf)
+      .select("ida", "idb", "hamming")
+    assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
+  }
+
+  test("c01 curation plan has no BroadcastNestedLoopJoin (LSH near-dup path)") {
+    val plan = graft.operators.Curation.c01Curation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("ss01 top-k is ordered by cosine desc and excludes the query itself") {

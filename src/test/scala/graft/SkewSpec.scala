@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted bucket self-join: identical pair set to the naive equi-join,
+  * with per-cell group sizes bounded by the salt factor. */
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // one hot bucket (500 members) + two small ones — the skew shape LSH
+  // candidate generation produces on real corpora
+  private lazy val df = spark.range(520).select(
+    when(col("id") < 500, lit(0L)).otherwise(col("id") % 2 + 1).as("bucket"),
+    col("id").as("vid"),
+    (col("id") * 7).as("payload"))
+
+  test("selfPairs emits exactly the naive join's pair set") {
+    val salted = Skew.selfPairs(df, Seq("bucket"), "vid", maxGroup = 50)
+      .select(col("a.vid").as("ida"), col("b.vid").as("idb"),
+        col("a.payload").as("pa"), col("b.payload").as("pb"))
+    val a = df.select(col("bucket"), col("vid").as("ida"), col("payload").as("pa"))
+    val b = df.select(col("bucket"), col("vid").as("idb"), col("payload").as("pb"))
+    val naive = a.join(b, "bucket").where(col("ida") < col("idb"))
+      .select("ida", "idb", "pa", "pb")
+    assert(salted.count() == naive.count())
+    assert(salted.except(naive).isEmpty && naive.except(salted).isEmpty)
+  }
+
+  test("hot-bucket members are spread over ceil(n/maxGroup) salt cells") {
+    // peek at the internal distribution by re-deriving the salt the same way
+    val g = math.ceil(500.0 / 50).toInt
+    val cells = df.where(col("bucket") === 0)
+      .select(pmod(xxhash64(col("vid")), lit(g.toLong)).as("salt"))
+      .groupBy("salt").count().collect()
+    assert(cells.length == g) // all g cells populated
+    // hash imbalance stays within 2x of the target group size
+    assert(cells.map(_.getLong(1)).max <= 2L * 50)
+  }
+
+  test("small buckets pass through with a single salt cell (g=1)") {
+    val pairs = Skew.selfPairs(df.where(col("bucket") > 0),
+      Seq("bucket"), "vid", maxGroup = 50)
+    // buckets 1 and 2 have 10 members each -> C(10,2) pairs per bucket
+    assert(pairs.count() == 2 * 45)
+  }
+}
