@@ -112,7 +112,10 @@ object Dedup {
   /** dd02 — n-gram Jaccard near-dup, exact: all pairs scored by the native
     * sorted-merge intersection. The doc-set side broadcasts (|docs|·|set|·8 B);
     * the pair loop is O(n²·set) primitive ops with zero shuffle. Quadratic by
-    * nature — the exact baseline; dd03 is the sub-quadratic scale path. */
+    * nature — the exact baseline; dd03 is the sub-quadratic scale path. The
+    * broadcast() hint is deliberate and stays: a corpus small enough to score
+    * all-pairs is by definition small enough to broadcast; at scale use dd03,
+    * whose candidate-attach joins carry no mandatory broadcast. */
   private def allPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
     // repartition the STREAMED side: the doc corpus arrives as few parquet
@@ -180,12 +183,17 @@ object Dedup {
         Seq("band", "k1", "k2"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    // attach both shingle sets so callers can verify candidates exactly
+    // Attach both shingle sets so callers can verify candidates exactly.
+    // Deliberately NO broadcast() hint: `sets` is one row per DOCUMENT, so a
+    // mandatory broadcast hard-fails at the 8 GB limit long before 100 TB.
+    // As plain equi-joins AQE still broadcasts whichever side is actually
+    // small at runtime (post-banding that's the candidate frame), and a
+    // shuffle hash join handles the big case.
     val sets = sig.select(col("doc_id"), col("set"))
     cand
-      .join(broadcast(sets.select(col("doc_id").as("ida"), col("set").as("seta"))),
+      .join(sets.select(col("doc_id").as("ida"), col("set").as("seta")),
         Seq("ida"))
-      .join(broadcast(sets.select(col("doc_id").as("idb"), col("set").as("setb"))),
+      .join(sets.select(col("doc_id").as("idb"), col("set").as("setb")),
         Seq("idb"))
   }
 

@@ -52,6 +52,20 @@ class PipelinesSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dd03/c01 scale paths carry no mandatory-broadcast hint") {
+    // A broadcast() hint on the corpus-sized shingle-set frame is a hard
+    // failure at the 8 GB broadcast ceiling long before 100 TB. The scale
+    // paths must leave join-strategy choice to AQE: zero ResolvedHint nodes
+    // anywhere in their analyzed plans. (dd02/ss02, the declared quadratic
+    // baselines, keep their hints and are deliberately NOT asserted here.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (df <- Seq(Dedup.dd03MinhashLsh(spark, sf),
+        graft.operators.Curation.c01Curation(spark, sf))) {
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"unexpected join hints: $hints")
+    }
+  }
+
   test("ss01 top-k is ordered by cosine desc and excludes the query itself") {
     val topk = Similarity.ss01CosineTopK(spark, sf).collect()
     assert(topk.length == 10)
