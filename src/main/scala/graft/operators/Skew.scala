@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew handling for LSH-style bucket self-joins.
@@ -21,8 +20,20 @@ import org.apache.spark.sql.functions._
   * mirrored left-row y, t = salt(x) fails the id ordering) — so the output
   * is the exact same pair SET, only spread over g² cells of ≤ maxGroup
   * right-rows each instead of one n_b²-pair task.
+  *
+  * When NO bucket exceeds `maxGroup` the whole salting apparatus is skipped
+  * and the join is the plain bucket self-join — an unskewed corpus pays one
+  * cheap bucket-histogram aggregation (one row per bucket), not the
+  * explode/replicate bookkeeping. Bucket sizes come from a groupBy count
+  * joined back, never from an unbounded window frame: a window would buffer
+  * every row of a hot bucket in a single task — re-introducing the exact
+  * single-key pressure this module exists to remove.
   */
 object Skew {
+
+  /** Internal + output column names; caller frames must not use them. */
+  private val Reserved =
+    Seq("__skew_p", "__skew_n", "__skew_g", "__skew_salt", "__skew_t", "a", "b")
 
   /** All same-bucket pairs (a, b) with a.`id` < b.`id`, as two struct
     * columns holding every non-key column. `df` columns = `keys` ++ payload
@@ -30,24 +41,49 @@ object Skew {
     * by `maxGroup` (up to hash imbalance within a bucket). */
   def selfPairs(df: DataFrame, keys: Seq[String], id: String,
       maxGroup: Int): DataFrame = {
+    val clash = df.columns.intersect(Reserved)
+    require(clash.isEmpty,
+      s"selfPairs reserves column names ${Reserved.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
     val payload = df.columns.filterNot(keys.contains)
     val kc = keys.map(col)
-    // one shuffle on the bucket key computes group sizes in-place
-    val n = count(lit(1)).over(Window.partitionBy(kc: _*))
-    val salted = df
-      .select(kc :+ struct(payload.map(col): _*).as("p"): _*)
-      .withColumn("g",
-        greatest(lit(1L), ceil(n.cast("double") / maxGroup)).cast("int"))
-      .withColumn("salt",
-        pmod(xxhash64(col("p").getField(id)), col("g").cast("long")).cast("int"))
-      // both join sides consume this; materialize once (bounded: input rows)
+    // both join sides (and the size histogram) consume this; materialize
+    // once (bounded: input rows)
+    val packed = df
+      .select(kc :+ struct(payload.map(col): _*).as("__skew_p"): _*)
       .localCheckpoint()
-    val left = salted
-      .withColumn("t", explode(sequence(lit(0), col("g") - 1)))
-      .select(kc :+ col("t") :+ col("p").as("a"): _*)
-    val right = salted
-      .select(kc :+ col("salt").as("t") :+ col("p").as("b"): _*)
-    left.join(right, keys :+ "t")
+    // one row per bucket — a bounded aggregate, shuffled map-side-combined
+    val sizes = packed.groupBy(kc: _*).agg(count(lit(1)).as("__skew_n"))
+    val maxN = Option(sizes.agg(max("__skew_n")).collect()(0).get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val pairs =
+      if (maxN <= maxGroup) {
+        // unskewed fast path: no salt columns, no left-side replication —
+        // the plain bucket self-join, with per-task pair volume already
+        // bounded by maxGroup²
+        packed.select(kc :+ col("__skew_p").as("a"): _*)
+          .join(packed.select(kc :+ col("__skew_p").as("b"): _*), keys)
+      } else {
+        // sizes is one row per bucket; as a plain equi-join AQE broadcasts
+        // it when small (no mandatory-broadcast hint — same 8 GB-ceiling
+        // rationale as the LSH candidate-attach joins)
+        val salted = packed.join(sizes, keys)
+          .withColumn("__skew_g", greatest(lit(1L),
+            ceil(col("__skew_n").cast("double") / maxGroup)).cast("int"))
+          .withColumn("__skew_salt",
+            pmod(xxhash64(col("__skew_p").getField(id)),
+              col("__skew_g").cast("long")).cast("int"))
+          .localCheckpoint()
+        val left = salted
+          .withColumn("__skew_t",
+            explode(sequence(lit(0), col("__skew_g") - 1)))
+          .select(kc :+ col("__skew_t") :+ col("__skew_p").as("a"): _*)
+        val right = salted
+          .select(kc :+ col("__skew_salt").as("__skew_t") :+
+            col("__skew_p").as("b"): _*)
+        left.join(right, keys :+ "__skew_t")
+      }
+    pairs
       .where(col("a").getField(id) < col("b").getField(id))
       .select(col("a"), col("b"))
   }

@@ -45,4 +45,30 @@ class SkewSpec extends SparkSpec {
     // buckets 1 and 2 have 10 members each -> C(10,2) pairs per bucket
     assert(pairs.count() == 2 * 45)
   }
+
+  test("unskewed input skips the salting apparatus entirely") {
+    // max bucket size 10 <= maxGroup 50: the plan must be the plain bucket
+    // self-join — no explode (Generate) for left-side replication
+    val pairs = Skew.selfPairs(df.where(col("bucket") > 0),
+      Seq("bucket"), "vid", maxGroup = 50)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"unexpected salting in plan:\n$plan")
+    // and the skewed input (hot bucket of 500 > 50) must still salt
+    val saltedPlan = Skew.selfPairs(df, Seq("bucket"), "vid", maxGroup = 50)
+      .queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("Generate"))
+  }
+
+  test("reserved internal column names are rejected, not silently shadowed") {
+    val bad = df.withColumnRenamed("payload", "__skew_salt")
+    val e = intercept[IllegalArgumentException] {
+      Skew.selfPairs(bad, Seq("bucket"), "vid", maxGroup = 50)
+    }
+    assert(e.getMessage.contains("__skew_salt"))
+  }
+
+  test("empty input yields an empty pair set via the fast path") {
+    assert(Skew.selfPairs(df.where(col("bucket") < 0),
+      Seq("bucket"), "vid", maxGroup = 50).isEmpty)
+  }
 }
