@@ -195,9 +195,20 @@ final class LocalStore(spark: SparkSession, dir: String,
   * DataFrames before/after this boundary. */
 final class KafkaStore(spark: SparkSession, bootstrap: String,
     extraOpts: Map[String, String] = Map.empty,
-    /** Full topic → partition-id map, if known (e.g. from AdminClient).
-      * Enables exact per-offset incremental reads in readFrom. */
-    partitionsOf: Option[Map[String, Seq[Int]]] = None) extends MessageStore {
+    /** Full topic → partition-id map, if known. Overrides AdminClient
+      * discovery; enables exact per-offset incremental reads in readFrom. */
+    partitionsOf: Option[Map[String, Seq[Int]]] = None,
+    /** Injected metadata provider (tests / custom clients). None → try the
+      * reflective AdminClient, then fall back to offset-by-scan. */
+    adminOverride: Option[KafkaAdmin] = None) extends MessageStore {
+
+  /** AdminClient-backed metadata when kafka-clients is on the classpath or a
+    * provider is injected; None in the offline build → scan fallbacks. */
+  private lazy val admin: Option[KafkaAdmin] =
+    adminOverride.orElse(ReflectiveKafkaAdmin.load(bootstrap, extraOpts))
+
+  private def partitionMap(topics: Seq[String]): Option[Map[String, Seq[Int]]] =
+    partitionsOf.orElse(admin.map(_.partitionsOf(topics)))
 
   override def send(messages: DataFrame): Long = {
     val n = messages.persist().count()
@@ -241,7 +252,7 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     * cost of a full scan. */
   override def readFrom(topics: Seq[String],
       after: Map[(String, Int), Long]): DataFrame =
-    partitionsOf match {
+    partitionMap(topics) match {
       // fast path requires EVERY subscribed topic declared — Spark rejects
       // a specific-offsets JSON with an empty/missing partition set
       case Some(parts) if after.nonEmpty && topics.forall(parts.contains) =>
@@ -252,16 +263,24 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     }
 
   override def listTopics(): Seq[String] =
-    throw new UnsupportedOperationException(
-      "topic listing requires AdminClient; inject topics explicitly")
+    admin.map(_.listTopics()).getOrElse(throw new UnsupportedOperationException(
+      "topic listing requires kafka-clients (AdminClient) on the classpath " +
+        "or an injected KafkaAdmin; otherwise inject topics explicitly"))
 
-  /** NOTE: derives offsets by scanning records — a full topic read per
-    * call. A production deployment overrides this with a driver-side
-    * `KafkaConsumer.endOffsets`/AdminClient call (reads zero records);
-    * kafka-clients is not on the offline classpath, so the scan is the
-    * only compilable fallback here. */
+  /** Record cursor per (topic, partition): last written offset, empty
+    * partitions absent. With an AdminClient present this is one driver-side
+    * metadata call reading ZERO records (Kafka reports next-offset-to-write;
+    * converted here — an entry of 0 means an empty partition and is dropped,
+    * not mapped to cursor −1, which Spark's offset JSON would read as
+    * "latest"). Without it, the fallback derives offsets by scanning
+    * records — a full topic read per call, correct but O(topic). */
   override def endOffsets(topics: Seq[String]): Map[(String, Int), Long] =
-    read(topics).groupBy(Msg.Topic, Msg.Partition)
-      .agg(max(Msg.Offset).as("m")).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    admin match {
+      case Some(a) =>
+        a.endOffsets(topics).collect { case (tp, next) if next > 0 => tp -> (next - 1) }
+      case None =>
+        read(topics).groupBy(Msg.Topic, Msg.Partition)
+          .agg(max(Msg.Offset).as("m")).collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
 }
