@@ -43,6 +43,68 @@ object ChangeTracking {
     all.filter(s => s.keys.nonEmpty &&
       !tracked.contains((s.schemaName, s.name)))
 
+  /** Sources that ARE tracked in the database (ref sql_server.clj:42-46). */
+  def tracked(all: Seq[SourceDef],
+      trackedNames: Set[(String, String)]): Seq[SourceDef] =
+    all.filter(s => trackedNames.contains((s.schemaName, s.name)))
+
+  /** Catalog query yielding (schema_name, table_name) per tracked table
+    * (ref sql_server.clj:33-40 list-tracked). */
+  val ListTrackedSql: String =
+    "Select object_schema_name(object_id) schema_name, " +
+      "object_name(object_id) table_name From sys.change_tracking_tables"
+
+  def listTracked(conn: java.sql.Connection): Set[(String, String)] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(ListTrackedSql)
+      val b = Set.newBuilder[(String, String)]
+      while (rs.next()) b += ((rs.getString(1), rs.getString(2)))
+      b.result()
+    } finally st.close()
+  }
+
+  // --- Bulk tracking admin (ref sql_server.clj:53-61 track-all /
+  // print-track-all / untrack-all): one call applies the DDL to every
+  // qualifying table instead of callers hand-looping the builders. The
+  // executor is abstracted (tests record; production executes over a
+  // Connection) and every variant returns the DDL it ran, in order. ---
+
+  /** Enable tracking on every trackable-untracked table. */
+  def trackAll(exec: String => Unit, all: Seq[SourceDef],
+      trackedNames: Set[(String, String)]): Seq[String] =
+    trackableUntracked(all, trackedNames).map { s =>
+      val sql = trackTableSql(s.schemaName, s.name); exec(sql); sql
+    }
+
+  /** Disable tracking on every tracked table. */
+  def untrackAll(exec: String => Unit, all: Seq[SourceDef],
+      trackedNames: Set[(String, String)]): Seq[String] =
+    tracked(all, trackedNames).map { s =>
+      val sql = untrackTableSql(s.schemaName, s.name); exec(sql); sql
+    }
+
+  /** The track-all DDL as a runnable batch script, `GO`-separated (ref
+    * sql_server.clj:56-58 print-track-all) — for operators who review and
+    * run migrations by hand rather than granting the pipeline DDL rights. */
+  def trackAllScript(all: Seq[SourceDef],
+      trackedNames: Set[(String, String)]): String =
+    trackableUntracked(all, trackedNames)
+      .map(s => trackTableSql(s.schemaName, s.name) + "\nGO").mkString("\n")
+
+  /** Connection-direct variants: discover the tracked set from the catalog,
+    * then apply. */
+  def trackAll(conn: java.sql.Connection, all: Seq[SourceDef]): Seq[String] =
+    trackAll(execute(conn), all, listTracked(conn))
+
+  def untrackAll(conn: java.sql.Connection, all: Seq[SourceDef]): Seq[String] =
+    untrackAll(execute(conn), all, listTracked(conn))
+
+  private def execute(conn: java.sql.Connection): String => Unit = sql => {
+    val st = conn.createStatement()
+    try { st.execute(sql); () } finally st.close()
+  }
+
   // --- O26: CHANGETABLE query builders (ref sql_server.clj:63-98). ---
 
   val TrackingFields: Seq[String] = Seq("sys_change_version",
