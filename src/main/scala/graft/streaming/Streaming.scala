@@ -89,4 +89,24 @@ object Streaming {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** The AT-SCALE O21 recipe backgroundConsume's doc promises: Update-mode
+    * compaction with a `foreachBatch` upsert into a caller-provided keyed
+    * sink, checkpointed and restartable. Each micro-batch delivers only the
+    * keys whose compacted value CHANGED (tombstones as null values — delete
+    * them downstream); the last-write-wins state lives in Spark's
+    * distributed, checkpointed state store, sized by key cardinality per
+    * executor — not in driver memory. Stop/restart with the same
+    * checkpointDir resumes exactly-once: recovered aggregation state keeps
+    * old offsets authoritative, so a late replay of an older offset cannot
+    * regress a key (proved by the restart test in StreamingSpec). */
+  def compactedConsume(log: DataFrame, checkpointDir: String,
+      queryName: String)(
+      upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    compactedState(log).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) => upsert(batch) }
+      .start()
 }
