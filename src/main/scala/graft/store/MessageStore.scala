@@ -41,23 +41,36 @@ trait MessageStore {
       .where(col(Msg.Value).isNotNull)
       .select(Msg.Topic, Msg.Key, Msg.Value)
 
-  /** O12 read-twice (ref melt.clj:342-357 read-topics-loop): a long first
-    * read means its planned end offsets are stale on a live topic — one more
-    * incremental pass catches what landed meanwhile. The first read is
-    * MATERIALIZED (persist + count) before the catch-up is planned;
-    * otherwise both reads resolve their end offsets at the same action and
-    * the second pass can never see anything new. Overlap is harmless — the
-    * union is compacted as one frame, duplicate offsets collapse in max_by.
-    * The first read's cache stays live inside the returned frame. */
-  def topicStateLive(topics: Seq[String]): DataFrame = {
-    val cursor = endOffsets(topics)
-    // localCheckpoint (eager) forces the first pass NOW so the catch-up
-    // plans later end offsets; unlike persist(), its blocks are released by
-    // the ContextCleaner once the frame is unreachable — repeated polling
-    // doesn't accumulate pinned caches
-    val first = read(topics).localCheckpoint()
-    val catchUp = readFrom(topics, cursor)
-    MessageStore.compact(first.unionAll(catchUp))
+  /** O12 read-then-catch-up (ref melt.clj:342-357 read-topics-loop, whose
+    * `retries` arg is `catchUpPasses` here): a long read means its planned
+    * end offsets are stale on a live topic — each extra incremental pass
+    * catches what landed during the previous one. Every pass is MATERIALIZED
+    * (eager localCheckpoint) before the next is planned; otherwise all reads
+    * resolve their end offsets at the same action and later passes can never
+    * see anything new. Each pass's cursor is captured BEFORE its read, so
+    * the passes tile the log with (harmless) overlap — the union compacts as
+    * one frame, duplicate offsets collapse in max_by. localCheckpoint rather
+    * than persist(): blocks are released by the ContextCleaner once the
+    * frame is unreachable, so repeated polling doesn't accumulate pinned
+    * caches. `catchUpPasses = 0` degrades to a plain materialized read. */
+  def topicStateLive(topics: Seq[String], catchUpPasses: Int = 1): DataFrame = {
+    require(catchUpPasses >= 0, s"catchUpPasses must be >= 0: $catchUpPasses")
+    var cursor: Map[(String, Int), Long] = Map.empty
+    var log: DataFrame = null
+    var pass = 0
+    while (pass <= catchUpPasses) {
+      // the last pass's successor cursor would be unused — skip the call
+      // (it is a full scan on stores without an offsets API)
+      val nextCursor =
+        if (pass < catchUpPasses) endOffsets(topics) else cursor
+      val batch =
+        (if (pass == 0) read(topics) else readFrom(topics, cursor))
+          .localCheckpoint()
+      log = if (log == null) batch else log.unionAll(batch)
+      cursor = nextCursor
+      pass += 1
+    }
+    MessageStore.compact(log)
       .where(col(Msg.Value).isNotNull)
       .select(Msg.Topic, Msg.Key, Msg.Value)
   }

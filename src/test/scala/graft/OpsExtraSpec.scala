@@ -32,6 +32,46 @@ class OpsExtraSpec extends SparkSpec {
     assert(a == b && a.size == 2)
   }
 
+  /** A store where traffic lands DURING reads: each read/readFrom pass is
+    * materialized, then the next pending record arrives — the live-topic
+    * race topicStateLive's catch-up passes exist for (ref melt.clj:342-357). */
+  private final class LiveTrafficStore(inner: LocalStore,
+      pending: scala.collection.mutable.Queue[Seq[(String, String, String)]])
+      extends graft.store.MessageStore {
+    private def afterRead(df: org.apache.spark.sql.DataFrame) = {
+      val snapshot = df.localCheckpoint() // pin this pass's view NOW
+      if (pending.nonEmpty) inner.send(pending.dequeue()
+        .toDF("topic", "key", "value"))
+      snapshot
+    }
+    override def send(m: org.apache.spark.sql.DataFrame): Long = inner.send(m)
+    override def read(topics: Seq[String]) = afterRead(inner.read(topics))
+    override def readFrom(topics: Seq[String], after: Map[(String, Int), Long]) =
+      afterRead(inner.readFrom(topics, after))
+    override def listTopics(): Seq[String] = inner.listTopics()
+    override def endOffsets(topics: Seq[String]) = inner.endOffsets(topics)
+  }
+
+  test("O12 N catch-up passes each absorb one round of in-flight traffic") {
+    def scenario(passes: Int): Map[String, String] = {
+      val inner = new LocalStore(spark, tmpDir(s"liveN$passes"))
+      inner.send(Seq(("t", "k1", "v1")).toDF("topic", "key", "value"))
+      val store = new LiveTrafficStore(inner, scala.collection.mutable.Queue(
+        Seq(("t", "k2", "v2")),   // lands during the initial read
+        Seq(("t", "k1", "v1b")))) // lands during the first catch-up
+      store.topicStateLive(Seq("t"), catchUpPasses = passes)
+        .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    }
+    // N=0: plain snapshot — sees only what was there before the read
+    assert(scenario(0) == Map("k1" -> "v1"))
+    // N=1 (the default read-twice): catches the record that landed during
+    // the initial read, but not the one landing during the catch-up itself
+    assert(scenario(1) == Map("k1" -> "v1", "k2" -> "v2"))
+    // N=2: the second catch-up absorbs the overwrite that landed during the
+    // first — last-write-wins holds across passes
+    assert(scenario(2) == Map("k1" -> "v1b", "k2" -> "v2"))
+  }
+
   test("fresh store reads as an empty topic: first sync/verify bootstraps") {
     val store = new LocalStore(spark, tmpDir("fresh"))
     assert(store.read(Seq("t")).isEmpty)
