@@ -84,10 +84,13 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
-  /** The 8 deterministic integer hyperplanes and the 8-sign-bit bucket. */
-  private def hyperplaneBucket: Column = {
+  /** 8-sign-bit bucket from deterministic integer hyperplanes
+    * w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48, planes j = `firstPlane`
+    * to `firstPlane`+7. Different `firstPlane` values give independent hash
+    * tables from the same formula. */
+  private def hyperplaneBucket(firstPlane: Int = 0): Column = {
     import graft.functions.ArrayDot.dotLong
-    val planes = (0 until 8).map { j =>
+    val planes = (firstPlane until firstPlane + 8).map { j =>
       array((0 until 64).map(i =>
         lit(((i + 1).toLong * (j + 7) * 2654435761L) % 97 - 48)): _*)
     }
@@ -96,18 +99,54 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** ss03 — LSH-bucketed ANN: sign-of-projection onto 8 deterministic integer
-    * hyperplanes w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48 → 8-bit bucket;
-    * exact cosine re-rank of the query's bucket only. */
+  /** Probe set for one hash table: the bucket itself plus every bucket
+    * within Hamming distance 2 (8 one-bit + 28 two-bit flips = 37 of 256) —
+    * the buckets a near neighbor most likely lands in when one or two
+    * hyperplane signs disagree. */
+  private def probeSet(bucket: Column): Column = {
+    val flips: Seq[Column] =
+      (0 until 8).map(j => bucket.bitwiseXOR(lit(1L << j))) ++
+        (for (j <- 0 until 8; k <- (j + 1) until 8)
+          yield bucket.bitwiseXOR(lit((1L << j) | (1L << k))))
+    array(bucket +: flips: _*)
+  }
+
+  /** ss03 — multi-probe, multi-table LSH ANN: two independent 8-bit
+    * hyperplane tables (planes 0–7 and 8–15), each probed at Hamming ≤ 2
+    * (37 of 256 buckets); a candidate is any vector hitting either table's
+    * probe set, exact-cosine re-ranked. Two tables double the index columns
+    * but compound recall (a neighbor must be far from the query in BOTH
+    * sign-patterns to be missed); the measured recall floor vs the exact
+    * ss01 top-k is asserted in PipelinesSpec. The probe frames are 37 rows
+    * each, derived from the single query vector — broadcast by construction
+    * at any corpus size (unlike a corpus-sized frame, hinting them is
+    * safe). Candidate generation per table is an equi-join on the bucket
+    * id; at 100 TB the scan cost is the probed buckets' occupancy
+    * (2·37/256 ≈ 29% of one table's rows worst-case on uniform buckets),
+    * and the re-rank touches candidates only. */
   def ss03LshAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket)
+    val qv = corpus(spark, dir)
+      .withColumn("b1", hyperplaneBucket(0))
+      .withColumn("b2", hyperplaneBucket(8))
+      // both tables' candidate joins consume this; materialize once
+      .localCheckpoint()
     val query = qv.where(col("vec_id") === 0)
       .select(col("q").as("qq"), col("n2").as("qn2"),
-        col("bucket").as("qbucket"))
-    qv.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(query))
-      .where(col("bucket") === col("qbucket"))
+        col("b1").as("qb1"), col("b2").as("qb2"))
+    def candidates(bucketCol: String, queryBucket: String): DataFrame = {
+      val probes = query.select(
+        explode(probeSet(col(queryBucket))).as(bucketCol))
+      // a vector's bucket equals at most ONE probe value (probes are
+      // pairwise distinct), so the equi-join introduces no duplicates
+      qv.where(col("vec_id") =!= 0)
+        .join(broadcast(probes), Seq(bucketCol))
+        .select("vec_id")
+    }
+    val cand = candidates("b1", "qb1")
+      .unionAll(candidates("b2", "qb2")).distinct()
+    qv.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(query.select(col("qq"), col("qn2"))))
       .select(col("vec_id"),
         round(dotLong(col("q"), col("qq")).cast("double") /
           sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
@@ -128,7 +167,7 @@ object Similarity {
     * bounded cells instead of pinning one task with its n_b² pairs. */
   def ss04LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket)
+    val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket())
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
     Skew.selfPairs(qv, Seq("bucket"), "vec_id", maxGroup = 4096)

@@ -79,6 +79,19 @@ class PipelinesSpec extends SparkSpec {
     assert(ann.nonEmpty && !ann.contains(0L))
   }
 
+  test("ss03 multi-probe recall >= 70% of the exact top-k") {
+    // the named recall target for the single-table index: probing the
+    // query bucket + its 8 Hamming-1 neighbors must recover most of ss01's
+    // exact top-10 on the fixture corpus
+    val exact = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val ann = Similarity.ss03LshAnn(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"multi-probe recall vs exact top-10: $recall")
+    assert(recall >= 0.7, s"recall $recall below 0.7 target")
+  }
+
   test("ss04 LSH near-dup pairs are a subset of the exact ss02 pairs") {
     // candidate generation can lose recall (one bucket table) but must
     // never invent a pair: every surviving pair passed the exact filter
