@@ -12,9 +12,11 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // The driver tail-parses stdout for Bench's one-line metric JSON. Route
-// forked run output straight through (no `[info] ` prefix) and drop the
+// forked RUN output straight through (no `[info] ` prefix) and drop the
 // trailing `[success] Total time: ...` line so the metric is the last line.
-outputStrategy := Some(StdoutOutput)
+// Scoped to run/runMain only — tests keep their [info] prefixes.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -18,9 +18,14 @@ object Bench {
       try graft.sources.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // queries.get: a renamed key is a visible no-op (warned), not an
+    // exception silently eaten by the catch-all
     Seq("dd03_minhash_lsh", "t02_quality").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      SparkEntry.queries.get(q) match {
+        case Some(fn) => try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+        case None => System.err.println(s"[bench] warmup query missing: $q")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

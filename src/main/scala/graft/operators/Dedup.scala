@@ -21,10 +21,10 @@ import graft.sources.Tables.t
   *    verification of candidates only. Hash family is md5-derived modular
   *    hashing — deterministic and engine-portable, so even the probabilistic
   *    candidate set is bit-identical between Spark and the DuckDB oracle.
-  *  - dd04/dd05 SimHash: 32-bit signatures; near-dup = Hamming ≤ 4 found via
-  *    4×8-bit band blocking (pigeonhole: Hamming ≤ 4 over 4 bands ⇒ some
-  *    band is... — NOT exact for ≤4; it is the standard recall/blocking
-  *    trade-off, and deterministic, so the oracle computes the identical set).
+  *  - dd04/dd05 SimHash: 60-bit signatures; near-dup = Hamming ≤ 4 found via
+  *    5×12-bit band blocking, which is EXACT for Hamming ≤ 4 (pigeonhole:
+  *    ≤ 4 differing bits touch at most 4 of the 5 bands, so one band always
+  *    collides) — proven banded == brute force in PipelinesSpec.
   *
   * All hashing goes through md5 hex (identical in every engine); the only
   * numeric tower is int64 modular arithmetic — no float drift anywhere until
@@ -215,11 +215,16 @@ object Dedup {
     val hashed = tok.withColumn("h", md5Long(col("w"), 15))
     // all 60 bit-sums in ONE aggregation: the shuffle carries 60 longs per
     // doc (map-side combined) instead of 60 exploded rows per TOKEN — at
-    // 100 TB that's the difference between docs·480 B and tokens·60 rows
+    // 100 TB that's the difference between docs·480 B and tokens·60 rows.
+    // Branch-free form: summing the raw bit s_j = Σ (h>>j)&1 instead of ±1
+    // is the same signature (Σ±1 = 2·s_j − n ≥ 0 ⟺ 2·s_j ≥ n) without a
+    // conditional per bit per token in the aggregation hot loop.
     val sums = (0 until 60).map(j =>
-      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j"))
+      sum(expr(s"shiftright(h, $j) & 1")).as(s"v$j")) :+
+      count(lit(1)).as("vn")
     val sig = (0 until 60).map(j =>
-      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      when(col(s"v$j") * 2 >= col("vn"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     hashed.groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))

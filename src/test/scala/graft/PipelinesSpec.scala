@@ -108,6 +108,20 @@ class PipelinesSpec extends SparkSpec {
     assert(out.count() == 500)
   }
 
+  test("m01 oracle bytes-vs-chars equivalence holds: fixtures ASCII, non-empty, every SF") {
+    // the m01/m02 DuckDB oracles compute checksums per CHARACTER while the
+    // engine computes per BYTE — equal only for non-empty pure-ASCII text.
+    // Assert that precondition on every fixture SF so a future non-ASCII
+    // fixture fails HERE, not as a mysterious oracle hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val bad = graft.sources.Tables.t(spark, dir, "documents")
+        .where(octet_length(col("text")) =!= length(col("text")) ||
+          length(col("text")) === 0)
+      assert(bad.isEmpty, s"non-ASCII or empty document text in $dir")
+    }
+  }
+
   test("m01 multimodal decode: checksum in [0,256), frames at stride 100") {
     val out = Multimodal.m01Decode(spark, sf)
     assert(out.where(col("checksum") < 0 || col("checksum") > 255).isEmpty)
