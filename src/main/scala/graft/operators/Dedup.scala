@@ -236,6 +236,55 @@ object Dedup {
   def dd04Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy("doc_id")
 
+  /** dd06 — near-dup CLUSTER assignment: connected components over the
+    * dd05 Hamming ≤ 4 pair graph. Pairs alone aren't actionable in a
+    * curation pipeline — "keep one per group" needs the transitive group —
+    * so every document gets the smallest doc_id reachable through near-dup
+    * edges as its cluster id (singletons label themselves).
+    *
+    * Iterative min-label propagation: each round, a node's label becomes
+    * the min of its own and its neighbors' labels — one equi-join on the
+    * edge list plus one min-aggregate per round, both shuffling on doc_id.
+    * Rounds needed = component diameter; near-dup clusters are small and
+    * dense, so this converges in a handful of rounds (a web-scale graph
+    * with long chains would swap in large-star/small-star to cut rounds to
+    * O(log n) — the per-round shuffle shape is the same). Each round
+    * materializes via localCheckpoint so lineage doesn't grow with the
+    * iteration count, and convergence is detected distributed-side (an
+    * isEmpty on the changed-label frame), never by collecting labels. */
+  def dd06NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dd05SimhashPairs(spark, dir).select("ida", "idb")
+    val edges = pairs
+      .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .localCheckpoint()
+    var labels = t(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > 64) throw new IllegalStateException(
+        "label propagation did not converge in 64 rounds — component " +
+          "diameter outgrew the simple propagation; use star-contraction")
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("idb"), col("lbl").as("nlbl")),
+          Seq("idb"))
+        .groupBy(col("ida").as("doc_id"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("doc_id"), col("lbl").as("prev")), Seq("doc_id"))
+        .where(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
+  }
+
   /** dd05 — SimHash near-dup pairs: block on 5×12-bit bands, verify
     * Hamming ≤ 4 via bit_count(xor). Pigeonhole: ≤4 differing bits touch at
     * most 4 of the 5 bands, so every Hamming ≤ 4 pair shares at least one

@@ -18,6 +18,7 @@ object Pipelines {
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,
     "dd04_simhash" -> Dedup.dd04Simhash _,
     "dd05_simhash_pairs" -> Dedup.dd05SimhashPairs _,
+    "dd06_neardup_clusters" -> Dedup.dd06NearDupClusters _,
     "ss01_cosine_topk" -> Similarity.ss01CosineTopK _,
     "ss02_neardup" -> Similarity.ss02NearDup _,
     "ss03_lsh_ann" -> Similarity.ss03LshAnn _,

@@ -46,6 +46,28 @@ class PipelinesSpec extends SparkSpec {
     assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
   }
 
+  test("dd06 clusters are consistent, canonical, and cover singletons") {
+    val labels = Dedup.dd06NearDupClusters(spark, sf)
+    val pairs = Dedup.dd05SimhashPairs(spark, sf).select("ida", "idb")
+    // 1. every near-dup pair lands in ONE cluster (edge consistency)
+    val la = labels.select(col("doc_id").as("ida"), col("cluster").as("ca"))
+    val lb = labels.select(col("doc_id").as("idb"), col("cluster").as("cb"))
+    assert(pairs.join(la, "ida").join(lb, "idb")
+      .where(col("ca") =!= col("cb")).isEmpty)
+    // 2. the cluster id is the component's smallest member, and a member
+    assert(labels.groupBy("cluster")
+      .agg(min("doc_id").as("mn"))
+      .where(col("cluster") =!= col("mn")).isEmpty)
+    // 3. documents with no near-dup edge label themselves
+    val touched = pairs.select(col("ida").as("doc_id"))
+      .unionAll(pairs.select(col("idb").as("doc_id"))).distinct()
+    assert(labels.join(touched, Seq("doc_id"), "left_anti")
+      .where(col("cluster") =!= col("doc_id")).isEmpty)
+    // and clustering is a partition of the corpus
+    assert(labels.count() ==
+      graft.sources.Tables.t(spark, sf, "documents").count())
+  }
+
   test("c01 curation plan has no BroadcastNestedLoopJoin (LSH near-dup path)") {
     val plan = graft.operators.Curation.c01Curation(spark, sf)
       .queryExecution.executedPlan.toString
