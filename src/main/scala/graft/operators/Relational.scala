@@ -282,6 +282,52 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Q23 — AS-OF join: each error event picks up the latest click by the
+    * same user at-or-before its timestamp (the canonical "state as of event
+    * time" lookup Spark has no native operator for). Implemented as the
+    * sort-merge as-of: tag and UNION both sides, one window per user ordered
+    * by (time, tag) — clicks sort before errors at equal timestamps, since
+    * as-of is `>=` — and `last(_, ignoreNulls)` carries the most recent
+    * click forward onto each error row.
+    *
+    * Scale shape: ONE shuffle on user_id, then a linear merge per user in
+    * the window — no range-condition join (which Spark would plan as a
+    * broadcast-nested-loop over the time predicate, exploding at 100 TB).
+    * Clicks are pre-deduplicated to one per (user, µs) so the as-of winner
+    * is unique and the result engine-independent (DuckDB's ASOF JOIN
+    * leaves same-key ties unspecified). */
+  def q23AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsn"),
+        col("event_type"), col("value"))
+    val clicks = e.where(col("event_type") === "click")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "tsn").orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("tsn"),
+        col("event_id").as("cid"), col("value").as("cval"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("tsn"))
+    val tagged = clicks
+      .select(col("user_id"), col("tsn"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("cid"), col("cval"))
+      .unionAll(errors
+        .select(col("user_id"), col("tsn"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("long").as("cid"), lit(null).cast("double").as("cval")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsn"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id", last(col("cid"), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(col("cval"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("tsn"),
+        col("click_id"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -332,6 +378,8 @@ object Relational {
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events), x AS (SELECT user_id, event_id, tsn, CASE WHEN lag(tsn) OVER w IS NULL OR tsn - lag(tsn) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)), s AS (SELECT user_id, event_id, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM x) SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no",
     "q22_distinct_agg" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q23_asof_join" ->
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events), c0 AS (SELECT user_id, tsn, event_id, value, row_number() OVER (PARTITION BY user_id, tsn ORDER BY event_id DESC) AS rn FROM e WHERE event_type = 'click'), c AS (SELECT user_id, tsn, event_id AS click_id, value AS click_value FROM c0 WHERE rn = 1), err AS (SELECT event_id, user_id, tsn FROM e WHERE event_type = 'error') SELECT err.event_id, err.user_id, err.tsn, c.click_id, c.click_value FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.tsn >= c.tsn ORDER BY err.event_id",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -358,5 +406,6 @@ object Relational {
     "q20_lww_window" -> q20LwwWindow _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_distinct_agg" -> q22DistinctAgg _,
+    "q23_asof_join" -> q23AsofJoin _,
   )
 }
