@@ -24,6 +24,7 @@ object Pipelines {
     "ss03_lsh_ann" -> Similarity.ss03LshAnn _,
     "ss04_lsh_neardup" -> Similarity.ss04LshNearDup _,
     "ss05_label_centroids" -> Similarity.ss05LabelCentroids _,
+    "ss06_ivf_ann" -> Similarity.ss06IvfAnn _,
     "c01_curation" -> Curation.c01Curation _,
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,

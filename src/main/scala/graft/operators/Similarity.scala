@@ -181,6 +181,54 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
+  /** ss06 — IVF-style ANN: the label partition acts as the coarse quantizer
+    * (what ss05's centroids exist FOR). Centroid = component-wise integer
+    * SUM per cell — cosine against a sum-vector ranks identically to the
+    * mean-vector (scale invariance), so the whole coarse ranking stays in
+    * exact integer arithmetic. The query ranks the cells by centroid
+    * cosine, probes the top `nprobe = 2` of them, and exact-cosine re-ranks
+    * only those cells' members.
+    *
+    * Scale shape: the centroid table is |cells| rows (tiny — broadcast by
+    * construction), cell selection is a driver-free top-k over it, and the
+    * candidate scan is an equi-join on the label — the probed fraction of
+    * the corpus (~nprobe/|cells|) is the only data touched, with no
+    * per-vector hash tables to store (the IVF-vs-LSH trade: cheaper index,
+    * data-adaptive cells). A production IVF would k-means its cells; the
+    * pre-labeled corpus stands in for the assignment step here. */
+  def ss06IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantized.as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      // consumed by the centroid build, the query row, and the probe scan
+      .localCheckpoint()
+    val cent = emb
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("label", "i").agg(sum(col("qi")).as("cq"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    val cells = cent.crossJoin(broadcast(query))
+      .withColumn("ccos", dotLong(col("cvec"), col("qq")).cast("double") /
+        sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(2)
+      .select("label")
+    emb.where(col("vec_id") =!= 0)
+      .join(broadcast(cells), Seq("label"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(dotLong(col("q"), col("qq")).cast("double") /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** ss05 — per-label centroid aggregation, the IVF coarse-quantizer
     * building block: element-wise vector sums per group (one shuffle keyed
     * by (label, dim), partial sums map-side) plus the summed vector's

@@ -114,6 +114,20 @@ class PipelinesSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below 0.7 target")
   }
 
+  test("ss06 IVF ANN probes exactly two cells and recalls from them") {
+    val ann = Similarity.ss06IvfAnn(spark, sf)
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    // results live in at most 2 labels (the probed cells), never the query
+    val hitLabels = ann.join(emb, "vec_id").select("label").distinct().count()
+    assert(hitLabels <= 2 && ann.count() == 10)
+    assert(ann.where(col("vec_id") === 0).isEmpty)
+    val exact = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val got = ann.collect().map(_.getLong(0)).toSet
+    info(s"IVF nprobe=2 recall vs exact top-10: ${(exact & got).size / 10.0}")
+  }
+
   test("ss04 LSH near-dup pairs are a subset of the exact ss02 pairs") {
     // candidate generation can lose recall (one bucket table) but must
     // never invent a pair: every surviving pair passed the exact filter
