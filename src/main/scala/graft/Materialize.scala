@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Central policy for pinning shared subplans (the LSH signature frames,
+  * salted join inputs, per-round label frames, live-read snapshots):
+  * materialize NOW and cut lineage so multiple consumers reuse computed
+  * blocks instead of replicating the upstream pipeline (left pure-lazy, the
+  * shingle/minhash pipeline replicates 4–8× across a plan — measured in
+  * round 1).
+  *
+  * Default = eager `localCheckpoint`: blocks live on executors, are freed by
+  * the ContextCleaner once the frame is unreachable (safe for repeated
+  * polling), and are NOT recomputable after executor loss — the right trade
+  * for bounded derived frames on stable nodes.
+  *
+  * `spark.graft.reliableCheckpoint=true` switches every pin site to
+  * reliable checkpointing (written to the checkpoint dir on the cluster FS,
+  * survives executor loss) — the spot-instance/preemptible deployment mode.
+  * The checkpoint dir comes from `spark.graft.checkpointDir` unless
+  * `SparkContext.setCheckpointDir` was already called. Cost per pin: one
+  * write+read round trip to the FS instead of executor-memory blocks.
+  */
+object Materialize {
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.conf.getOption("spark.graft.checkpointDir") match {
+          case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
+          case None => throw new IllegalStateException(
+            "spark.graft.reliableCheckpoint=true needs a checkpoint dir: " +
+              "set spark.graft.checkpointDir or SparkContext.setCheckpointDir")
+        }
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+}

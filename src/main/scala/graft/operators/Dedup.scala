@@ -83,7 +83,7 @@ object Dedup {
       .agg(sort_array(collect_set(col("hs"))).as("set"))
       // consumed twice (streamed side + broadcast side of the pair join);
       // materialize once instead of replicating the shingle pipeline
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
 
   /** Scored candidate pairs: size prefilter, then the codegen'd two-pointer
     * intersection. c ≤ min(|A|,|B|) implies J ≤ min/max, so pairs with
@@ -163,14 +163,14 @@ object Dedup {
       min((lit(a) * col("hm") + lit(b)) % P).as(s"m$j")
     }
     // materialize the per-doc signatures once: sig feeds the band self-join
-    // (both sides) AND both set broadcasts — left as a pure plan the whole
+    // (both sides) AND both set-attach joins — left as a pure plan the whole
     // shingle pipeline is replicated 4-8x (verified: 8 parquet scans).
-    // localCheckpoint trades fault-tolerance for speed (blocks are not
-    // recomputable after executor loss): right for this bounded |docs|-row
-    // aggregate; a spot-instance deployment would use reliable checkpointing
+    // Materialize.pin defaults to localCheckpoint (fast, not recomputable
+    // after executor loss — right for this bounded |docs|-row aggregate);
+    // spot-instance deployments flip spark.graft.reliableCheckpoint=true
     val sig = hashed.groupBy("doc_id")
       .agg(sort_array(collect_set(col("hs"))).as("set"), sigCols: _*)
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
     val bandStructs = (0 until K / R).map { b =>
       struct(lit(b).as("band"), col(s"m${2 * b + 1}").as("k1"),
         col(s"m${2 * b + 2}").as("k2"))
@@ -229,7 +229,7 @@ object Dedup {
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
       // both sides of the band self-join consume this; materialize once
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
   }
 
   /** dd04 — SimHash signatures (the per-document sketch). */
@@ -249,17 +249,17 @@ object Dedup {
     * dense, so this converges in a handful of rounds (a web-scale graph
     * with long chains would swap in large-star/small-star to cut rounds to
     * O(log n) — the per-round shuffle shape is the same). Each round
-    * materializes via localCheckpoint so lineage doesn't grow with the
+    * materializes via Materialize.pin so lineage doesn't grow with the
     * iteration count, and convergence is detected distributed-side (an
     * isEmpty on the changed-label frame), never by collecting labels. */
   def dd06NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dd05SimhashPairs(spark, dir).select("ida", "idb")
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
     var labels = t(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -276,7 +276,7 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .transform(graft.Materialize.pin)
       converged = next
         .join(labels.select(col("doc_id"), col("lbl").as("prev")), Seq("doc_id"))
         .where(col("lbl") =!= col("prev")).isEmpty

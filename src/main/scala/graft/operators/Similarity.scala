@@ -130,7 +130,7 @@ object Similarity {
       .withColumn("b1", hyperplaneBucket(0))
       .withColumn("b2", hyperplaneBucket(8))
       // both tables' candidate joins consume this; materialize once
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
     val query = qv.where(col("vec_id") === 0)
       .select(col("q").as("qq"), col("n2").as("qn2"),
         col("b1").as("qb1"), col("b2").as("qb2"))
@@ -202,7 +202,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), quantized.as("q"))
       .withColumn("n2", dotLong(col("q"), col("q")))
       // consumed by the centroid build, the query row, and the probe scan
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
     val cent = emb
       .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("label", "i").agg(sum(col("qi")).as("cq"))

@@ -51,7 +51,7 @@ object Skew {
     // once (bounded: input rows)
     val packed = df
       .select(kc :+ struct(payload.map(col): _*).as("__skew_p"): _*)
-      .localCheckpoint()
+      .transform(graft.Materialize.pin)
     // one row per bucket — a bounded aggregate, shuffled map-side-combined
     val sizes = packed.groupBy(kc: _*).agg(count(lit(1)).as("__skew_n"))
     val maxN = Option(sizes.agg(max("__skew_n")).collect()(0).get(0))
@@ -73,7 +73,7 @@ object Skew {
           .withColumn("__skew_salt",
             pmod(xxhash64(col("__skew_p").getField(id)),
               col("__skew_g").cast("long")).cast("int"))
-          .localCheckpoint()
+          .transform(graft.Materialize.pin)
         val left = salted
           .withColumn("__skew_t",
             explode(sequence(lit(0), col("__skew_g") - 1)))

@@ -45,14 +45,15 @@ trait MessageStore {
     * `retries` arg is `catchUpPasses` here): a long read means its planned
     * end offsets are stale on a live topic — each extra incremental pass
     * catches what landed during the previous one. Every pass is MATERIALIZED
-    * (eager localCheckpoint) before the next is planned; otherwise all reads
-    * resolve their end offsets at the same action and later passes can never
-    * see anything new. Each pass's cursor is captured BEFORE its read, so
-    * the passes tile the log with (harmless) overlap — the union compacts as
-    * one frame, duplicate offsets collapse in max_by. localCheckpoint rather
-    * than persist(): blocks are released by the ContextCleaner once the
-    * frame is unreachable, so repeated polling doesn't accumulate pinned
-    * caches. `catchUpPasses = 0` degrades to a plain materialized read. */
+    * (eager, via [[graft.Materialize.pin]]) before the next is planned;
+    * otherwise all reads resolve their end offsets at the same action and
+    * later passes can never see anything new. Each pass's cursor is captured
+    * BEFORE its read, so the passes tile the log with (harmless) overlap —
+    * the union compacts as one frame, duplicate offsets collapse in max_by.
+    * Checkpoint rather than persist(): blocks are released by the
+    * ContextCleaner once the frame is unreachable, so repeated polling
+    * doesn't accumulate pinned caches. `catchUpPasses = 0` degrades to a
+    * plain materialized read. */
   def topicStateLive(topics: Seq[String], catchUpPasses: Int = 1): DataFrame = {
     require(catchUpPasses >= 0, s"catchUpPasses must be >= 0: $catchUpPasses")
     var cursor: Map[(String, Int), Long] = Map.empty
@@ -65,7 +66,7 @@ trait MessageStore {
         if (pass < catchUpPasses) endOffsets(topics) else cursor
       val batch =
         (if (pass == 0) read(topics) else readFrom(topics, cursor))
-          .localCheckpoint()
+          .transform(graft.Materialize.pin)
       log = if (log == null) batch else log.unionAll(batch)
       cursor = nextCursor
       pass += 1
