@@ -242,16 +242,17 @@ object Dedup {
     * so every document gets the smallest doc_id reachable through near-dup
     * edges as its cluster id (singletons label themselves).
     *
-    * Iterative min-label propagation: each round, a node's label becomes
-    * the min of its own and its neighbors' labels — one equi-join on the
-    * edge list plus one min-aggregate per round, both shuffling on doc_id.
-    * Rounds needed = component diameter; near-dup clusters are small and
-    * dense, so this converges in a handful of rounds (a web-scale graph
-    * with long chains would swap in large-star/small-star to cut rounds to
-    * O(log n) — the per-round shuffle shape is the same). Each round
-    * materializes via Materialize.pin so lineage doesn't grow with the
-    * iteration count, and convergence is detected distributed-side (an
-    * isEmpty on the changed-label frame), never by collecting labels. */
+    * Iterative min-label propagation with pointer jumping: each round a
+    * node's label becomes min(own, neighbors' labels) — one equi-join on
+    * the edge list plus one min-aggregate, both shuffling on doc_id — and
+    * then each node adopts its LABEL's label (one join on the |docs|-row
+    * label frame itself). The hop is what turns diameter-many rounds into
+    * ~log-diameter: labels chase the component minimum through two levels
+    * per round instead of one. Each round materializes via Materialize.pin
+    * so lineage doesn't grow with the iteration count, and convergence is
+    * detected distributed-side (an isEmpty on the changed-label frame
+    * carried inside the already-pinned round result), never by collecting
+    * labels. */
   def dd06NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dd05SimhashPairs(spark, dir).select("ida", "idb")
     val edges = pairs
@@ -272,15 +273,26 @@ object Dedup {
           Seq("idb"))
         .groupBy(col("ida").as("doc_id"))
         .agg(min(col("nlbl")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+      // pointer jump: adopt the label's own (new) label. label[v] always
+      // names a doc whose label is ≤ it, so the hop is monotone and the
+      // fixpoint (everyone at the component min, where the hop is the
+      // identity) is unchanged — it is only reached in ~half the rounds.
+      // Carrying `prev` in the SAME pinned frame lets the convergence
+      // check read materialized blocks instead of paying another join.
+      val merged = stepped
+        .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("hop")),
+          Seq("lbl"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("lbl"),
+          col("prev"))
         .transform(graft.Materialize.pin)
-      converged = next
-        .join(labels.select(col("doc_id"), col("lbl").as("prev")), Seq("doc_id"))
-        .where(col("lbl") =!= col("prev")).isEmpty
-      labels = next
+      converged = merged.where(col("lbl") =!= col("prev")).isEmpty
+      labels = merged.select("doc_id", "lbl")
     }
     labels.select(col("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
   }
