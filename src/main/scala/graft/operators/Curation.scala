@@ -30,4 +30,22 @@ object Curation {
       .where(col("quality") >= 0.3)
       .orderBy("doc_id")
   }
+
+  /** c02 — CLUSTER-canonical curation: keep a document iff it is the
+    * canonical representative (smallest doc_id) of its transitive near-dup
+    * cluster per dd06, and above the quality threshold. This is the
+    * principled form of near-dup removal: c01's pairwise loser-removal can
+    * drop BOTH members of a pair that bridge two clusters, while cluster
+    * assignment keeps exactly one survivor per connected component —
+    * singletons included, at no extra cost (they are their own cluster).
+    * The join is canonical-rep ∧ quality — Catalyst pushes the quality
+    * filter below the join and shares the documents scan between the
+    * quality and signature branches. */
+  def c02ClusterCuration(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.t02Quality(spark, dir)
+      .select("doc_id", "quality")
+      .join(Dedup.dd06NearDupClusters(spark, dir)
+        .where(col("cluster") === col("doc_id")).select("doc_id"), Seq("doc_id"))
+      .where(col("quality") >= 0.3)
+      .orderBy("doc_id")
 }

@@ -26,6 +26,7 @@ object Pipelines {
     "ss05_label_centroids" -> Similarity.ss05LabelCentroids _,
     "ss06_ivf_ann" -> Similarity.ss06IvfAnn _,
     "c01_curation" -> Curation.c01Curation _,
+    "c02_cluster_curation" -> Curation.c02ClusterCuration _,
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,
   )

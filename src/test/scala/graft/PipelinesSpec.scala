@@ -68,6 +68,19 @@ class PipelinesSpec extends SparkSpec {
       graft.sources.Tables.t(spark, sf, "documents").count())
   }
 
+  test("c02 keeps exactly the quality-passing cluster representatives") {
+    val kept = graft.operators.Curation.c02ClusterCuration(spark, sf)
+    val labels = Dedup.dd06NearDupClusters(spark, sf)
+    // every kept doc is its own cluster's canonical representative
+    assert(kept.join(labels, "doc_id")
+      .where(col("cluster") =!= col("doc_id")).isEmpty)
+    // and no quality-passing representative was dropped
+    val reps = labels.where(col("cluster") === col("doc_id")).select("doc_id")
+    val q = TextAnalysis.t02Quality(spark, sf).select("doc_id", "quality")
+      .where(col("quality") >= 0.3)
+    assert(kept.count() == reps.join(q, "doc_id").count())
+  }
+
   test("c01 curation plan has no BroadcastNestedLoopJoin (LSH near-dup path)") {
     val plan = graft.operators.Curation.c01Curation(spark, sf)
       .queryExecution.executedPlan.toString
