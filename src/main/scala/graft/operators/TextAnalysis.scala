@@ -87,8 +87,10 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** Normalization + md5 shared by t04 and dd01. */
-  private[operators] def fingerprint(text: Column): Column =
+  /** Normalization + md5 shared by t04, dd01, and the streaming dedup —
+    * ONE fingerprint definition so batch backfill and live tail agree on
+    * what "duplicate" means. */
+  private[graft] def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** t06 — per-language quality top-k: the "best documents per stratum"

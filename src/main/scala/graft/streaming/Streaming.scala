@@ -61,6 +61,24 @@ object Streaming {
       .toDF(Msg.Topic, Msg.Key, Msg.Value)
   }
 
+  /** Streaming exact dedup — dd01's fingerprint filter as a continuous
+    * operator over a document stream: normalize → fingerprint → keep the
+    * FIRST arrival per fingerprint, with dedup state EVICTED once the
+    * watermark passes it (`dropDuplicatesWithinWatermark`: state is keyed
+    * by fingerprint but TTL'd by event time, the standard trade that keeps
+    * state bounded by the window's key cardinality instead of growing
+    * forever on endless ingest). Use batch dd01 for the backfill; this
+    * guards the live tail of the same pipeline with the same fingerprint
+    * definition, so batch and streaming dedup agree on what "duplicate"
+    * means. */
+  def streamingDedup(docs: DataFrame, tsCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Event-time tumbling-window counts with late-data watermark — the
     * standard streaming-analytics shape the north star adds on top of the
     * reference (which orders by change version only, SURVEY §2.2). */

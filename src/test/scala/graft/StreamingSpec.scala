@@ -100,6 +100,31 @@ class StreamingSpec extends SparkSpec {
     assert(!emitted.contains((2, "k1", "v0")))
   }
 
+  test("streaming dedup keeps first arrival per fingerprint across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = Streaming.streamingDedup(docs, "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_dedup")
+      .start()
+    try {
+      in.addData(
+        (1L, "hello world", Timestamp.valueOf("2026-01-01 00:00:00")),
+        (2L, "other text", Timestamp.valueOf("2026-01-01 00:00:30")))
+      q.processAllAvailable()
+      in.addData(
+        // same fingerprint as doc 1 (normalization collapses whitespace/case)
+        (3L, "  Hello   WORLD ", Timestamp.valueOf("2026-01-01 00:01:00")),
+        (4L, "new stuff", Timestamp.valueOf("2026-01-01 00:02:00")))
+      q.processAllAvailable()
+      val kept = spark.table("stream_dedup").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // doc 3 deduped against doc 1's state from the earlier batch
+      assert(kept == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("event-time tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
