@@ -290,9 +290,11 @@ object Relational {
     * as-of is `>=` — and `last(_, ignoreNulls)` carries the most recent
     * click forward onto each error row.
     *
-    * Scale shape: ONE shuffle on user_id, then a linear merge per user in
-    * the window — no range-condition join (which Spark would plan as a
-    * broadcast-nested-loop over the time predicate, exploding at 100 TB).
+    * Scale shape: one shuffle on (user, µs) for the click dedup (planned
+    * with WindowGroupLimit, so only rank-1 rows survive the sort), then ONE
+    * shuffle on user_id with a linear merge per user in the window — no
+    * range-condition join (which Spark would plan as a broadcast-nested-
+    * loop over the time predicate, exploding at 100 TB).
     * Clicks are pre-deduplicated to one per (user, µs) so the as-of winner
     * is unique and the result engine-independent (DuckDB's ASOF JOIN
     * leaves same-key ties unspecified). */
