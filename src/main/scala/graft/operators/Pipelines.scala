@@ -13,6 +13,7 @@ object Pipelines {
     "t04_fingerprint" -> TextAnalysis.t04Fingerprint _,
     "t05_bpe_tokens" -> TextAnalysis.t05BpeTokens _,
     "t06_quality_topk" -> TextAnalysis.t06QualityTopK _,
+    "t07_repetition" -> TextAnalysis.t07Repetition _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,

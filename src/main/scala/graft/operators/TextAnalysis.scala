@@ -87,6 +87,32 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** t07 — repetition ratio (the Gopher/RefinedWeb-style duplicate-n-gram
+    * quality filter): fraction of word-trigrams that are repeats within the
+    * document. Boilerplate, keyword stuffing, and templated text score
+    * high; natural prose scores low. Map-only — the gram array, its
+    * distinct count, and the ratio are computed per row inside whole-stage
+    * codegen, no shuffle except the presentation sort. */
+  def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams3 = when(size(col("ws")) >= 3,
+      transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1), lit(" "),
+          element_at(col("ws"), i + 2))))
+      .otherwise(array())
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id"), grams3.as("g"))
+      .select(col("doc_id"),
+        size(col("g")).as("n_grams"),
+        size(array_distinct(col("g"))).as("n_unique"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_grams"), 3))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   /** Normalization + md5 shared by t04, dd01, and the streaming dedup —
     * ONE fingerprint definition so batch backfill and live tail agree on
     * what "duplicate" means. */
