@@ -258,43 +258,54 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .transform(graft.Materialize.pin)
-    var labels = t(spark, dir, "documents")
+    // propagate over the edge-TOUCHED subgraph only: per-round state is
+    // proportional to the near-dup fraction of the corpus, not the corpus
+    // (on a real corpus most documents are singletons and never enter the
+    // loop); singletons are attached after the fixpoint with a single
+    // left join
+    var labels = edges.select(col("ida").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .transform(graft.Materialize.pin)
     var converged = false
     var rounds = 0
+    var prevSum: java.math.BigDecimal = null
     while (!converged) {
       rounds += 1
       if (rounds > 64) throw new IllegalStateException(
         "label propagation did not converge in 64 rounds — component " +
           "diameter outgrew the simple propagation; use star-contraction")
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("idb"), col("lbl").as("nlbl")),
-          Seq("idb"))
-        .groupBy(col("ida").as("doc_id"))
-        .agg(min(col("nlbl")).as("nmin"))
-      val stepped = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev"))
-      // pointer jump: adopt the label's own (new) label. label[v] always
-      // names a doc whose label is ≤ it, so the hop is monotone and the
-      // fixpoint (everyone at the component min, where the hop is the
-      // identity) is unchanged — it is only reached in ~half the rounds.
-      // Carrying `prev` in the SAME pinned frame lets the convergence
-      // check read materialized blocks instead of paying another join.
+      // one round = messages (each node's label offered to every neighbor,
+      // UNION'd with its own — the union is free, no extra join) → min per
+      // node → pointer jump (adopt the label's own new label; label[v]
+      // always names a node whose label is ≤ it, so the hop is monotone
+      // and the fixpoint — everyone at the component min, where the hop is
+      // the identity — is unchanged, just reached in ~half the rounds)
+      val stepped = edges
+        .join(labels.select(col("doc_id").as("ida"), col("lbl")), Seq("ida"))
+        .select(col("idb").as("doc_id"), col("lbl"))
+        .unionAll(labels)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
       val merged = stepped
         .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("hop")),
           Seq("lbl"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("lbl"),
-          col("prev"))
+          least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("lbl"))
         .transform(graft.Materialize.pin)
-      converged = merged.where(col("lbl") =!= col("prev")).isEmpty
-      labels = merged.select("doc_id", "lbl")
+      // labels only ever DECREASE, so the total label sum is strictly
+      // monotone until the fixpoint: one exact scalar per round detects
+      // convergence with no prev-label join and no row comparison
+      val total = merged
+        .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+      converged = prevSum != null && total.compareTo(prevSum) == 0
+      prevSum = total
+      labels = merged
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
   }
 
   /** dd05 — SimHash near-dup pairs: block on 5×12-bit bands, verify
