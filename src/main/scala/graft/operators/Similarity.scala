@@ -156,28 +156,52 @@ object Similarity {
   }
 
   /** ss04 — LSH-bucketed near-dup pairs: the sub-quadratic scale path for
-    * ss02 (exactly as dd03 is for dd02). Candidate pairs only within a
-    * shared hyperplane bucket — an equi-join on the bucket id, so the pair
-    * volume is Σ_bucket n_b² instead of n², and the join is a plain shuffle
-    * (or broadcast) hash join — then exact cosine ≥ 0.4 on candidates.
-    * Deterministic hyperplanes ⇒ the probabilistic candidate set is still
-    * bit-reproducible against the oracle. The self-join goes through
-    * [[Skew.selfPairs]]: a hot bucket (embeddings cluster hard — one dense
-    * region can hold a large fraction of the corpus) is salted into
-    * bounded cells instead of pinning one task with its n_b² pairs. */
+    * ss02 (exactly as dd03 is for dd02). Candidate pairs share an 8-bit
+    * bucket in either of two independent hyperplane tables — per table an
+    * equi-join on the bucket id, so pair volume is Σ_bucket n_b² instead of
+    * n² — then exact cosine on candidates only. Deterministic hyperplanes ⇒
+    * the probabilistic candidate set is bit-reproducible against the
+    * oracle. Each self-join goes through [[Skew.selfPairs]]: a hot bucket
+    * (embeddings cluster hard — one dense region can hold a large fraction
+    * of the corpus) is salted into bounded cells instead of pinning one
+    * task with its n_b² pairs.
+    *
+    * Recall characteristics (sign-agreement probability 1 − θ/π per
+    * plane): for true near-DUPLICATES (cos ≥ 0.9, the mining regime this
+    * operator exists for) a pair collides in one 8-bit table with p ≈ 0.66
+    * — two tables ≈ 0.88. At this fixture's deliberately loose cos ≥ 0.4
+    * presentation threshold, per-table collision is only ~2.5%, so the
+    * emitted set is sparse — the subset relation vs exact ss02 and the
+    * oracle hash keep it honest; tighten recall by adding tables (union
+    * more `tableCands`), never by widening buckets (bucket occupancy, and
+    * with it Σ n_b², explodes). */
   def ss04LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val qv = corpus(spark, dir).withColumn("bucket", hyperplaneBucket())
+    // same two independent tables as ss03: a near-dup pair is a candidate
+    // if it shares a bucket in EITHER — recall compounds exactly as in the
+    // single-query ANN, and each table's self-join stays a salted
+    // equi-join (Σ_b n_b² per table, never an OR-condition join, which
+    // would plan as a nested loop)
+    val qv = corpus(spark, dir)
+      .withColumn("b1", hyperplaneBucket(0))
+      .withColumn("b2", hyperplaneBucket(8))
+      .transform(graft.Materialize.pin)
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
-    Skew.selfPairs(qv, Seq("bucket"), "vec_id", maxGroup = 4096)
-      .select(col("a.vec_id").as("ida"), col("a.q").as("qa"),
-        col("a.n2").as("na"), col("b.vec_id").as("idb"),
-        col("b.q").as("qb"), col("b.n2").as("nb"))
+    def tableCands(bucket: String): DataFrame =
+      Skew.selfPairs(
+        qv.select(col("vec_id"), col("q"), col("n2"), col(bucket)),
+        Seq(bucket), "vec_id", maxGroup = 4096)
+        .select(col("a.vec_id").as("ida"), col("a.q").as("qa"),
+          col("a.n2").as("na"), col("b.vec_id").as("idb"),
+          col("b.q").as("qb"), col("b.n2").as("nb"))
+    tableCands("b1").unionAll(tableCands("b2"))
       .withColumn("dot", dotLong(col("qa"), col("qb")))
       .withColumn("c", cosine)
       .where(col("c") >= 0.4)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cos"))
+      // a pair caught by both tables scores identically — distinct collapses
+      .distinct()
       .orderBy("ida", "idb")
   }
 
