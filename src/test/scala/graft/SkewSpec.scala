@@ -71,4 +71,35 @@ class SkewSpec extends SparkSpec {
     assert(Skew.selfPairs(df.where(col("bucket") < 0),
       Seq("bucket"), "vid", maxGroup = 50).isEmpty)
   }
+
+  test("property: pair-set equality holds on random skews and maxGroups") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random bucket-size profiles spanning fast path, salted path, and
+    // mixes of both within one frame (scalatestplus is unavailable
+    // offline — explicit sampling loop, failures print their seed)
+    val profileGen = for {
+      nBuckets <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nBuckets, Gen.oneOf(1, 2, 7, 40, 120))
+      maxGroup <- Gen.oneOf(3, 16, 64)
+    } yield (sizes, maxGroup)
+    (1L to 6L).foreach { seed =>
+      val (sizes, maxGroup) =
+        profileGen.pureApply(Gen.Parameters.default, Seed(seed))
+      withClue(s"seed=$seed sizes=$sizes maxGroup=$maxGroup") {
+        val rows = sizes.zipWithIndex.flatMap { case (n, b) =>
+          (0 until n).map(i => (b.toLong, (b * 1000 + i).toLong))
+        }
+        val in = rows.toDF("bucket", "vid")
+        val got = Skew.selfPairs(in, Seq("bucket"), "vid", maxGroup)
+          .select(col("a.vid").as("ida"), col("b.vid").as("idb"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (n, b) <- sizes.zipWithIndex
+          i <- 0 until n; j <- (i + 1) until n
+        } yield ((b * 1000 + i).toLong, (b * 1000 + j).toLong)).toSet
+        assert(got == want)
+      }
+    }
+  }
 }
