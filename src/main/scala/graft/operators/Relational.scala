@@ -330,6 +330,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q24 — grouped EXACT percentiles (latency/score distribution summaries):
+    * Spark's `percentile` and DuckDB's `quantile_cont` both define the
+    * quantile by linear interpolation between closest ranks, so the values
+    * agree bit-for-bit after presentation rounding. Scale note: exact
+    * percentile buffers each group's values (sort-based) — at 100 TB swap
+    * in `approx_percentile` (t-digest sketch, mergeable map-side, bounded
+    * memory) and accept the documented error bound; the query shape is
+    * identical. */
+  def q24Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Q25 — rollup aggregation (the report-cube shape): per (status,
+    * priority), per status, and grand total in ONE pass. Spark plans this
+    * as an Expand operator — each input row replicated once per grouping
+    * set BEFORE the shuffle, with partial aggregation after expansion, so
+    * the shuffle still carries groups, not rows. Money sums go through the
+    * round(×100)→int64 quantization that makes them exact and
+    * engine-portable (the double-summation-order trick used everywhere
+    * else in this engine). */
+  def q25Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -382,6 +415,10 @@ object Relational {
       "SELECT event_type, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "q23_asof_join" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events), c0 AS (SELECT user_id, tsn, event_id, value, row_number() OVER (PARTITION BY user_id, tsn ORDER BY event_id DESC) AS rn FROM e WHERE event_type = 'click'), c AS (SELECT user_id, tsn, event_id AS click_id, value AS click_value FROM c0 WHERE rn = 1), err AS (SELECT event_id, user_id, tsn FROM e WHERE event_type = 'error') SELECT err.event_id, err.user_id, err.tsn, c.click_id, c.click_value FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.tsn >= c.tsn ORDER BY err.event_id",
+    "q24_percentiles" ->
+      "SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q25_rollup" ->
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -409,5 +446,7 @@ object Relational {
     "q21_sessionize" -> q21Sessionize _,
     "q22_distinct_agg" -> q22DistinctAgg _,
     "q23_asof_join" -> q23AsofJoin _,
+    "q24_percentiles" -> q24Percentiles _,
+    "q25_rollup" -> q25Rollup _,
   )
 }
