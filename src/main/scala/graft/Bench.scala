@@ -37,7 +37,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures report -1 per query; they must not SUBTRACT from the total
+    val total = results.map(_._2).filter(_ >= 0).sum
     val metric =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Round-1 driver lesson: the metric line arrived as `[info] {...}` via

@@ -250,14 +250,18 @@ object Dedup {
     * ~log-diameter: labels chase the component minimum through two levels
     * per round instead of one. Each round materializes via Materialize.pin
     * so lineage doesn't grow with the iteration count, and convergence is
-    * detected distributed-side (an isEmpty on the changed-label frame
-    * carried inside the already-pinned round result), never by collecting
-    * labels. */
+    * one exact driver-side SCALAR per round (the decimal label-sum:
+    * labels only ever decrease, so an unchanged sum IS the fixpoint) —
+    * never a collect of the labels themselves. */
   def dd06NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dd05SimhashPairs(spark, dir).select("ida", "idb")
+    // pin the pair set BEFORE the bidirectional union: both branches then
+    // read materialized blocks instead of executing the whole dd05
+    // pipeline once each (simhashPairs is the unsorted core — dd05's
+    // presentation sort would be pure waste here)
+    val pairs = simhashPairs(spark, dir).select("ida", "idb")
+      .transform(graft.Materialize.pin)
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-      .transform(graft.Materialize.pin)
     // propagate over the edge-TOUCHED subgraph only: per-round state is
     // proportional to the near-dup fraction of the corpus, not the corpus
     // (on a real corpus most documents are singletons and never enter the
@@ -266,7 +270,9 @@ object Dedup {
     var labels = edges.select(col("ida").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .transform(graft.Materialize.pin)
-    var converged = false
+    // an edge-free corpus has nothing to propagate — and the sum-scalar
+    // convergence test below cannot fire on an empty frame (sum is null)
+    var converged = labels.isEmpty
     var rounds = 0
     var prevSum: java.math.BigDecimal = null
     while (!converged) {
@@ -285,6 +291,9 @@ object Dedup {
         .select(col("idb").as("doc_id"), col("lbl"))
         .unionAll(labels)
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        // both sides of the hop self-join consume this; pin or the message
+        // join + min-aggregate execute twice per round
+        .transform(graft.Materialize.pin)
       val merged = stepped
         .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("hop")),
           Seq("lbl"), "left")
@@ -314,7 +323,14 @@ object Dedup {
     * band verbatim — the blocking is EXACT (100% recall), not a trade-off.
     * The band self-join is salted ([[Skew.selfPairs]]) so a hot 12-bit
     * bucket (e.g. a boilerplate-heavy corpus slice) cannot pin one task. */
-  def dd05SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def dd05SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir).orderBy("ida", "idb")
+
+  /** The unsorted Hamming ≤ 4 pair set — dd05 adds the presentation sort;
+    * dd06 consumes it sort-free (its edge expansion would discard the
+    * ordering, but a pinned frame materializes it, so the sort must not be
+    * in this shared core). */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(4))).as("band"))
@@ -328,6 +344,5 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .where(col("hamming") <= 4)
       .select("ida", "idb", "hamming").distinct()
-      .orderBy("ida", "idb")
   }
 }

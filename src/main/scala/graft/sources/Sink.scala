@@ -25,9 +25,14 @@ object Sink {
       partitionCols: Seq[String] = Seq.empty,
       sortCols: Seq[String] = Seq.empty,
       maxRecordsPerFile: Long = 5000000L): Unit = {
+    // REBALANCE, not repartition: plain hash repartition on the partition
+    // columns funnels a hot value (one dominant language/date) into a
+    // single task — the rebalance hint keeps rows grouped by the columns
+    // but lets AQE split oversized partitions across tasks, each still
+    // writing into the one directory
     val routed =
       if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
+      else df.hint("rebalance", partitionCols.map(col): _*)
     val clustered =
       if (sortCols.isEmpty) routed
       else routed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)

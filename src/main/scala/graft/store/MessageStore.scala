@@ -218,8 +218,17 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
 
   /** AdminClient-backed metadata when kafka-clients is on the classpath or a
     * provider is injected; None in the offline build → scan fallbacks. */
-  private lazy val admin: Option[KafkaAdmin] =
-    adminOverride.orElse(ReflectiveKafkaAdmin.load(bootstrap, extraOpts))
+  @volatile private var adminCreated: Option[KafkaAdmin] = None
+  private lazy val admin: Option[KafkaAdmin] = {
+    val a = adminOverride.orElse(ReflectiveKafkaAdmin.load(bootstrap, extraOpts))
+    adminCreated = a
+    a
+  }
+
+  /** Release the AdminClient's network thread/sockets (no-op if metadata
+    * was never touched or no client could load). Injected providers are
+    * closed too — the store took ownership. */
+  def close(): Unit = adminCreated.foreach(_.close())
 
   private def partitionMap(topics: Seq[String]): Option[Map[String, Seq[Int]]] =
     partitionsOf.orElse(admin.map(_.partitionsOf(topics)))

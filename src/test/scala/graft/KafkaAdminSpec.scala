@@ -10,6 +10,8 @@ class KafkaAdminSpec extends SparkSpec {
 
   private final class FakeAdmin extends KafkaAdmin {
     var offsetCalls = 0
+    var closed = false
+    override def close(): Unit = closed = true
     override def listTopics(): Seq[String] = Seq("a", "b")
     override def partitionsOf(topics: Seq[String]): Map[String, Seq[Int]] =
       topics.map(_ -> Seq(0, 1)).toMap
@@ -47,6 +49,16 @@ class KafkaAdminSpec extends SparkSpec {
       fake.partitionsOf(Seq("a", "b")))
     // observed partitions resume after the cursor; the empty one at earliest
     assert(json == """{"a":{"0":42,"1":-2},"b":{"0":1,"1":7}}""")
+  }
+
+  test("close releases the admin client once created, is a no-op before") {
+    val fake = new FakeAdmin
+    val s = store(fake)
+    s.close() // metadata never touched — nothing to release
+    assert(!fake.closed)
+    s.endOffsets(Seq("a")) // forces lazy admin creation
+    s.close()
+    assert(fake.closed)
   }
 
   test("reflective loader degrades to None on this offline classpath") {

@@ -68,6 +68,22 @@ class PipelinesSpec extends SparkSpec {
       graft.sources.Tables.t(spark, sf, "documents").count())
   }
 
+  test("dd06 on an edge-free corpus returns all singletons without spinning") {
+    // regression: the sum-scalar convergence test can't fire on an empty
+    // label frame (sum of nothing is null) — the loop must short-circuit,
+    // not burn 64 rounds and throw
+    import spark.implicits._
+    val dir = tmpDir("nodups")
+    Seq((1L, "alpha beta gamma delta unique one"),
+      (2L, "epsilon zeta eta theta other words"),
+      (3L, "iota kappa lambda mu completely different"))
+      .toDF("doc_id", "text")
+      .write.parquet(dir + "/documents.parquet")
+    val out = Dedup.dd06NearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("c02 keeps exactly the quality-passing cluster representatives") {
     val kept = graft.operators.Curation.c02ClusterCuration(spark, sf)
     val labels = Dedup.dd06NearDupClusters(spark, sf)
@@ -115,9 +131,9 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("ss03 multi-probe recall >= 70% of the exact top-k") {
-    // the named recall target for the single-table index: probing the
-    // query bucket + its 8 Hamming-1 neighbors must recover most of ss01's
-    // exact top-10 on the fixture corpus
+    // the named recall target: two independent 8-bit tables, each probed
+    // at Hamming <= 2 (37 of 256 buckets), must together recover most of
+    // ss01's exact top-10 on the fixture corpus
     val exact = Similarity.ss01CosineTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet
     val ann = Similarity.ss03LshAnn(spark, sf).collect()
