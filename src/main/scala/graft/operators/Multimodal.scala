@@ -61,6 +61,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize result: original size, resized payload stats. */
+  final case class Resized(doc_id: Long, n_bytes: Int, resized_bytes: Int,
+      resized_checksum: Int)
+
+  /** m03 — media resize: payload → smaller payload, the thumbnail /
+    * downsample step of an ingest pipeline. STUB: nearest-neighbor
+    * "resize" keeping every `stride`-th byte (a real impl calls
+    * libjpeg/libvips scale-on-decode here — same per-partition-batch
+    * shape, same contract: binary in, smaller binary out). The output
+    * carries deterministic stats of the RESIZED payload so the
+    * transformation itself — not just the plumbing — is oracle-checked. */
+  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = 3
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real resizer: acquire scaler context once per batch here
+        batch.map { case (id, payload) =>
+          val resized = payload.indices.collect {
+            case i if i % stride == 0 => payload(i) // every stride-th byte
+          }
+          var sum = 0L
+          var i = 0
+          while (i < resized.length) { sum += resized(i) & 0xff; i += 1 }
+          Resized(id, payload.length, resized.length, (sum % 256).toInt)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** One sampled frame of a media payload. */
   final case class Frame(doc_id: Long, frame_no: Int, n_bytes: Int,
       checksum: Int)

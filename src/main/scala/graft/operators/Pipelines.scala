@@ -30,6 +30,7 @@ object Pipelines {
     "c02_cluster_curation" -> Curation.c02ClusterCuration _,
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,
+    "m03_resize" -> Multimodal.m03Resize _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql
