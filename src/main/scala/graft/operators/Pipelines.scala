@@ -31,6 +31,7 @@ object Pipelines {
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,
     "m03_resize" -> Multimodal.m03Resize _,
+    "sp01_split_sample" -> Sampling.sp01SplitSample _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Deterministic sampling / split assignment for training-mix construction
+  * (SURVEY.md §7.6 north star: the step between curation and training).
+  *
+  * Everything here is HASH-derived, never RNG-derived: split assignment and
+  * sampling decisions must be properties of the DOCUMENT, not of the run —
+  * a reshuffle, a retry, a cluster resize, or a different engine must never
+  * move a document across splits or flip its sampling decision (train/test
+  * leakage). `rand(seed)` fails all of these (row-order dependent);
+  * md5-derived buckets are stable everywhere, including in the DuckDB
+  * oracle, which computes the identical values. */
+object Sampling {
+
+  /** Salted md5 bucket in [0, 100): independent decisions per salt from one
+    * id (split assignment and sampling rate must not correlate — an
+    * unsalted shared bucket would put every sampled-out document in the
+    * same split region). */
+  private def bucket(salt: String, id: Column): Column =
+    (conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15),
+      16, 10).cast("long") % 100).cast("int")
+
+  /** sp01 — split assignment + per-language stratified sampling in one
+    * map-only pass: bucket < 90 → train, < 95 → val, else test; languages
+    * keep configured fractions (en 100%, fr 50%, de 25%, others 10%) — the
+    * data-mixing knob of a corpus pipeline. Zero shuffle except the
+    * presentation sort; at 100 TB this is scan-bandwidth-bound and
+    * embarrassingly parallel, and the decisions are reproducible
+    * bit-for-bit by any engine that can compute md5. */
+  def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
+    val sb = bucket("split", col("doc_id"))
+    val kb = bucket("sample", col("doc_id"))
+    val keepRate = when(col("lang") === "en", 100)
+      .when(col("lang") === "fr", 50)
+      .when(col("lang") === "de", 25)
+      .otherwise(10)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("split_bucket", sb)
+      .withColumn("split",
+        when(col("split_bucket") < 90, "train")
+          .when(col("split_bucket") < 95, "val")
+          .otherwise("test"))
+      .withColumn("kept", kb < keepRate)
+      .select("doc_id", "lang", "split", "kept")
+      .orderBy("doc_id")
+  }
+}

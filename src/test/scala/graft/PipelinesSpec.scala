@@ -173,6 +173,20 @@ class PipelinesSpec extends SparkSpec {
     assert(out.count() == 500)
   }
 
+  test("sp01 split/sample is a stable property of the document") {
+    val s = graft.operators.Sampling.sp01SplitSample(spark, sf)
+    // en keeps 100% by configuration — no en document is ever sampled out
+    assert(s.where(col("lang") === "en" && !col("kept")).isEmpty)
+    // the train fraction lands near the 90% design point
+    val frac = s.where(col("split") === "train").count().toDouble / s.count()
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+    // decisions are hash-derived, not run-derived: a second evaluation
+    // (fresh plan, different partitioning) agrees row-for-row
+    val again = graft.operators.Sampling.sp01SplitSample(spark, sf)
+      .repartition(7)
+    assert(s.except(again).isEmpty && again.except(s).isEmpty)
+  }
+
   test("m01 oracle bytes-vs-chars equivalence holds: fixtures ASCII, non-empty, every SF") {
     // the m01/m02 DuckDB oracles compute checksums per CHARACTER while the
     // engine computes per BYTE — equal only for non-empty pure-ASCII text.
