@@ -36,6 +36,31 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("GreaterThan(l_quantity,"), s"missing pushed filters:\n$plan")
   }
 
+  test("sketch alternatives track their exact counterparts within bounds") {
+    // q22/q24's scaladocs prescribe approx_count_distinct / approx_percentile
+    // at 100 TB (mergeable sketches, bounded memory) — hold them to their
+    // documented error bounds on the fixture so the recommendation is
+    // load-bearing, not folklore
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.t(spark, sf, "events")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("p50"))
+    val approx = events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("ua"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50a"))
+    val joined = exact.join(approx, "event_type").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      val (u, ua) = (r.getAs[Long]("u"), r.getAs[Long]("ua"))
+      assert(math.abs(ua - u).toDouble / u <= 0.10,
+        s"${r.getString(0)}: HLL++ distinct $ua vs exact $u")
+      val (p, pa) = (r.getAs[Double]("p50"), r.getAs[Double]("p50a"))
+      assert(math.abs(pa - p) <= 1.0,
+        s"${r.getString(0)}: approx p50 $pa vs exact $p")
+    }
+  }
+
   test("q01: column pruning reaches the scan (untouched columns unread)") {
     val plan = Relational.q01Scan(spark, sf)
       .queryExecution.executedPlan.toString
