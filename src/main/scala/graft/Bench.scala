@@ -37,10 +37,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // failures report -1 per query; they must not SUBTRACT from the total
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // a failed query reports -1; the headline total must not look BETTER
+    // for having failed (summing -1s understates, dropping them silently
+    // shrinks the workload) — any failure poisons the total to -1 and the
+    // failure count is explicit, with per-query entries showing which
+    val failed = results.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
     val metric =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Round-1 driver lesson: the metric line arrived as `[info] {...}` via
     // sbt's logger and parsed to null. Persist to a file AND print last
     // (build.sbt routes forked run output straight to stdout, unprefixed).

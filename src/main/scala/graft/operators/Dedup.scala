@@ -51,10 +51,9 @@ object Dedup {
       .distinct()
   }
 
-  /** 60-bit integer hash of a string via md5 (engine-portable: DuckDB
-    * computes CAST('0x'||substr(md5(s),1,15) AS BIGINT)). */
+  /** The shared engine-portable md5→int64 recipe. */
   private def md5Long(s: Column, hexChars: Int): Column =
-    conv(substring(md5(s), 1, hexChars), 16, 10).cast("long")
+    graft.functions.Hashing.md5Long(s, hexChars)
 
   /** dd01 — exact dedup: normalize → fingerprint → keep the min doc_id per
     * fingerprint group. Window over fp = one shuffle on the fingerprint. */

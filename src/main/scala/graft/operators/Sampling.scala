@@ -21,8 +21,8 @@ object Sampling {
     * unsalted shared bucket would put every sampled-out document in the
     * same split region). */
   private def bucket(salt: String, id: Column): Column =
-    (conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15),
-      16, 10).cast("long") % 100).cast("int")
+    (graft.functions.Hashing.md5Long(
+      concat(lit(salt + ":"), id.cast("string")), 15) % 100).cast("int")
 
   /** sp01 — split assignment + per-language stratified sampling in one
     * map-only pass: bucket < 90 → train, < 95 → val, else test; languages

@@ -225,10 +225,11 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     a
   }
 
-  /** Release the AdminClient's network thread/sockets (no-op if metadata
-    * was never touched or no client could load). Injected providers are
-    * closed too — the store took ownership. */
-  def close(): Unit = adminCreated.foreach(_.close())
+  /** Release the AdminClient's network thread/sockets. Injected providers
+    * are closed unconditionally — the store took ownership at
+    * construction; a reflective client is closed only if metadata was
+    * actually touched (closing would otherwise have to CREATE one). */
+  def close(): Unit = adminOverride.orElse(adminCreated).foreach(_.close())
 
   private def partitionMap(topics: Seq[String]): Option[Map[String, Seq[Int]]] =
     partitionsOf.orElse(admin.map(_.partitionsOf(topics)))

@@ -51,13 +51,11 @@ class KafkaAdminSpec extends SparkSpec {
     assert(json == """{"a":{"0":42,"1":-2},"b":{"0":1,"1":7}}""")
   }
 
-  test("close releases the admin client once created, is a no-op before") {
+  test("close releases an injected admin even if metadata was never touched") {
+    // ownership transfers at construction — an injected provider must not
+    // leak because the caller happened to only send/read
     val fake = new FakeAdmin
-    val s = store(fake)
-    s.close() // metadata never touched — nothing to release
-    assert(!fake.closed)
-    s.endOffsets(Seq("a")) // forces lazy admin creation
-    s.close()
+    store(fake).close()
     assert(fake.closed)
   }
 
