@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables.t
 
@@ -56,12 +55,20 @@ object Dedup {
     graft.functions.Hashing.md5Long(s, hexChars)
 
   /** dd01 — exact dedup: normalize → fingerprint → keep the min doc_id per
-    * fingerprint group. Window over fp = one shuffle on the fingerprint. */
+    * fingerprint group. Min-per-group via groupBy + join back, NOT an
+    * unbounded window over fp: a window buffers every row of a fingerprint
+    * group in one task, so one massively-duplicated document (the thing a
+    * dedup pass exists to find) would pin a single task with its whole
+    * group. The aggregate is map-side combined (one candidate per
+    * fingerprint per input partition crosses the wire) and AQE's skew-join
+    * split handles a hot fingerprint on the join side. */
   def dd01Exact(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("fp")
-    t(spark, dir, "documents")
+    val fps = t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+    val minPer = fps.groupBy("fp").agg(min(col("doc_id")).as("__mn"))
+    fps.join(minPer, "fp")
+      .withColumn("keep", col("doc_id") === col("__mn"))
+      .select("doc_id", "fp", "keep")
       .orderBy("doc_id")
   }
 

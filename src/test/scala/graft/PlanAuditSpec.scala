@@ -61,6 +61,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rank-limited windows plan with WindowGroupLimit (partial top-k before the sort)") {
+    // t06 partitions its window by LANGUAGE (very few distinct values):
+    // without WindowGroupLimit each language's entire corpus would buffer
+    // in one task; with it, every input partition pre-prunes to its own
+    // top-k so the per-language task sees k x partitions rows
+    val plan = graft.operators.TextAnalysis.t06QualityTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k pruning:\n$plan")
+  }
+
   test("q01: column pruning reaches the scan (untouched columns unread)") {
     val plan = Relational.q01Scan(spark, sf)
       .queryExecution.executedPlan.toString
