@@ -18,16 +18,23 @@ import org.apache.spark.sql.functions._
   * tiny relative to the corpus. */
 object Curation {
 
-  def c01Curation(spark: SparkSession, dir: String): DataFrame = {
+  def c01Curation(spark: SparkSession, dir: String): DataFrame =
+    curate(spark, dir, minQuality = 0.3, nearDupJaccard = 0.9)
+
+  /** Library surface: the fused pairwise curation with caller-chosen
+    * thresholds (the declared query pins 0.3/0.9 for the oracle). */
+  def curate(spark: SparkSession, dir: String, minQuality: Double,
+      nearDupJaccard: Double): DataFrame = {
     val quality = TextAnalysis.t02Quality(spark, dir)
       .select("doc_id", "quality")
     val keepers = Dedup.dd01Exact(spark, dir)
       .where(col("keep")).select("doc_id")
-    val nearDupLosers = Dedup.lshNearDupLosers(spark, dir, roundedMin = 0.9)
+    val nearDupLosers = Dedup.lshNearDupLosers(spark, dir,
+      roundedMin = nearDupJaccard)
     quality
       .join(keepers, "doc_id")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .where(col("quality") >= 0.3)
+      .where(col("quality") >= minQuality)
       .orderBy("doc_id")
   }
 
@@ -42,10 +49,16 @@ object Curation {
     * filter below the join and shares the documents scan between the
     * quality and signature branches. */
   def c02ClusterCuration(spark: SparkSession, dir: String): DataFrame =
+    curateClustered(spark, dir, minQuality = 0.3)
+
+  /** Library surface: cluster-canonical curation at a caller-chosen
+    * quality threshold (the declared query pins 0.3 for the oracle). */
+  def curateClustered(spark: SparkSession, dir: String,
+      minQuality: Double): DataFrame =
     TextAnalysis.t02Quality(spark, dir)
       .select("doc_id", "quality")
       .join(Dedup.dd06NearDupClusters(spark, dir)
         .where(col("cluster") === col("doc_id")).select("doc_id"), Seq("doc_id"))
-      .where(col("quality") >= 0.3)
+      .where(col("quality") >= minQuality)
       .orderBy("doc_id")
 }

@@ -134,7 +134,13 @@ object Dedup {
   }
 
   def dd02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardOfPairs(allPairs(spark, dir), 0.3)
+    ngramJaccardPairs(spark, dir, 0.3)
+
+  /** Library surface: exact all-pairs Jaccard at a caller-chosen threshold
+    * (the declared query pins 0.3 for the oracle). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    jaccardOfPairs(allPairs(spark, dir), threshold)
 
   /** Near-dup LOSERS at rounded Jaccard ≥ `roundedMin` — the curation-path
     * variant, routed through the MinHash-LSH banded candidates (the dd03
@@ -207,7 +213,15 @@ object Dedup {
     * verification of the (tiny) candidate set only, via the native
     * sorted-merge intersection on the per-doc sets. */
   def dd03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    jaccardOfPairs(minhashCandidatePairs(spark, dir), 0.3)
+    minhashNearDups(spark, dir, 0.3)
+
+  /** Library surface: MinHash-LSH near-dup pairs at a caller-chosen
+    * Jaccard threshold (the declared query pins 0.3 for the oracle).
+    * Recall of the banded candidate step rises with the threshold — at
+    * J ≥ 0.9 it is ≈ 0.99997 per pair (see lshNearDupLosers). */
+  def minhashNearDups(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    jaccardOfPairs(minhashCandidatePairs(spark, dir), threshold)
 
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
@@ -330,13 +344,24 @@ object Dedup {
     * The band self-join is salted ([[Skew.selfPairs]]) so a hot 12-bit
     * bucket (e.g. a boilerplate-heavy corpus slice) cannot pin one task. */
   def dd05SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(spark, dir).orderBy("ida", "idb")
+    simhashNearDups(spark, dir, maxHamming = 4).orderBy("ida", "idb")
+
+  /** Library surface: SimHash near-dup pairs at a caller-chosen Hamming
+    * radius. The 5×12-bit banding is EXACT (pigeonhole) only for radius
+    * ≤ 4; a larger radius keeps the same blocking and becomes a recall
+    * trade — widen the bands (more, narrower) to restore exactness. */
+  def simhashNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 60, s"radius: $maxHamming")
+    simhashPairs(spark, dir, maxHamming)
+  }
 
   /** The unsorted Hamming ≤ 4 pair set — dd05 adds the presentation sort;
     * dd06 consumes it sort-free (its edge expansion would discard the
     * ordering, but a pinned frame materializes it, so the sort must not be
     * in this shared core). */
-  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 4): DataFrame = {
     val sig = simhashSig(spark, dir)
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(4))).as("band"))
@@ -348,7 +373,7 @@ object Dedup {
       .select(col("a.doc_id").as("ida"), col("a.simhash").as("ha"),
         col("b.doc_id").as("idb"), col("b.simhash").as("hb"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .where(col("hamming") <= 4)
+      .where(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming").distinct()
   }
 }
