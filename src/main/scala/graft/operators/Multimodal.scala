@@ -81,14 +81,14 @@ object Multimodal {
       .mapPartitions { batch =>
         // real resizer: acquire scaler context once per batch here
         batch.map { case (id, payload) =>
-          // every stride-th byte, allocation-free (hot path: runs per doc
-          // in both Verify and the timed bench pass)
+          // stats straight off the strided indices — the resized payload is
+          // never materialized (the only per-row allocation is the Resized
+          // record; a real resizer would of course allocate its output)
           val n = (payload.length + stride - 1) / stride
-          val resized = Array.tabulate(n)(k => payload(k * stride))
           var sum = 0L
-          var i = 0
-          while (i < resized.length) { sum += resized(i) & 0xff; i += 1 }
-          Resized(id, payload.length, resized.length, (sum % 256).toInt)
+          var k = 0
+          while (k < n) { sum += payload(k * stride) & 0xff; k += 1 }
+          Resized(id, payload.length, n, (sum % 256).toInt)
         }
       }
       .toDF()

@@ -332,8 +332,13 @@ object Relational {
 
   /** Q24 — grouped EXACT percentiles (latency/score distribution summaries):
     * Spark's `percentile` and DuckDB's `quantile_cont` both define the
-    * quantile by linear interpolation between closest ranks, so the values
-    * agree bit-for-bit after presentation rounding. Scale note: exact
+    * quantile by linear interpolation between closest ranks. The engines
+    * order the interpolation arithmetic differently, so a value landing
+    * within ~1 ULP of a 4-decimal rounding boundary could round apart —
+    * "agrees after rounding" is a property of this fixture, not a theorem
+    * (same caveat as the other float-adjacent queries here, which is why
+    * money aggregates use the ×100→int64 quantization instead). Scale note:
+    * exact
     * percentile buffers each group's values (sort-based) — at 100 TB swap
     * in `approx_percentile` (t-digest sketch, mergeable map-side, bounded
     * memory) and accept the documented error bound; the query shape is

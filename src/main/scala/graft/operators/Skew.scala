@@ -31,14 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Internal + output column names; caller frames must not use them. */
+  /** Internal working-column names; caller frames must not use them. The
+    * OUTPUT columns `a`/`b` are fine as input names — the pair structs live
+    * under __skew_a/__skew_b until the final select, after every input
+    * column has been packed away or dropped. */
   private val Reserved =
-    Seq("__skew_p", "__skew_n", "__skew_g", "__skew_salt", "__skew_t", "a", "b")
+    Seq("__skew_p", "__skew_n", "__skew_g", "__skew_salt", "__skew_t",
+      "__skew_a", "__skew_b")
 
   /** All same-bucket pairs (a, b) with a.`id` < b.`id`, as two struct
     * columns holding every non-key column. `df` columns = `keys` ++ payload
-    * (payload must include `id`). Per-task right-side group size is bounded
-    * by `maxGroup` (up to hash imbalance within a bucket). */
+    * (payload must include `id`); any names except the `__skew_*` internals
+    * are allowed. Per-task right-side group size is bounded by `maxGroup`
+    * (up to hash imbalance within a bucket). */
   def selfPairs(df: DataFrame, keys: Seq[String], id: String,
       maxGroup: Int): DataFrame = {
     val clash = df.columns.intersect(Reserved)
@@ -61,8 +66,8 @@ object Skew {
         // unskewed fast path: no salt columns, no left-side replication —
         // the plain bucket self-join, with per-task pair volume already
         // bounded by maxGroup²
-        packed.select(kc :+ col("__skew_p").as("a"): _*)
-          .join(packed.select(kc :+ col("__skew_p").as("b"): _*), keys)
+        packed.select(kc :+ col("__skew_p").as("__skew_a"): _*)
+          .join(packed.select(kc :+ col("__skew_p").as("__skew_b"): _*), keys)
       } else {
         // sizes is one row per bucket; as a plain equi-join AQE broadcasts
         // it when small (no mandatory-broadcast hint — same 8 GB-ceiling
@@ -77,14 +82,14 @@ object Skew {
         val left = salted
           .withColumn("__skew_t",
             explode(sequence(lit(0), col("__skew_g") - 1)))
-          .select(kc :+ col("__skew_t") :+ col("__skew_p").as("a"): _*)
+          .select(kc :+ col("__skew_t") :+ col("__skew_p").as("__skew_a"): _*)
         val right = salted
           .select(kc :+ col("__skew_salt").as("__skew_t") :+
-            col("__skew_p").as("b"): _*)
+            col("__skew_p").as("__skew_b"): _*)
         left.join(right, keys :+ "__skew_t")
       }
     pairs
-      .where(col("a").getField(id) < col("b").getField(id))
-      .select(col("a"), col("b"))
+      .where(col("__skew_a").getField(id) < col("__skew_b").getField(id))
+      .select(col("__skew_a").as("a"), col("__skew_b").as("b"))
   }
 }

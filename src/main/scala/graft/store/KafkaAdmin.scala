@@ -13,7 +13,10 @@ package graft.store
   */
 trait KafkaAdmin {
   def listTopics(): Seq[String]
-  /** topic → partition ids, for every requested topic that exists. */
+  /** topic → partition ids, for every requested topic that exists. Topics
+    * the cluster does not know are OMITTED from the result, not errors —
+    * one missing topic must not fail offset discovery for the rest (the
+    * reflective impl describes per topic for exactly this isolation). */
   def partitionsOf(topics: Seq[String]): Map[String, Seq[Int]]
   /** (topic, partition) → next-offset-to-write, for every partition of the
     * requested topics. */
@@ -53,11 +56,26 @@ object ReflectiveKafkaAdmin {
     * runtime class; all AdminClient surface methods are public. */
   private final class Reflective(client: AnyRef) extends KafkaAdmin {
 
+    /** Reflection and KafkaFuture both wrap the real failure — surface the
+      * underlying Kafka exception to callers instead of
+      * InvocationTargetException/ExecutionException nesting. */
+    @annotation.tailrec
+    private def unwrap(t: Throwable): Throwable = t match {
+      case e: java.lang.reflect.InvocationTargetException
+          if e.getCause != null => unwrap(e.getCause)
+      case e: java.util.concurrent.ExecutionException
+          if e.getCause != null => unwrap(e.getCause)
+      case other => other
+    }
+
     private def call(target: AnyRef, method: String, sig: Class[_]*)(
         args: AnyRef*): AnyRef = {
       val m = target.getClass.getMethod(method, sig: _*)
       m.setAccessible(true)
-      m.invoke(target, args: _*)
+      try m.invoke(target, args: _*)
+      catch {
+        case e: java.lang.reflect.InvocationTargetException => throw unwrap(e)
+      }
     }
 
     private def futureGet(result: AnyRef, accessor: String): AnyRef =
@@ -71,18 +89,32 @@ object ReflectiveKafkaAdmin {
 
     override def partitionsOf(topics: Seq[String]): Map[String, Seq[Int]] = {
       import scala.jdk.CollectionConverters._
-      val res = call(client, "describeTopics", classOf[java.util.Collection[_]])(
-        topics.asJava)
-      // allTopicNames() replaced all() in kafka-clients 3.x; support both
-      val fut =
-        try futureGet(res, "allTopicNames")
-        catch { case _: NoSuchMethodException => futureGet(res, "all") }
-      fut.asInstanceOf[java.util.Map[String, AnyRef]].asScala.map {
-        case (topic, desc) =>
-          val parts = call(desc, "partitions")()
-            .asInstanceOf[java.util.List[AnyRef]].asScala
-            .map(p => call(p, "partition")().asInstanceOf[Integer].intValue())
-          topic -> parts.toSeq.sorted
+      // one describeTopics per topic: the batched call's all() future fails
+      // wholesale when ANY topic is unknown, which would violate the trait's
+      // omit-missing contract. Driver-side metadata over a handful of topics
+      // — per-topic round trips are noise next to offset listing.
+      topics.flatMap { topic =>
+        try {
+          val res = call(client, "describeTopics",
+            classOf[java.util.Collection[_]])(Seq(topic).asJava)
+          // allTopicNames() replaced all() in kafka-clients 3.x; support both
+          val fut =
+            try futureGet(res, "allTopicNames")
+            catch { case _: NoSuchMethodException => futureGet(res, "all") }
+          fut.asInstanceOf[java.util.Map[String, AnyRef]].asScala.map {
+            case (t, desc) =>
+              val parts = call(desc, "partitions")()
+                .asInstanceOf[java.util.List[AnyRef]].asScala
+                .map(p =>
+                  call(p, "partition")().asInstanceOf[Integer].intValue())
+              t -> parts.toSeq.sorted
+          }
+        } catch {
+          // by-name match: kafka-clients is not on the compile classpath
+          case e: Throwable if e.getClass.getName ==
+              "org.apache.kafka.common.errors.UnknownTopicOrPartitionException" =>
+            Nil
+        }
       }.toMap
     }
 

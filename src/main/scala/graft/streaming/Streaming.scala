@@ -114,10 +114,15 @@ object Streaming {
     * keys whose compacted value CHANGED (tombstones as null values — delete
     * them downstream); the last-write-wins state lives in Spark's
     * distributed, checkpointed state store, sized by key cardinality per
-    * executor — not in driver memory. Stop/restart with the same
-    * checkpointDir resumes exactly-once: recovered aggregation state keeps
-    * old offsets authoritative, so a late replay of an older offset cannot
-    * regress a key (proved by the restart test in StreamingSpec). */
+    * executor — not in driver memory. Delivery contract on restart with the
+    * same checkpointDir: the STATE is exactly-once (recovered aggregation
+    * state keeps old offsets authoritative, so a late replay of an older
+    * offset cannot regress a key — proved by the restart test in
+    * StreamingSpec), but `foreachBatch` delivery to the sink is
+    * AT-LEAST-ONCE — a crash between `upsert(batch)` and the checkpoint
+    * commit re-delivers that batch's keys. The caller's upsert must be
+    * idempotent per key (a keyed upsert naturally is; a non-idempotent sink
+    * should dedup on the foreachBatch batchId). */
   def compactedConsume(log: DataFrame, checkpointDir: String,
       queryName: String)(
       upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =

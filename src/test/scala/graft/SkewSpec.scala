@@ -67,6 +67,18 @@ class SkewSpec extends SparkSpec {
     assert(e.getMessage.contains("__skew_salt"))
   }
 
+  test("payload columns named a/b are allowed (only __skew_* is reserved)") {
+    // 'a'/'b' are the OUTPUT struct names; plain single-letter payload
+    // columns are common in ad-hoc frames and must survive the rename dance
+    val ab = df.withColumnRenamed("payload", "a").withColumn("b", col("vid"))
+    val pairs = Skew.selfPairs(ab.where(col("bucket") > 0),
+      Seq("bucket"), "vid", maxGroup = 50)
+    assert(pairs.count() == 2 * 45)
+    assert(pairs.columns.toSeq == Seq("a", "b"))
+    // the payload columns ride inside the structs
+    assert(pairs.select(col("a.a"), col("a.b"), col("b.a")).count() == 90)
+  }
+
   test("empty input yields an empty pair set via the fast path") {
     assert(Skew.selfPairs(df.where(col("bucket") < 0),
       Seq("bucket"), "vid", maxGroup = 50).isEmpty)
