@@ -36,7 +36,13 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val R = 2  // rows per band → 8 bands
 
-  /** Distinct word-bigram shingles per doc: (doc_id, s). */
+  /** Distinct word-bigram shingles per doc: (doc_id, s). Per-doc dedup is
+    * `array_distinct` BEFORE the explode — a map-only operation — never an
+    * exploded `.distinct()`, which would shuffle every shingle OCCURRENCE
+    * of the corpus just to drop within-document repeats (cross-document
+    * rows were never mergeable anyway: doc_id is in the key). At 100 TB
+    * that distinct-shuffle is the single largest data movement in the
+    * whole dedup family; this formulation has none. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     val ws = TextAnalysis.toks
     val grams = when(size(col("ws")) >= 2,
@@ -46,8 +52,7 @@ object Dedup {
       .otherwise(array())
     t(spark, dir, "documents")
       .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), explode(grams).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(grams)).as("s"))
   }
 
   /** The shared engine-portable md5→int64 recipe. */
@@ -229,9 +234,11 @@ object Dedup {
     * signature admits ~20% of all pairs as candidates at this corpus size;
     * 60 bits admits ~the true-positive rate). */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    // per-doc distinct tokens via map-only array_distinct — NOT an exploded
+    // .distinct(), which would full-shuffle every token occurrence (same
+    // rationale as shingles() above)
     val tok = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(TextAnalysis.toks).as("w"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.toks)).as("w"))
     val hashed = tok.withColumn("h", md5Long(col("w"), 15))
     // all 60 bit-sums in ONE aggregation: the shuffle carries 60 longs per
     // doc (map-side combined) instead of 60 exploded rows per TOKEN — at
@@ -314,12 +321,7 @@ object Dedup {
         // both sides of the hop self-join consume this; pin or the message
         // join + min-aggregate execute twice per round
         .transform(graft.Materialize.pin)
-      val merged = stepped
-        .join(stepped.select(col("doc_id").as("lbl"), col("lbl").as("hop")),
-          Seq("lbl"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("lbl"))
-        .transform(graft.Materialize.pin)
+      val merged = jump(stepped)
       // labels only ever DECREASE, so the total label sum is strictly
       // monotone until the fixpoint: one exact scalar per round detects
       // convergence with no prev-label join and no row comparison
@@ -336,6 +338,19 @@ object Dedup {
         coalesce(col("lbl"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }
+
+  /** One pointer jump: every node adopts its label's own label —
+    * lbl[v] ← min(lbl[v], lbl[lbl[v]]). Monotone (a label always names a
+    * node whose label is ≤ it), fixpoint-preserving (at the component min
+    * the hop is the identity). Pins its output because the next jump (or
+    * the convergence scalar + next round) consumes it from both sides. */
+  private def jump(labelFrame: DataFrame): DataFrame =
+    labelFrame
+      .join(labelFrame.select(col("doc_id").as("lbl"), col("lbl").as("hop")),
+        Seq("lbl"), "left")
+      .select(col("doc_id"),
+        least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("lbl"))
+      .transform(graft.Materialize.pin)
 
   /** dd05 — SimHash near-dup pairs: block on 5×12-bit bands, verify
     * Hamming ≤ 4 via bit_count(xor). Pigeonhole: ≤4 differing bits touch at
