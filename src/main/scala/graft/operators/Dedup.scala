@@ -228,6 +228,38 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardOfPairs(minhashCandidatePairs(spark, dir), threshold)
 
+  /** dd07 — passage-level exact dedup (the boilerplate-removal shape:
+    * repeated headers/footers/templates recur across documents even when
+    * whole documents differ). Each document's token stream is split into
+    * non-overlapping `passageTokens`-token passages — a map-only
+    * slice/array_join over the token array, no shuffle — and a passage
+    * instance counts as duplicated when its text occurs anywhere else in
+    * the corpus (≥ 2 occurrences corpus-wide). One shuffle on the passage
+    * string to count occurrences (map-side combined), one join back; the
+    * document text itself never moves. */
+  def dd07PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedup(spark, dir, passageTokens = 20)
+
+  /** Library surface: passage dedup at a caller-chosen passage length (the
+    * declared query pins 20 tokens for the oracle). */
+  def passageDedup(spark: SparkSession, dir: String,
+      passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens: $passageTokens")
+    val p = passageTokens
+    val chunks = transform(
+      sequence(lit(0), expr(s"(size(ws) + ${p - 1}) div $p") - 1),
+      c => array_join(slice(col("ws"), c * p + 1, lit(p)), " "))
+    val passages = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.toks.as("ws"))
+      .select(col("doc_id"), explode(chunks).as("passage"))
+    val counts = passages.groupBy("passage").agg(count(lit(1)).as("occ"))
+    passages.join(counts, "passage")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
     * int64 in every engine; production-strength discrimination (a 32-bit

@@ -14,12 +14,15 @@ object Pipelines {
     "t05_bpe_tokens" -> TextAnalysis.t05BpeTokens _,
     "t06_quality_topk" -> TextAnalysis.t06QualityTopK _,
     "t07_repetition" -> TextAnalysis.t07Repetition _,
+    "t08_scrub" -> TextAnalysis.t08Scrub _,
+    "t09_top_ngrams" -> TextAnalysis.t09TopNgrams _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,
     "dd04_simhash" -> Dedup.dd04Simhash _,
     "dd05_simhash_pairs" -> Dedup.dd05SimhashPairs _,
     "dd06_neardup_clusters" -> Dedup.dd06NearDupClusters _,
+    "dd07_passage_dedup" -> Dedup.dd07PassageDedup _,
     "ss01_cosine_topk" -> Similarity.ss01CosineTopK _,
     "ss02_neardup" -> Similarity.ss02NearDup _,
     "ss03_lsh_ann" -> Similarity.ss03LshAnn _,

@@ -136,6 +136,55 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** t08 — pattern scrub (the PII-redaction shape): replace every match of
+    * a regex with a redaction marker and report the hit count — pure
+    * per-row regexp_replace/regexp_extract_all inside whole-stage codegen,
+    * no shuffle except the presentation sort. In production the pattern
+    * set is emails/phones/SSNs/URLs; the declared query pins fixture
+    * vocabulary (`customer|vector`) so replacements actually exercise the
+    * rewrite on the synthetic corpus. Regex subset is chosen to mean the
+    * same thing in Java regex (Spark) and RE2 (DuckDB): literal
+    * alternation + \b word boundaries. */
+  def t08Scrub(spark: SparkSession, dir: String): DataFrame =
+    scrub(spark, dir, "\\b(customer|vector)\\b", "[X]")
+
+  /** Library surface: scrub at a caller-chosen pattern/replacement (the
+    * declared query pins fixture-matching terms for the oracle). */
+  def scrub(spark: SparkSession, dir: String, pattern: String,
+      replacement: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .as("n_hits"),
+        regexp_replace(col("text"), pattern, replacement).as("scrubbed"))
+      .withColumn("n_chars_scrubbed", length(col("scrubbed")))
+      .orderBy("doc_id")
+
+  /** t09 — corpus-wide n-gram frequency top-k (the vocabulary/boilerplate
+    * census a pipeline runs before filtering): word bigrams, counted with
+    * map-side partial aggregation — the shuffle carries one row per
+    * DISTINCT gram per partition, not one per occurrence — then a global
+    * top-k that plans as TakeOrderedAndProject (no full sort of the gram
+    * table, each partition keeps k candidates). Total order (n DESC, gram)
+    * for determinism. */
+  def t09TopNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgrams(spark, dir, 20)
+
+  /** Library surface: corpus bigram top-k at caller-chosen k. */
+  def topNgrams(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val grams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array())
+    t(spark, dir, "documents")
+      .select(toks.as("ws"))
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
+
   /** t05 — BPE-ish sub-token counting: letter runs / digit runs / single
     * punctuation, the pre-tokenization split every BPE-family tokenizer
     * applies before merges. Compared against the whitespace word count —

