@@ -42,4 +42,33 @@ object Sink {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Bucketed table layout — the co-located-join story at 100 TB: pay the
+    * shuffle ONCE at write time (rows hashed into `buckets` files per the
+    * bucket columns, optionally sorted within each bucket), and every
+    * downstream join or aggregation on those columns is then
+    * Exchange-free — two tables bucketed the same way sort-merge join with
+    * ZERO shuffle of either side, and a groupBy on the bucket key skips
+    * its exchange too. This is the right layout for the entity tables a
+    * pipeline joins repeatedly (documents↔scores, orders↔customer):
+    * amortize one shuffle across every future query instead of re-paying
+    * it per join. `buckets` should be sized so one bucket of the LARGEST
+    * co-bucketed table fits an executor's sort spill comfortably
+    * (e.g. 100 TB / 8192 buckets ≈ 12 GB per bucket pre-compression);
+    * Spark also coalesces mismatched bucket counts when one is a multiple
+    * of the other (spark.sql.bucketing.coalesceBucketsInJoin.enabled).
+    * Bucketed output requires the table catalog (`saveAsTable`) — bucket
+    * metadata lives there, plain `.parquet(path)` cannot carry it. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(buckets > 0 && bucketCols.nonEmpty,
+      s"need buckets > 0 and at least one bucket column: $buckets/$bucketCols")
+    val w = df.write.format("parquet")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

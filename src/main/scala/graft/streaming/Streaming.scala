@@ -89,6 +89,76 @@ object Streaming {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** One closed session: [start, end] with event count and value sum. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  /** Open-session accumulator (public: state-store codegen instantiates it). */
+  final case class SessionState(start: Long, last: Long, cnt: Long,
+      acc: Double)
+
+  /** Streaming sessionization — the continuous form of the batch q21
+    * gaps-and-islands query: per-user sessions close when `gap` passes
+    * with no activity. State is one SessionState per OPEN session per
+    * user (bounded by active-user cardinality, partitioned by user hash);
+    * closed sessions are emitted in Append mode, either immediately when
+    * a later event reveals an in-stream gap, or via EventTimeTimeout when
+    * the watermark passes `last + gap` (so an idle user's final session
+    * still closes without another event arriving). This is the
+    * flatMapGroupsWithState shape: a session is not expressible as a
+    * declarative aggregate because the emit condition depends on the
+    * distance between CONSECUTIVE events, not a fixed window. */
+  def streamingSessionize(spark: SparkSession, events: DataFrame,
+      tsCol: String, gap: String, watermark: String)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0 && gapMs.days == 0,
+      s"gap must be a sub-day duration: $gap")
+    val gapMillis = gapMs.microseconds / 1000L
+    events
+      .select(col("user_id").cast("long"), col(tsCol).as("ts"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          def close(s: SessionState) = Session(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.cnt, s.acc)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: final close
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            // fold this batch's events (sorted by event time) into the open
+            // session; any in-stream gap > `gap` closes the current session
+            // immediately and starts the next
+            val sorted = rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for ((t, v) <- sorted) cur match {
+              case Some(s) if t - s.last <= gapMillis =>
+                cur = Some(SessionState(s.start, math.max(s.last, t),
+                  s.cnt + 1, s.acc + v))
+              case Some(s) =>
+                closed ::= close(s)
+                cur = Some(SessionState(t, t, 1, v))
+              case None =>
+                cur = Some(SessionState(t, t, 1, v))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Start a continuous compaction query over a message stream into an
     * in-memory queryable table (the O21 "background consume with a handle
     * you can close": stop via the returned query).

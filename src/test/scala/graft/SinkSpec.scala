@@ -35,4 +35,40 @@ class SinkSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids == ids.sorted)
   }
+
+  test("writeBucketed: co-bucketed tables join with zero Exchange") {
+    val orders = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_name")
+    Sink.writeBucketed(orders, "bkt_orders", buckets = 4,
+      bucketCols = Seq("o_custkey"), sortCols = Seq("o_custkey"))
+    Sink.writeBucketed(customer, "bkt_customer", buckets = 4,
+      bucketCols = Seq("c_custkey"), sortCols = Seq("c_custkey"))
+    try {
+      // forbid broadcast so the join must be sort-merge — the layout, not
+      // the small fixture, has to carry the no-shuffle property
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle either side:\n$plan")
+      // the bucketed round trip is lossless and the join is correct
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+      // groupBy on the bucket key is exchange-free too
+      val agg = spark.table("bkt_orders").groupBy("o_custkey")
+        .agg(sum("o_totalprice"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed groupBy should not shuffle:\n$aggPlan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
 }

@@ -125,6 +125,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: in-stream gaps close immediately, idle sessions close by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.streamingSessionize(spark, events, "ts",
+        gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions")
+      .start()
+    try {
+      // u1: two events 5 min apart (one session); u2: one event
+      in.addData(
+        (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2026-01-01 00:05:00"), 2.0),
+        (2L, Timestamp.valueOf("2026-01-01 00:00:00"), 7.0))
+      q.processAllAvailable()
+      // u1 returns after a 25-min gap: the first session closes in-function
+      in.addData((1L, Timestamp.valueOf("2026-01-01 00:30:00"), 3.0))
+      q.processAllAvailable()
+      // push the watermark far past everyone's last+gap, then one more
+      // trigger so EventTimeTimeout fires for the idle sessions
+      in.addData((9L, Timestamp.valueOf("2026-01-01 02:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData((9L, Timestamp.valueOf("2026-01-01 03:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .selectExpr("user_id", "session_start", "session_end", "n_events",
+          "sum_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSet
+      // u1 session 1: both events, closed by the in-stream gap
+      assert(rows.contains((1L, "2026-01-01 00:00:00.0",
+        "2026-01-01 00:05:00.0", 2L, 3.0)))
+      // u1 session 2 and u2's only session: closed by watermark timeout
+      assert(rows.contains((1L, "2026-01-01 00:30:00.0",
+        "2026-01-01 00:30:00.0", 1L, 3.0)))
+      assert(rows.contains((2L, "2026-01-01 00:00:00.0",
+        "2026-01-01 00:00:00.0", 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("event-time tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
