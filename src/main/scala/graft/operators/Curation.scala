@@ -61,4 +61,29 @@ object Curation {
         .where(col("cluster") === col("doc_id")).select("doc_id"), Seq("doc_id"))
       .where(col("quality") >= minQuality)
       .orderBy("doc_id")
+
+  /** c03 — SEMANTIC dedup curation (the SemDeDup shape): where c01/c02
+    * remove lexical near-duplicates (shared n-grams), c03 removes
+    * semantically redundant documents — pairs whose EMBEDDINGS are close
+    * even when their text differs (paraphrases, translations, templated
+    * rewrites). Pipeline: k-means-assign every vector to its nearest
+    * centroid cell (ss07), compute exact cosine only WITHIN cells (the IVF
+    * trade that makes the quadratic local: Σ n_c² with cells bounded by
+    * recursing the quantizer), drop the later twin of every pair at
+    * cosine ≥ 0.4, and quality-gate the survivors. The cell assignment,
+    * intra-cell pair set, and integer dot products are all deterministic,
+    * so the semantic-loser set is bit-reproducible against the oracle. */
+  def c03SemanticCuration(spark: SparkSession, dir: String): DataFrame =
+    curateSemantic(spark, dir, minQuality = 0.3, minCos = 0.4)
+
+  /** Library surface: semantic curation at caller-chosen thresholds (the
+    * declared query pins 0.3/0.4 for the oracle). */
+  def curateSemantic(spark: SparkSession, dir: String, minQuality: Double,
+      minCos: Double): DataFrame =
+    TextAnalysis.t02Quality(spark, dir)
+      .select("doc_id", "quality")
+      .join(Similarity.semanticNearDupLosers(spark, dir, minCos),
+        Seq("doc_id"), "left_anti")
+      .where(col("quality") >= minQuality)
+      .orderBy("doc_id")
 }

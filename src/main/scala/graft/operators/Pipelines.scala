@@ -29,8 +29,10 @@ object Pipelines {
     "ss04_lsh_neardup" -> Similarity.ss04LshNearDup _,
     "ss05_label_centroids" -> Similarity.ss05LabelCentroids _,
     "ss06_ivf_ann" -> Similarity.ss06IvfAnn _,
+    "ss07_kmeans_assign" -> Similarity.ss07KmeansAssign _,
     "c01_curation" -> Curation.c01Curation _,
     "c02_cluster_curation" -> Curation.c02ClusterCuration _,
+    "c03_semantic_curation" -> Curation.c03SemanticCuration _,
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,
     "m03_resize" -> Multimodal.m03Resize _,

@@ -253,6 +253,74 @@ object Similarity {
       .limit(10)
   }
 
+  /** Every vector with its nearest-centroid assignment: (vec_id, label, q,
+    * n2, assigned, cos). Centroids are the per-label integer sum-vectors
+    * (cosine against a sum ranks identically to the mean — scale
+    * invariance); the centroid table is |cells| rows and BROADCASTS by
+    * construction, so assignment is the k-way expansion of a broadcast
+    * join collapsed back to one row per vector by a map-side-combined
+    * max_by — the shuffle carries D rows, never D·k. Ties break to the
+    * smallest label via the (cos, −label) ordering struct, so the argmax
+    * is total and engine-portable. */
+  private def assignedToCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantized.as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      // consumed by the centroid build AND the assignment join
+      .transform(graft.Materialize.pin)
+    val cent = emb
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("label", "i").agg(sum(col("qi")).as("cq"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+      .select(col("label").as("clabel"), col("cvec"), col("cn2"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotLong(col("q"), col("cvec")).cast("double") /
+        sqrt(col("cn2").cast("double") * col("n2").cast("double")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("label"), col("q"), col("n2"), col("clabel"),
+          round(col("ccos"), 4).as("rcos")),
+        struct(col("ccos"), -col("clabel"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("label"),
+        col("best.q").as("q"), col("best.n2").as("n2"),
+        col("best.clabel").as("assigned"), col("best.rcos").as("cos"))
+  }
+
+  /** ss07 — one k-means Lloyd ASSIGNMENT step over the label cells: each
+    * vector moves to its nearest centroid by cosine. This is the step an
+    * IVF index trains with (alternate with ss05's centroid rebuild to
+    * iterate Lloyd to a fixpoint) and the clustering primitive semantic
+    * dedup builds on (c03). Emits the original label, the assignment, and
+    * the cosine so drift (label ≠ assigned) is directly observable. */
+  def ss07KmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    assignedToCentroids(spark, dir)
+      .select("vec_id", "label", "assigned", "cos")
+      .orderBy("vec_id")
+
+  /** c03's candidate domain: intra-cell exact cosine pairs at a caller
+    * threshold, cells = the k-means assignment. Pair volume is Σ_cell n_c²
+    * — the IVF trade: bound cell sizes by recursing the quantizer (more
+    * cells) rather than widening; the self-join is salted (Skew.selfPairs)
+    * so one dense cell cannot pin a task. */
+  private[operators] def semanticNearDupLosers(spark: SparkSession,
+      dir: String, minCos: Double): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val asg = assignedToCentroids(spark, dir)
+      .select(col("assigned"), col("vec_id"), col("q"), col("n2"))
+      // both sides of the salted self-join consume this
+      .transform(graft.Materialize.pin)
+    Skew.selfPairs(asg, Seq("assigned"), "vec_id", maxGroup = 4096)
+      .withColumn("dot", dotLong(col("a.q"), col("b.q")))
+      .withColumn("c", col("dot").cast("double") /
+        sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+      .where(col("c") >= minCos)
+      .select(col("b.vec_id").as("doc_id")).distinct()
+  }
+
   /** ss05 — per-label centroid aggregation, the IVF coarse-quantizer
     * building block: element-wise vector sums per group (one shuffle keyed
     * by (label, dim), partial sums map-side) plus the summed vector's

@@ -167,6 +167,63 @@ class PipelinesSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh.nonEmpty)
   }
 
+  test("ss07 kmeans assignment is the true per-vector argmax") {
+    import graft.functions.ArrayDot.dotLong
+    val asg = Similarity.ss07KmeansAssign(spark, sf)
+    assert(asg.count() == 500)
+    // non-vacuous Lloyd step: some vectors actually change cells
+    assert(asg.where(col("label") =!= col("assigned")).count() > 0)
+    // brute-force check: no (vector, centroid) cosine may exceed the
+    // assigned cosine (ties broken to the smaller label)
+    val el = graft.sources.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+    val cent = el.join(
+        graft.sources.Tables.t(spark, sf, "embeddings").select("vec_id", "label"),
+        "vec_id")
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("label", "i").agg(sum("qi").as("cq"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+    val all = el.crossJoin(cent)
+      .withColumn("c", dotLong(col("q"), col("cvec")).cast("double") /
+        sqrt(col("cn2").cast("double") * col("n2").cast("double")))
+    val beats = all.join(asg.select(col("vec_id"), col("assigned"), col("cos")),
+        "vec_id")
+      .where(round(col("c"), 4) > col("cos") ||
+        (round(col("c"), 4) === col("cos") && col("label") < col("assigned")))
+    assert(beats.isEmpty, "a strictly better (or equal-with-smaller-label) cell exists")
+  }
+
+  test("c03 semantic survivors: no same-cell pair at or above the cosine cut") {
+    import graft.functions.ArrayDot.dotLong
+    val kept = graft.operators.Curation.c03SemanticCuration(spark, sf)
+      .select("doc_id")
+    val asg = Similarity.ss07KmeansAssign(spark, sf).select("vec_id", "assigned")
+    val el = graft.sources.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+    val kv = kept.join(asg, col("doc_id") === col("vec_id"))
+      .join(el, "vec_id").select("vec_id", "assigned", "q", "n2")
+    val a = kv.select(col("vec_id").as("ida"), col("assigned"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = kv.select(col("vec_id").as("idb"), col("assigned"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val bad = a.join(b, "assigned").where(col("ida") < col("idb"))
+      .withColumn("c", dotLong(col("qa"), col("qb")).cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .where(col("c") >= 0.4)
+    assert(bad.isEmpty)
+    // and the removal is non-vacuous at this fixture
+    assert(kept.count() < 500)
+  }
+
   test("t03 langid predicts a language for every doc") {
     val out = TextAnalysis.t03LangId(spark, sf)
     assert(out.where(col("pred").isNull).isEmpty)

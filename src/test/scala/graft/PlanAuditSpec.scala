@@ -9,12 +9,15 @@ class PlanAuditSpec extends SparkSpec {
 
   /** BroadcastNestedLoopJoin is acceptable only where it is bounded by
     * construction: the declared quadratic baselines (dd02/ss02 — their
-    * scale paths dd03/ss04 exist and are asserted elsewhere) and the
+    * scale paths dd03/ss04 exist and are asserted elsewhere), the
     * single-row query-vector attach in the ANN queries (a 1-row broadcast
-    * at any corpus size). */
+    * at any corpus size), and the centroid-table attach in the k-means
+    * assignment (|cells| rows — the coarse quantizer is small by
+    * definition or it isn't a coarse quantizer). */
   private val bnljAllowed = Set(
     "dd02_ngram_jaccard", "ss02_neardup",
-    "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann")
+    "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann",
+    "ss07_kmeans_assign", "c03_semantic_curation")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
