@@ -30,6 +30,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The map-only family's whole value is that NOTHING shuffles except the
+    * presentation sort — hold that as a plan invariant, not prose. */
+  private val mapOnly = Seq("t01_token_count", "t02_quality", "t03_langid",
+    "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
+    "m01_decode", "m02_frames", "m03_resize", "sp01_split_sample")
+
+  test("map-only operators shuffle at most once (the presentation sort)") {
+    for (name <- mapOnly) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "(?<!AQEShuffleRead)Exchange".r
+        .findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$name plans $exchanges exchanges — a shuffle crept into a map-only operator:\n$plan")
+    }
+  }
+
   test("q02: both predicates are pushed to the parquet scan") {
     val plan = Relational.q02PredicateScan(spark, sf)
       .queryExecution.executedPlan.toString

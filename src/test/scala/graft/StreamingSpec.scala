@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streaming
 
@@ -163,6 +164,46 @@ class StreamingSpec extends SparkSpec {
         "2026-01-01 00:30:00.0", 1L, 3.0)))
       assert(rows.contains((2L, "2026-01-01 00:00:00.0",
         "2026-01-01 00:00:00.0", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with the batch q21 gaps-and-islands query") {
+    // same events, same 30-minute gap: the continuous operator must
+    // produce the same sessions the batch window query does — per user,
+    // the same session count and the same per-session event counts
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.sources.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "timestamp_micros(ts DIV 1000) AS ts",
+        "value", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.streamingSessionize(spark, events, "ts",
+        gap = "30 minutes", watermark = "1 second")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_parity")
+      .start()
+    try {
+      in.addData(raw.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel user far in the future pushes the watermark past every
+      // real session's last+gap; a second trigger fires the timeouts
+      val far = Timestamp.valueOf("2036-01-01 00:00:00")
+      in.addData((999999L, far, 0.0))
+      q.processAllAvailable()
+      in.addData((999999L, Timestamp.valueOf("2036-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity")
+        .where(col("user_id") =!= 999999L)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_sessions"),
+          sort_array(collect_list(col("n_events"))).as("sizes"))
+      val batch = graft.operators.Relational.q21Sessionize(spark, sf)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_sessions"),
+          sort_array(collect_list(col("n_events"))).as("sizes"))
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
     } finally q.stop()
   }
 
