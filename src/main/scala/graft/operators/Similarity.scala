@@ -262,21 +262,35 @@ object Similarity {
     * max_by — the shuffle carries D rows, never D·k. Ties break to the
     * smallest label via the (cos, −label) ordering struct, so the argmax
     * is total and engine-portable. */
-  private def assignedToCentroids(spark: SparkSession, dir: String): DataFrame = {
+  /** Pinned quantized corpus with the seed cell column (the given label):
+    * (vec_id, label, q, n2). */
+  private def embCorpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val emb = t(spark, dir, "embeddings")
+    t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), quantized.as("q"))
       .withColumn("n2", dotLong(col("q"), col("q")))
       // consumed by the centroid build AND the assignment join
       .transform(graft.Materialize.pin)
-    val cent = emb
-      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("label", "i").agg(sum(col("qi")).as("cq"))
-      .groupBy("label")
+  }
+
+  /** Integer sum-centroids of the given cell assignment `cells` =
+    * (vec_id, cell): (clabel, cvec, cn2) — one row per non-empty cell. */
+  private def centroidsOf(emb: DataFrame, cells: DataFrame): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    emb.select(col("vec_id"), col("q")).join(cells, "vec_id")
+      .select(col("cell"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("cell", "i").agg(sum(col("qi")).as("cq"))
+      .groupBy("cell")
       .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
         s => s.getField("cq")).as("cvec"))
       .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
-      .select(col("label").as("clabel"), col("cvec"), col("cn2"))
+      .select(col("cell").as("clabel"), col("cvec"), col("cn2"))
+  }
+
+  /** One assignment step against the given centroid table (broadcast — it
+    * is |cells| rows by construction). */
+  private def assignStep(emb: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
     emb.crossJoin(broadcast(cent))
       .withColumn("ccos", dotLong(col("q"), col("cvec")).cast("double") /
         sqrt(col("cn2").cast("double") * col("n2").cast("double")))
@@ -288,6 +302,36 @@ object Similarity {
       .select(col("vec_id"), col("best.label").as("label"),
         col("best.q").as("q"), col("best.n2").as("n2"),
         col("best.clabel").as("assigned"), col("best.rcos").as("cos"))
+  }
+
+  private def assignedToCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embCorpus(spark, dir)
+    assignStep(emb,
+      centroidsOf(emb, emb.select(col("vec_id"), col("label").as("cell"))))
+  }
+
+  /** Spherical k-means: `iters` Lloyd rounds — rebuild sum-centroids from
+    * the current assignment, re-assign every vector to its nearest
+    * centroid by cosine — seeded by the label column (ss07 is exactly
+    * iteration 1). Each round is one bounded centroid aggregation
+    * (|cells|·dim partial sums, map-side combined), one broadcast of the
+    * |cells|-row centroid table, and one map-side-collapsed assignment —
+    * the classic IVF training loop, every round shuffling D rows, never
+    * D·k. Per-round frames pin (Materialize.pin) so lineage doesn't grow
+    * with the iteration count. Cells that lose all members simply drop out
+    * of the centroid table (standard Lloyd behavior). Returns the final
+    * (vec_id, label, assigned, cos). */
+  def kmeansFit(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters: $iters")
+    val emb = embCorpus(spark, dir)
+    var cells = emb.select(col("vec_id"), col("label").as("cell"))
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      out = assignStep(emb, centroidsOf(emb, cells))
+        .transform(graft.Materialize.pin)
+      cells = out.select(col("vec_id"), col("assigned").as("cell"))
+    }
+    out.select("vec_id", "label", "assigned", "cos").orderBy("vec_id")
   }
 
   /** ss07 — one k-means Lloyd ASSIGNMENT step over the label cells: each

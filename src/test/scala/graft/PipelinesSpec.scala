@@ -199,6 +199,21 @@ class PipelinesSpec extends SparkSpec {
     assert(beats.isEmpty, "a strictly better (or equal-with-smaller-label) cell exists")
   }
 
+  test("kmeans Lloyd iterations: round 1 is ss07, objective is monotone") {
+    val one = Similarity.kmeansFit(spark, sf, iters = 1)
+    val ss07 = Similarity.ss07KmeansAssign(spark, sf)
+    assert(one.except(ss07).isEmpty && ss07.except(one).isEmpty)
+    // Lloyd guarantee: the mean assigned-cosine never decreases round over
+    // round (1e-3 slack absorbs the 4-decimal presentation rounding)
+    val objs = (1 to 3).map { i =>
+      Similarity.kmeansFit(spark, sf, iters = i)
+        .agg(avg(col("cos"))).collect()(0).getDouble(0)
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-3, s"objective regressed: $objs")
+    }
+  }
+
   test("c03 semantic survivors: no same-cell pair at or above the cosine cut") {
     import graft.functions.ArrayDot.dotLong
     val kept = graft.operators.Curation.c03SemanticCuration(spark, sf)
