@@ -260,6 +260,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Lead fingerprint: md5 of the first `n` whitespace tokens — the
+    * header/lead-paragraph dedup key (mirrored articles, templated pages
+    * and syndicated copies share their lead long before they share the
+    * whole body). */
+  private def leadFingerprint(n: Int): Column =
+    md5(array_join(slice(TextAnalysis.toks, 1, n), " "))
+
+  /** dd08 — INCREMENTAL ingest dedup: the nightly-batch shape. A corpus
+    * that already exists is never re-deduped wholesale; each incoming
+    * batch is admitted iff (a) its key is unseen in the historical
+    * fingerprint table AND (b) it is the first holder of that key within
+    * the batch itself. The declared query splits the fixture by doc_id
+    * parity (evens = historical corpus, odds = tonight's batch) and keys
+    * on the lead-10-token fingerprint.
+    *
+    * Scale shape: only (fp, doc_id) pairs move — the historical side is
+    * billions of 24 B rows joined on fp (shuffle hash join), the incoming
+    * batch is small, and the text of either side never crosses the wire.
+    * Store the historical fingerprint table bucketed on fp
+    * ([[graft.sources.Sink.writeBucketed]]) and the nightly join does not
+    * even shuffle the big side. */
+  def dd08IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = t(spark, dir, "documents")
+      .select(col("doc_id"), leadFingerprint(10).as("fp"))
+    incrementalAdmit(fps.where(col("doc_id") % 2 === 0),
+      fps.where(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+  }
+
+  /** Library surface: admit `incoming` (doc_id, fp) rows against an
+    * `existing` frame bearing an fp column — admitted = unseen-in-existing
+    * ∧ first-in-batch. First-in-batch is min-per-group + join back (the
+    * dd01 rationale: no unbounded window over a hot fingerprint). */
+  def incrementalAdmit(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val seen = existing.select(col("fp")).distinct()
+      .withColumn("__seen", lit(true))
+    val minPer = incoming.groupBy("fp").agg(min(col("doc_id")).as("__mn"))
+    incoming.join(seen, Seq("fp"), "left")
+      .join(minPer, Seq("fp"))
+      .select(col("doc_id"), col("fp"),
+        (col("__seen").isNull && col("doc_id") === col("__mn"))
+          .as("admitted"))
+  }
+
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
     * int64 in every engine; production-strength discrimination (a 32-bit

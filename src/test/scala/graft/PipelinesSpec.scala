@@ -335,6 +335,28 @@ class PipelinesSpec extends SparkSpec {
       "vacuous passage dedup")
   }
 
+  test("dd08 incremental admit: unseen-in-corpus and first-in-batch, both live") {
+    val d = Dedup.dd08IncrementalDedup(spark, sf)
+    val admitted = d.where(col("admitted"))
+    val rejected = d.where(!col("admitted"))
+    // both rejection modes must actually occur on the fixture
+    assert(rejected.count() > 0 && admitted.count() > 0, "vacuous split")
+    // admitted fingerprints are unique within the batch
+    assert(admitted.groupBy("fp").count().where(col("count") > 1).isEmpty)
+    // every rejected doc has a cause: its fp exists in the historical half
+    // or an earlier incoming doc holds it
+    val fps = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 10),
+          " ")).as("fp"))
+    val exFps = fps.where(col("doc_id") % 2 === 0).select("fp").distinct()
+      .withColumn("inHist", lit(true))
+    val uncaused = rejected.join(exFps, Seq("fp"), "left")
+      .join(d.groupBy("fp").agg(min("doc_id").as("mn")), "fp")
+      .where(col("inHist").isNull && col("doc_id") === col("mn"))
+    assert(uncaused.isEmpty)
+  }
+
   test("m01 multimodal decode: checksum in [0,256), frames at stride 100") {
     val out = Multimodal.m01Decode(spark, sf)
     assert(out.where(col("checksum") < 0 || col("checksum") > 255).isEmpty)
