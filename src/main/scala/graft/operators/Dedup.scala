@@ -397,16 +397,20 @@ object Dedup {
         // both sides of the hop self-join consume this; pin or the message
         // join + min-aggregate execute twice per round
         .transform(graft.Materialize.pin)
-      val merged = jump(stepped)
-      // labels only ever DECREASE, so the total label sum is strictly
-      // monotone until the fixpoint: one exact scalar per round detects
-      // convergence with no prev-label join and no row comparison
-      val total = merged
+      // labels only ever DECREASE (through both the message step and the
+      // jump), so the total label sum is strictly monotone until the
+      // fixpoint: one exact scalar per round detects convergence with no
+      // prev-label join and no row comparison. Checked on STEPPED, before
+      // the jump: an unchanged sum already proves the fixpoint (pointwise
+      // ≤ + equal sum ⇒ equal), so the terminal round skips the jump
+      // join entirely — at scale that's one label-frame self-join saved
+      // per invocation
+      val total = stepped
         .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
       converged = prevSum != null && total.compareTo(prevSum) == 0
       prevSum = total
-      labels = merged
+      labels = if (converged) stepped else jump(stepped)
     }
     t(spark, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
