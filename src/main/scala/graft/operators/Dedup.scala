@@ -234,9 +234,9 @@ object Dedup {
     * non-overlapping `passageTokens`-token passages — a map-only
     * slice/array_join over the token array, no shuffle — and a passage
     * instance counts as duplicated when its text occurs anywhere else in
-    * the corpus (≥ 2 occurrences corpus-wide). One shuffle on the passage
-    * string to count occurrences (map-side combined), one join back; the
-    * document text itself never moves. */
+    * the corpus (≥ 2 occurrences corpus-wide). One shuffle on the 64-bit
+    * passage hash to count occurrences (map-side combined), one join back
+    * on the same hash; the document text never crosses the wire. */
   def dd07PassageDedup(spark: SparkSession, dir: String): DataFrame =
     passageDedup(spark, dir, passageTokens = 20)
 
@@ -249,11 +249,18 @@ object Dedup {
     val chunks = transform(
       sequence(lit(0), expr(s"(size(ws) + ${p - 1}) div $p") - 1),
       c => array_join(slice(col("ws"), c * p + 1, lit(p)), " "))
+    // the shuffle key is the passage's 64-bit HASH, not the passage string
+    // — the count groupBy and the occurrence join then move 16 B rows
+    // instead of ~20-token text (passages cover ~the whole corpus, so a
+    // string-keyed shuffle would move the corpus twice). Same collision
+    // stance as hashedShingles: |distinct passages|²/2⁶⁴ is negligible,
+    // and the hash is engine-internal (outputs carry only counts).
     val passages = t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(chunks).as("passage"))
-    val counts = passages.groupBy("passage").agg(count(lit(1)).as("occ"))
-    passages.join(counts, "passage")
+      .select(col("doc_id"), xxhash64(col("passage")).as("ph"))
+    val counts = passages.groupBy("ph").agg(count(lit(1)).as("occ"))
+    passages.join(counts, "ph")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
@@ -294,6 +301,10 @@ object Dedup {
     * ∧ first-in-batch. First-in-batch is min-per-group + join back (the
     * dd01 rationale: no unbounded window over a hot fingerprint). */
   def incrementalAdmit(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val clash = incoming.columns.intersect(Seq("__seen", "__mn"))
+    require(clash.isEmpty,
+      s"incrementalAdmit reserves internal columns __seen, __mn; " +
+        s"rename input columns: ${clash.mkString(", ")}")
     val seen = existing.select(col("fp")).distinct()
       .withColumn("__seen", lit(true))
     val minPer = incoming.groupBy("fp").agg(min(col("doc_id")).as("__mn"))

@@ -222,26 +222,21 @@ object Similarity {
     * pre-labeled corpus stands in for the assignment step here. */
   def ss06IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), quantized.as("q"))
-      .withColumn("n2", dotLong(col("q"), col("q")))
-      // consumed by the centroid build, the query row, and the probe scan
-      .transform(graft.Materialize.pin)
-    val cent = emb
-      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("label", "i").agg(sum(col("qi")).as("cq"))
-      .groupBy("label")
-      .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
-        s => s.getField("cq")).as("cvec"))
-      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+    // the pinned corpus is consumed by the centroid build, the query row,
+    // and the probe scan; the centroid recipe is the ONE shared
+    // centroidsOf (also ss07/c03's trainer) so the quantizer cannot drift
+    // between the ANN index and the k-means path
+    val emb = embCorpus(spark, dir)
+    val cent = centroidsOf(emb,
+      emb.select(col("vec_id"), col("label").as("cell")))
     val query = emb.where(col("vec_id") === 0)
       .select(col("q").as("qq"), col("n2").as("qn2"))
     val cells = cent.crossJoin(broadcast(query))
       .withColumn("ccos", dotLong(col("cvec"), col("qq")).cast("double") /
         sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
-      .orderBy(col("ccos").desc, col("label"))
+      .orderBy(col("ccos").desc, col("clabel"))
       .limit(2)
-      .select("label")
+      .select(col("clabel").as("label"))
     emb.where(col("vec_id") =!= 0)
       .join(broadcast(cells), Seq("label"))
       .crossJoin(broadcast(query))
@@ -253,15 +248,6 @@ object Similarity {
       .limit(10)
   }
 
-  /** Every vector with its nearest-centroid assignment: (vec_id, label, q,
-    * n2, assigned, cos). Centroids are the per-label integer sum-vectors
-    * (cosine against a sum ranks identically to the mean — scale
-    * invariance); the centroid table is |cells| rows and BROADCASTS by
-    * construction, so assignment is the k-way expansion of a broadcast
-    * join collapsed back to one row per vector by a map-side-combined
-    * max_by — the shuffle carries D rows, never D·k. Ties break to the
-    * smallest label via the (cos, −label) ordering struct, so the argmax
-    * is total and engine-portable. */
   /** Pinned quantized corpus with the seed cell column (the given label):
     * (vec_id, label, q, n2). */
   private def embCorpus(spark: SparkSession, dir: String): DataFrame = {
@@ -287,8 +273,15 @@ object Similarity {
       .select(col("cell").as("clabel"), col("cvec"), col("cn2"))
   }
 
-  /** One assignment step against the given centroid table (broadcast — it
-    * is |cells| rows by construction). */
+  /** One assignment step: every vector with its nearest-centroid cell —
+    * (vec_id, label, q, n2, assigned, cos). Centroids are integer
+    * sum-vectors (cosine against a sum ranks identically to the mean —
+    * scale invariance); the centroid table is |cells| rows and BROADCASTS
+    * by construction, so assignment is the k-way expansion of a broadcast
+    * join collapsed back to one row per vector by a map-side-combined
+    * max_by — the shuffle carries D rows, never D·k. Ties break to the
+    * smallest label via the (cos, −label) ordering struct, so the argmax
+    * is total and engine-portable. */
   private def assignStep(emb: DataFrame, cent: DataFrame): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     emb.crossJoin(broadcast(cent))

@@ -64,7 +64,16 @@ object Sink {
       maxRecordsPerFile: Long = 5000000L): Unit = {
     require(buckets > 0 && bucketCols.nonEmpty,
       s"need buckets > 0 and at least one bucket column: $buckets/$bucketCols")
-    val w = df.write.format("parquet")
+    // route rows to their bucket BEFORE the write: repartition(n, cols)
+    // uses the same murmur3 pmod assignment as bucketing, so each task
+    // holds exactly one bucket's rows and writes exactly one file — left
+    // unrouted, every task emits a file for every bucket it happens to
+    // hold (tasks × buckets small files), and with multiple files per
+    // bucket the read side stops trusting sortBy and re-sorts. The cost
+    // is that a hot bucket is one task — inherent to bucketing itself
+    // (size `buckets` so that doesn't hurt; see sizing note above).
+    val routed = df.repartition(buckets, bucketCols.map(col): _*)
+    val w = routed.write.format("parquet")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

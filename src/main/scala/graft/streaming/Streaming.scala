@@ -92,21 +92,32 @@ object Streaming {
   /** One closed session: [start, end] with event count and value sum. */
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
-  /** Open-session accumulator (public: state-store codegen instantiates it). */
-  final case class SessionState(start: Long, last: Long, cnt: Long,
-      acc: Double)
+  /** Per-user buffer of not-yet-sealed events (public: state-store codegen
+    * instantiates it). */
+  final case class SessionBuffer(ts: Seq[Long], vs: Seq[Double])
 
   /** Streaming sessionization — the continuous form of the batch q21
     * gaps-and-islands query: per-user sessions close when `gap` passes
-    * with no activity. State is one SessionState per OPEN session per
-    * user (bounded by active-user cardinality, partitioned by user hash);
-    * closed sessions are emitted in Append mode, either immediately when
-    * a later event reveals an in-stream gap, or via EventTimeTimeout when
-    * the watermark passes `last + gap` (so an idle user's final session
-    * still closes without another event arriving). This is the
-    * flatMapGroupsWithState shape: a session is not expressible as a
-    * declarative aggregate because the emit condition depends on the
-    * distance between CONSECUTIVE events, not a fixed window. */
+    * with no activity.
+    *
+    * Exactness under OUT-OF-ORDER arrival is the whole design: events may
+    * arrive in any order within the watermark's allowed lateness, so the
+    * state is the buffered (ts, value) events of the user's UNSEALED
+    * sessions — re-sorted and re-split by gap every batch — and a session
+    * is emitted only once the watermark passes `last + gap`. That seal is
+    * airtight: an event that could extend the session (t ≤ last + gap) or
+    * bridge into it from before (t ≥ start − gap, t < start ≤ last) would
+    * carry an event time at or below the watermark, which Spark has
+    * already discarded. So every emitted session is exactly what the
+    * batch query computes over the same (non-late) events — arrival order
+    * never matters, event order does. A collapsed (start, last, count)
+    * accumulator cannot do this: it merges any late event into whatever
+    * session happens to be open and cannot lower the recorded start.
+    *
+    * State cost: the open-session buffer per user — bounded by the event
+    * volume of one (watermark delay + gap) window, not by history
+    * (sealed sessions leave the buffer as they emit; an idle user's
+    * state is removed entirely on the final timeout). */
   def streamingSessionize(spark: SparkSession, events: DataFrame,
       tsCol: String, gap: String, watermark: String)
       : org.apache.spark.sql.Dataset[Session] = {
@@ -122,39 +133,38 @@ object Streaming {
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (uid, rows, state: GroupState[SessionState]) =>
-          def close(s: SessionState) = Session(uid,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-            s.cnt, s.acc)
-          if (state.hasTimedOut) {
-            // watermark passed last + gap with no new events: final close
-            val s = state.get
-            state.remove()
-            Iterator.single(close(s))
-          } else {
-            // fold this batch's events (sorted by event time) into the open
-            // session; any in-stream gap > `gap` closes the current session
-            // immediately and starts the next
-            val sorted = rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            for ((t, v) <- sorted) cur match {
-              case Some(s) if t - s.last <= gapMillis =>
-                cur = Some(SessionState(s.start, math.max(s.last, t),
-                  s.cnt + 1, s.acc + v))
-              case Some(s) =>
-                closed ::= close(s)
-                cur = Some(SessionState(t, t, 1, v))
-              case None =>
-                cur = Some(SessionState(t, t, 1, v))
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMillis)
-            }
-            closed.reverseIterator
+        case (uid, rows, state: GroupState[SessionBuffer]) =>
+          val prior = state.getOption
+            .map(b => b.ts.zip(b.vs)).getOrElse(Seq.empty)
+          // merge, re-sort, re-split: late events land in their true
+          // event-time position ((t, v) ordering makes equal-timestamp
+          // folds deterministic; counts/sums are order-free anyway)
+          val buf = (prior ++ rows.map(r => (r._2.getTime, r._3)).toSeq)
+            .sortBy(identity)
+          val sessions = buf.foldLeft(List.empty[List[(Long, Double)]]) {
+            case (cur :: done, e) if e._1 - cur.head._1 <= gapMillis =>
+              (e :: cur) :: done // cur is reversed: head is its last event
+            case (acc, e) => List(e) :: acc
+          }.map(_.reverse).reverse
+          // seal = watermark passed last + gap (see scaladoc for why no
+          // future arrival can touch a sealed session)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) =
+            sessions.partition(s => s.last._1 + gapMillis <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            val flat = open.flatten
+            state.update(SessionBuffer(flat.map(_._1), flat.map(_._2)))
+            // wake when the earliest open session becomes sealable
+            state.setTimeoutTimestamp(
+              open.map(_.last._1 + gapMillis).min)
+          }
+          closed.iterator.map { s =>
+            Session(uid, new java.sql.Timestamp(s.head._1),
+              new java.sql.Timestamp(s.last._1), s.size,
+              s.map(_._2).sum)
           }
       }
   }

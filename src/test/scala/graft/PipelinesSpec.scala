@@ -203,8 +203,12 @@ class PipelinesSpec extends SparkSpec {
     val one = Similarity.kmeansFit(spark, sf, iters = 1)
     val ss07 = Similarity.ss07KmeansAssign(spark, sf)
     assert(one.except(ss07).isEmpty && ss07.except(one).isEmpty)
-    // Lloyd guarantee: the mean assigned-cosine never decreases round over
-    // round (1e-3 slack absorbs the 4-decimal presentation rounding)
+    // fixture-asserted monotonicity: the mean assigned-cosine does not
+    // decrease round over round here (1e-3 slack absorbs the 4-decimal
+    // rounding). NOTE this is a property of the fixture, not a theorem —
+    // the exact spherical-Lloyd guarantee needs centroids of NORMALIZED
+    // vectors, while sum-centroids weight members by norm (the price of
+    // staying in exact integer arithmetic)
     val objs = (1 to 3).map { i =>
       Similarity.kmeansFit(spark, sf, iters = i)
         .agg(avg(col("cos"))).collect()(0).getDouble(0)

@@ -40,8 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- mapOnly) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
-      val exchanges = "(?<!AQEShuffleRead)Exchange".r
-        .findAllIn(plan).size
+      // count real Exchange operators only — a ReusedExchange re-reads an
+      // existing shuffle's output and must not count as a second shuffle
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
       assert(exchanges <= 1,
         s"$name plans $exchanges exchanges — a shuffle crept into a map-only operator:\n$plan")
     }

@@ -41,11 +41,21 @@ class SinkSpec extends SparkSpec {
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val customer = Tables.t(spark, sf, "customer")
       .select("c_custkey", "c_name")
-    Sink.writeBucketed(orders, "bkt_orders", buckets = 4,
+    // deliberately many input partitions: the writer must still produce
+    // one file per bucket (rows routed to buckets before the write), not
+    // tasks x buckets small files
+    Sink.writeBucketed(orders.repartition(8), "bkt_orders", buckets = 4,
       bucketCols = Seq("o_custkey"), sortCols = Seq("o_custkey"))
     Sink.writeBucketed(customer, "bkt_customer", buckets = 4,
       bucketCols = Seq("c_custkey"), sortCols = Seq("c_custkey"))
     try {
+      // exactly one data file per bucket despite the 8-partition input
+      val warehouse = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "bkt_orders")
+      val files = warehouse.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 4,
+        s"expected 4 bucket files, found ${files.length}: ${files.map(_.getName).toSeq}")
       // forbid broadcast so the join must be sort-merge — the layout, not
       // the small fixture, has to carry the no-shuffle property
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: a late out-of-order event forms its own earlier session") {
+    // the collapsed-accumulator failure mode: state held {start=10:00};
+    // a late 08:30 arrival (within allowed lateness) must NOT merge into
+    // the open session — batch q21 over the same events yields two
+    // sessions, so the streaming operator must too
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.streamingSessionize(spark, events, "ts",
+        gap = "10 minutes", watermark = "2 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_late")
+      .start()
+    try {
+      in.addData((1L, Timestamp.valueOf("2026-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      // late but above watermark (10:00 − 2h = 08:00 < 08:30)
+      in.addData((1L, Timestamp.valueOf("2026-01-01 08:30:00"), 7.0))
+      q.processAllAvailable()
+      in.addData((9L, Timestamp.valueOf("2026-01-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData((9L, Timestamp.valueOf("2026-01-01 23:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_late").where(col("user_id") === 1L)
+        .selectExpr("session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2026-01-01 08:30:00.0", "2026-01-01 08:30:00.0", 1L, 7.0),
+        ("2026-01-01 10:00:00.0", "2026-01-01 10:00:00.0", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with the batch q21 gaps-and-islands query") {
     // same events, same 30-minute gap: the continuous operator must
     // produce the same sessions the batch window query does — per user,
