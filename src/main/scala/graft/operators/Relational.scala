@@ -368,6 +368,53 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Q26 — pivot / crosstab (status columns per priority row): Spark's
+    * `.pivot` with EXPLICIT values — passing the value list skips the
+    * extra distinct-scan job Spark otherwise runs to discover pivot
+    * columns (at 100 TB that discovery is a full aggregation of the pivot
+    * column; with literals the whole pivot is ONE conditional-aggregate
+    * pass whose shuffle carries one row per group). DuckDB computes the
+    * identical conditional aggregation, so the cross-tab is
+    * engine-portable by construction. */
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Q27 — the analytic-window family (rank, dense_rank, lag) with a rank
+    * limit: top-5 customers by balance per market segment plus each row's
+    * predecessor balance. The rank functions get their OWN window node so
+    * the `rk <= 5` filter plans as WindowGroupLimit (the rule fires only
+    * when every expression in the node is rank-like — mixing `lag` in
+    * would block it): each input partition pre-prunes to its own top-k
+    * BEFORE the segment shuffle. `lag` then runs on the filtered rows,
+    * which is provably identical to lag-before-filter: the kept set is a
+    * per-partition PREFIX of the window order (a predecessor of any kept
+    * row has rank ≤ it, hence is kept), so the oracle computes the whole
+    * thing in one window. Ties are impossible in the window order
+    * ((c_acctbal DESC, c_custkey) is total), making rank and lag
+    * engine-portable. */
+  def q27WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .where(col("rk") <= 5)
+      .withColumn("prev_bal", round(lag(col("c_acctbal"), 1).over(w), 2))
+      .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"), col("drk"), col("prev_bal"))
+      .orderBy("c_mktsegment", "rk", "c_custkey")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -424,6 +471,10 @@ object Relational {
       "SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "q25_rollup" ->
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
+    "q26_pivot" ->
+      "SELECT o_orderpriority, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q27_window_rank" ->
+      "SELECT c_mktsegment, rk, c_custkey, bal, drk, prev_bal FROM (SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS bal, rank() OVER w AS rk, dense_rank() OVER w AS drk, ROUND(lag(c_acctbal) OVER w, 2) AS prev_bal FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) WHERE rk <= 5 ORDER BY c_mktsegment, rk, c_custkey",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -453,5 +504,7 @@ object Relational {
     "q23_asof_join" -> q23AsofJoin _,
     "q24_percentiles" -> q24Percentiles _,
     "q25_rollup" -> q25Rollup _,
+    "q26_pivot" -> q26Pivot _,
+    "q27_window_rank" -> q27WindowRank _,
   )
 }

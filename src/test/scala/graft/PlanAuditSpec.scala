@@ -90,6 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     val plan = graft.operators.TextAnalysis.t06QualityTopK(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no partial top-k pruning:\n$plan")
+    // q27's rank()<=5 must prune the same way (rank, not just row_number)
+    val q27 = Relational.q27WindowRank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q27.contains("WindowGroupLimit"), s"no partial top-k pruning:\n$q27")
   }
 
   test("q01: column pruning reaches the scan (untouched columns unread)") {
