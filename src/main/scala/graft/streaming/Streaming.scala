@@ -89,6 +89,36 @@ object Streaming {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream INTERVAL join — attribute each error to the same
+    * user's clicks within the trailing `horizon` (the streaming
+    * counterpart of the batch q23 as-of lookup, relaxed to all-matches:
+    * streaming cannot know "the latest click" until the watermark seals
+    * the interval, so the bounded-interval join is the shape Spark can
+    * run incrementally). Both sides carry watermarks and the join
+    * condition bounds event-time distance, which is what lets Spark EVICT
+    * join state: each side buffers only the watermark+horizon window —
+    * state is bounded by rate × horizon per side, not by history. An
+    * unbounded-condition stream-stream join would buffer both streams
+    * forever; the time bound is not an optimization, it is the thing
+    * that makes the query runnable at all. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame, tsCol: String,
+      watermark: String, horizon: String): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col(tsCol).as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val e = errors
+      .select(col("user_id").as("e_user"), col(tsCol).as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("e_user").as("user_id"), col("error_id"),
+        col("click_id"), col("c_ts"), col("e_ts"))
+  }
+
   /** One closed session: [start, end] with event count and value sum. */
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)

@@ -241,6 +241,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes errors to in-horizon clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val errors = MemoryStream[(Long, Timestamp, Long)]
+    val q = Streaming.clickErrorJoin(
+        clicks.toDF().toDF("user_id", "ts", "event_id"),
+        errors.toDF().toDF("user_id", "ts", "event_id"),
+        "ts", watermark = "5 minutes", horizon = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("click_error")
+      .start()
+    try {
+      clicks.addData(
+        (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 100L),
+        (1L, Timestamp.valueOf("2026-01-01 00:08:00"), 101L),
+        (2L, Timestamp.valueOf("2026-01-01 00:00:00"), 102L))
+      errors.addData(
+        // user 1 error at 00:09: clicks 100 (9 min back) and 101 (1 min)
+        (1L, Timestamp.valueOf("2026-01-01 00:09:00"), 900L),
+        // user 1 error at 00:15: only click 101 is within 10 minutes
+        (1L, Timestamp.valueOf("2026-01-01 00:15:00"), 901L),
+        // user 3 error: no clicks at all
+        (3L, Timestamp.valueOf("2026-01-01 00:09:00"), 902L))
+      q.processAllAvailable()
+      val rows = spark.table("click_error")
+        .select("error_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((900L, 100L), (900L, 101L), (901L, 101L)))
+    } finally q.stop()
+  }
+
   test("event-time tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
