@@ -299,19 +299,25 @@ object Dedup {
   /** Library surface: admit `incoming` (doc_id, fp) rows against an
     * `existing` frame bearing an fp column — admitted = unseen-in-existing
     * ∧ first-in-batch. First-in-batch is min-per-group + join back (the
-    * dd01 rationale: no unbounded window over a hot fingerprint). */
+    * dd01 rationale: no unbounded window over a hot fingerprint). A null
+    * fp means "no computable key": such rows are ADMITTED verbatim (dedup
+    * cannot claim they duplicate anything) and are never recorded as
+    * seen — every join below is null-safe precisely so they surface in
+    * the output instead of silently vanishing from an equi-join. */
   def incrementalAdmit(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val clash = incoming.columns.intersect(Seq("__seen", "__mn"))
+    val clash = incoming.columns.intersect(Seq("__seen", "__mn", "__fpm"))
     require(clash.isEmpty,
-      s"incrementalAdmit reserves internal columns __seen, __mn; " +
+      s"incrementalAdmit reserves internal columns __seen, __mn, __fpm; " +
         s"rename input columns: ${clash.mkString(", ")}")
-    val seen = existing.select(col("fp")).distinct()
-      .withColumn("__seen", lit(true))
+    val seen = existing.select(col("fp")).where(col("fp").isNotNull)
+      .distinct().withColumn("__seen", lit(true))
     val minPer = incoming.groupBy("fp").agg(min(col("doc_id")).as("__mn"))
+      .withColumnRenamed("fp", "__fpm")
     incoming.join(seen, Seq("fp"), "left")
-      .join(minPer, Seq("fp"))
+      .join(minPer, col("fp") <=> col("__fpm"))
       .select(col("doc_id"), col("fp"),
-        (col("__seen").isNull && col("doc_id") === col("__mn"))
+        (col("fp").isNull ||
+          (col("__seen").isNull && col("doc_id") === col("__mn")))
           .as("admitted"))
   }
 

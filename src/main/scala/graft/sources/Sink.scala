@@ -60,8 +60,7 @@ object Sink {
     * Bucketed output requires the table catalog (`saveAsTable`) — bucket
     * metadata lives there, plain `.parquet(path)` cannot carry it. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {
     require(buckets > 0 && bucketCols.nonEmpty,
       s"need buckets > 0 and at least one bucket column: $buckets/$bucketCols")
     // route rows to their bucket BEFORE the write: repartition(n, cols)
@@ -69,12 +68,14 @@ object Sink {
     // holds exactly one bucket's rows and writes exactly one file — left
     // unrouted, every task emits a file for every bucket it happens to
     // hold (tasks × buckets small files), and with multiple files per
-    // bucket the read side stops trusting sortBy and re-sorts. The cost
-    // is that a hot bucket is one task — inherent to bucketing itself
-    // (size `buckets` so that doesn't hurt; see sizing note above).
+    // bucket the read side stops trusting sortBy and re-sorts. For the
+    // same reason there is deliberately NO maxRecordsPerFile here: file
+    // rolling would re-split buckets into multiple files and forfeit the
+    // sort metadata. File size AND write parallelism are both governed by
+    // ONE knob — `buckets` (more buckets = smaller files = more write
+    // tasks); a hot bucket is one task, inherent to bucketing itself.
     val routed = df.repartition(buckets, bucketCols.map(col): _*)
     val w = routed.write.format("parquet")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

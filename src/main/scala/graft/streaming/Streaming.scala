@@ -122,32 +122,41 @@ object Streaming {
   /** One closed session: [start, end] with event count and value sum. */
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
-  /** Per-user buffer of not-yet-sealed events (public: state-store codegen
-    * instantiates it). */
-  final case class SessionBuffer(ts: Seq[Long], vs: Seq[Double])
+  /** Per-user open-session SEGMENT accumulators, parallel-array encoded
+    * (public: state-store codegen instantiates it). One entry per unsealed
+    * session: [start, last, count, sum]. */
+  final case class SessionBuffer(starts: Seq[Long], lasts: Seq[Long],
+      cnts: Seq[Long], sums: Seq[Double])
 
   /** Streaming sessionization — the continuous form of the batch q21
     * gaps-and-islands query: per-user sessions close when `gap` passes
     * with no activity.
     *
-    * Exactness under OUT-OF-ORDER arrival is the whole design: events may
-    * arrive in any order within the watermark's allowed lateness, so the
-    * state is the buffered (ts, value) events of the user's UNSEALED
-    * sessions — re-sorted and re-split by gap every batch — and a session
-    * is emitted only once the watermark passes `last + gap`. That seal is
-    * airtight: an event that could extend the session (t ≤ last + gap) or
-    * bridge into it from before (t ≥ start − gap, t < start ≤ last) would
-    * carry an event time at or below the watermark, which Spark has
-    * already discarded. So every emitted session is exactly what the
-    * batch query computes over the same (non-late) events — arrival order
-    * never matters, event order does. A collapsed (start, last, count)
-    * accumulator cannot do this: it merges any late event into whatever
-    * session happens to be open and cannot lower the recorded start.
+    * Exactness under OUT-OF-ORDER arrival with O(1)-per-session state:
+    * gap-sessions are connected components of event times under
+    * ≤-gap adjacency, and adding an event can only EXTEND or MERGE
+    * components, never split one — so a per-session accumulator
+    * (start, last, count, sum) loses nothing. Each batch inserts the new
+    * events as singleton segments, sorts all segments by start, and
+    * coalesces neighbors whose gap is within `gap` (classic interval
+    * merging — a late event lands in its true event-time position,
+    * forming its own session or bridging two). A session is emitted only
+    * once the watermark passes `last + gap`; that seal is airtight
+    * because an event that could extend it (t ≤ last + gap) or bridge
+    * into it from before (start − gap ≤ t ≤ last) would carry an event
+    * time at or below the watermark, which Spark has already discarded.
+    * So every emitted session is exactly what the batch query computes
+    * over the same (non-late) events — arrival order never matters,
+    * event order does. A SINGLE collapsed accumulator cannot do this
+    * (it merges any late event into whatever session is open); a raw
+    * event buffer doesn't need to (components never split).
     *
-    * State cost: the open-session buffer per user — bounded by the event
-    * volume of one (watermark delay + gap) window, not by history
-    * (sealed sessions leave the buffer as they emit; an idle user's
-    * state is removed entirely on the final timeout). */
+    * State cost: one 4-field segment per UNSEALED session per user —
+    * open sessions all satisfy last + gap > watermark, so the segment
+    * count is bounded by (allowed lateness / gap) + 1, independent of
+    * event rate and of history. A continuously-active user holds exactly
+    * one segment forever; an idle user's state is removed on the final
+    * timeout. */
   def streamingSessionize(spark: SparkSession, events: DataFrame,
       tsCol: String, gap: String, watermark: String)
       : org.apache.spark.sql.Dataset[Session] = {
@@ -157,6 +166,8 @@ object Streaming {
     require(gapMs.months == 0 && gapMs.days == 0,
       s"gap must be a sub-day duration: $gap")
     val gapMillis = gapMs.microseconds / 1000L
+    // (start, last, cnt, sum) segment algebra
+    type Seg = (Long, Long, Long, Double)
     events
       .select(col("user_id").cast("long"), col(tsCol).as("ts"),
         col("value").cast("double"))
@@ -166,35 +177,37 @@ object Streaming {
       .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[SessionBuffer]) =>
-          val prior = state.getOption
-            .map(b => b.ts.zip(b.vs)).getOrElse(Seq.empty)
-          // merge, re-sort, re-split: late events land in their true
-          // event-time position ((t, v) ordering makes equal-timestamp
-          // folds deterministic; counts/sums are order-free anyway)
-          val buf = (prior ++ rows.map(r => (r._2.getTime, r._3)).toSeq)
-            .sortBy(identity)
-          val sessions = buf.foldLeft(List.empty[List[(Long, Double)]]) {
-            case (cur :: done, e) if e._1 - cur.head._1 <= gapMillis =>
-              (e :: cur) :: done // cur is reversed: head is its last event
-            case (acc, e) => List(e) :: acc
-          }.map(_.reverse).reverse
+          val prior: Seq[Seg] = state.getOption.map { b =>
+            b.starts.indices.map(i =>
+              (b.starts(i), b.lasts(i), b.cnts(i), b.sums(i)))
+          }.getOrElse(Seq.empty)
+          val fresh: Seq[Seg] =
+            rows.map(r => (r._2.getTime, r._2.getTime, 1L, r._3)).toSeq
+          // interval-merge: sort every segment by (start, last), coalesce
+          // neighbors within gap (sum/count merging is order-free; the
+          // (start, last) sort key makes equal-start folds deterministic)
+          val merged = (prior ++ fresh)
+            .sortBy(s => (s._1, s._2))
+            .foldLeft(List.empty[Seg]) {
+              case (cur :: done, s) if s._1 - cur._2 <= gapMillis =>
+                (cur._1, math.max(cur._2, s._2), cur._3 + s._3,
+                  cur._4 + s._4) :: done
+              case (acc, s) => s :: acc
+            }.reverse
           // seal = watermark passed last + gap (see scaladoc for why no
           // future arrival can touch a sealed session)
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) =
-            sessions.partition(s => s.last._1 + gapMillis <= wm)
+          val (closed, open) = merged.partition(_._2 + gapMillis <= wm)
           if (open.isEmpty) state.remove()
           else {
-            val flat = open.flatten
-            state.update(SessionBuffer(flat.map(_._1), flat.map(_._2)))
+            state.update(SessionBuffer(open.map(_._1), open.map(_._2),
+              open.map(_._3), open.map(_._4)))
             // wake when the earliest open session becomes sealable
-            state.setTimeoutTimestamp(
-              open.map(_.last._1 + gapMillis).min)
+            state.setTimeoutTimestamp(open.map(_._2 + gapMillis).min)
           }
           closed.iterator.map { s =>
-            Session(uid, new java.sql.Timestamp(s.head._1),
-              new java.sql.Timestamp(s.last._1), s.size,
-              s.map(_._2).sum)
+            Session(uid, new java.sql.Timestamp(s._1),
+              new java.sql.Timestamp(s._2), s._3, s._4)
           }
       }
   }

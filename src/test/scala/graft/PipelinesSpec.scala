@@ -192,11 +192,15 @@ class PipelinesSpec extends SparkSpec {
     val all = el.crossJoin(cent)
       .withColumn("c", dotLong(col("q"), col("cvec")).cast("double") /
         sqrt(col("cn2").cast("double") * col("n2").cast("double")))
-    val beats = all.join(asg.select(col("vec_id"), col("assigned"), col("cos")),
-        "vec_id")
-      .where(round(col("c"), 4) > col("cos") ||
-        (round(col("c"), 4) === col("cos") && col("label") < col("assigned")))
-    assert(beats.isEmpty, "a strictly better (or equal-with-smaller-label) cell exists")
+    // recompute the argmax on FULL precision (comparing against the
+    // 4-decimal presentation cosine would flag spurious near-ties) with
+    // the same (cos, -label) tie-break, and demand exact agreement
+    val expected = all.groupBy("vec_id")
+      .agg(max_by(col("label"), struct(col("c"), -col("label")))
+        .as("expected"))
+    val disagree = asg.join(expected, "vec_id")
+      .where(col("assigned") =!= col("expected"))
+    assert(disagree.isEmpty, "assignment is not the true argmax")
   }
 
   test("kmeans Lloyd iterations: round 1 is ss07, objective is monotone") {
@@ -359,6 +363,18 @@ class PipelinesSpec extends SparkSpec {
       .join(d.groupBy("fp").agg(min("doc_id").as("mn")), "fp")
       .where(col("inHist").isNull && col("doc_id") === col("mn"))
     assert(uncaused.isEmpty)
+  }
+
+  test("incrementalAdmit: null keys surface as admitted, never vanish") {
+    import spark.implicits._
+    val ex = Seq((1L, Option("a"))).toDF("doc_id", "fp")
+    val inc = Seq((10L, Option("a")), (11L, Option.empty[String]),
+      (12L, Option.empty[String]), (13L, Option("b")))
+      .toDF("doc_id", "fp")
+    val out = Dedup.incrementalAdmit(ex, inc)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // no row lost to a null equi-join; null-keyed docs admitted verbatim
+    assert(out == Map(10L -> false, 11L -> true, 12L -> true, 13L -> true))
   }
 
   test("m01 multimodal decode: checksum in [0,256), frames at stride 100") {
