@@ -241,6 +241,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization state survives a checkpointed stop/restart") {
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("sess_restart_src")
+    val ckpt = tmpDir("sess_restart_ckpt")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Double)]
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      Streaming.streamingSessionize(spark,
+          spark.readStream.schema(schema).json(srcDir), "ts",
+          gap = "10 minutes", watermark = "5 minutes")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.Session],
+            _: Long) =>
+          batch.collect().foreach(s => emitted.synchronized {
+            emitted += ((s.user_id, s.session_start.toString, s.n_events,
+              s.sum_value))
+          })
+        }
+        .start()
+
+    // run 1: an open session accumulates, nothing seals, stop
+    writeFile("b1.json", Seq(
+      """{"user_id":1,"ts":"2026-01-01 10:00:00","value":1.0}""",
+      """{"user_id":1,"ts":"2026-01-01 10:05:00","value":2.0}"""))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emitted.isEmpty, "open session must not emit before its seal")
+
+    // run 2, same checkpoint: only the RECOVERED state can know the
+    // session started at 10:00 with two events — lost state would emit a
+    // wrong or missing first session
+    writeFile("b2.json", Seq(
+      """{"user_id":1,"ts":"2026-01-01 10:40:00","value":4.0}""",
+      """{"user_id":9,"ts":"2026-01-01 12:00:00","value":0.0}"""))
+    writeFile("b3.json", Seq(
+      """{"user_id":9,"ts":"2026-01-01 13:00:00","value":0.0}"""))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val u1 = emitted.filter(_._1 == 1L).toSet
+    assert(u1 == Set(
+      (1L, "2026-01-01 10:00:00.0", 2L, 3.0),
+      (1L, "2026-01-01 10:40:00.0", 1L, 4.0)), s"got: $emitted")
+  }
+
   test("stream-stream interval join attributes errors to in-horizon clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
