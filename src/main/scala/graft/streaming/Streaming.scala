@@ -122,6 +122,26 @@ object Streaming {
   /** One closed session: [start, end] with event count and value sum. */
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** (start, last, count, sum) segment algebra of gap-sessionization. */
+  private[graft] type Seg = (Long, Long, Long, Double)
+
+  /** Interval-merge of session segments: sort by (start, last), coalesce
+    * neighbors within `gapMillis`. This IS the sessionizer's exactness
+    * core (property-tested against brute-force gap-splitting under
+    * arbitrary batch orders): gap-sessions are connected components under
+    * ≤-gap adjacency, components only extend or merge as events arrive,
+    * and this merge is associative over any batching of the inputs.
+    * Count/sum merging is order-free; the (start, last) sort key makes
+    * equal-start folds deterministic. */
+  private[graft] def mergeSegments(segs: Seq[Seg], gapMillis: Long): List[Seg] =
+    segs.sortBy(s => (s._1, s._2))
+      .foldLeft(List.empty[Seg]) {
+        case (cur :: done, s) if s._1 - cur._2 <= gapMillis =>
+          (cur._1, math.max(cur._2, s._2), cur._3 + s._3,
+            cur._4 + s._4) :: done
+        case (acc, s) => s :: acc
+      }.reverse
   /** Per-user open-session SEGMENT accumulators, parallel-array encoded
     * (public: state-store codegen instantiates it). One entry per unsealed
     * session: [start, last, count, sum]. */
@@ -166,8 +186,6 @@ object Streaming {
     require(gapMs.months == 0 && gapMs.days == 0,
       s"gap must be a sub-day duration: $gap")
     val gapMillis = gapMs.microseconds / 1000L
-    // (start, last, cnt, sum) segment algebra
-    type Seg = (Long, Long, Long, Double)
     events
       .select(col("user_id").cast("long"), col(tsCol).as("ts"),
         col("value").cast("double"))
@@ -183,17 +201,7 @@ object Streaming {
           }.getOrElse(Seq.empty)
           val fresh: Seq[Seg] =
             rows.map(r => (r._2.getTime, r._2.getTime, 1L, r._3)).toSeq
-          // interval-merge: sort every segment by (start, last), coalesce
-          // neighbors within gap (sum/count merging is order-free; the
-          // (start, last) sort key makes equal-start folds deterministic)
-          val merged = (prior ++ fresh)
-            .sortBy(s => (s._1, s._2))
-            .foldLeft(List.empty[Seg]) {
-              case (cur :: done, s) if s._1 - cur._2 <= gapMillis =>
-                (cur._1, math.max(cur._2, s._2), cur._3 + s._3,
-                  cur._4 + s._4) :: done
-              case (acc, s) => s :: acc
-            }.reverse
+          val merged = mergeSegments(prior ++ fresh, gapMillis)
           // seal = watermark passed last + gap (see scaladoc for why no
           // future arrival can touch a sealed session)
           val wm = state.getCurrentWatermarkMs()

@@ -323,6 +323,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: segment merge equals brute-force gap-split under any batching") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 500L))
+      gap <- Gen.oneOf(1L, 5L, 20L, 100L)
+      nBatches <- Gen.choose(1, 5)
+      order <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
+    } yield (ts, gap, order)
+    (1L to 12L).foreach { seed =>
+      val (ts, gap, order) = gen.pureApply(Gen.Parameters.default, Seed(seed))
+      val events = ts.zipWithIndex.map { case (t, i) => (t, i.toDouble) }
+      // brute force: sort all events, split where the gap exceeds `gap`
+      val expected = events.sortBy(identity)
+        .foldLeft(List.empty[List[(Long, Double)]]) {
+          case (cur :: done, e) if e._1 - cur.head._1 <= gap =>
+            (e :: cur) :: done
+          case (acc, e) => List(e) :: acc
+        }.map(_.reverse).reverse
+        .map(s => (s.head._1, s.last._1, s.size.toLong, s.map(_._2).sum))
+      // streaming path: fold batches (arbitrary arrival order) through
+      // mergeSegments exactly as the operator does
+      val batches = events.zip(order).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val got = batches.foldLeft(List.empty[Streaming.Seg]) { (state, b) =>
+        Streaming.mergeSegments(
+          state ++ b.map(e => (e._1, e._1, 1L, e._2)), gap)
+      }
+      withClue(s"seed=$seed gap=$gap") { assert(got == expected) }
+    }
+  }
+
   test("event-time tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
