@@ -39,7 +39,7 @@ object Canonical {
 
   /** Lower-case all column names (ref melt.clj:63 keywordize/lower). */
   def lowerCols(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** Deterministic struct: fields sorted by lower-cased name. */
   private def sortedStruct(df: DataFrame, cols: Seq[String]): Column =

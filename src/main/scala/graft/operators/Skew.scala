@@ -55,7 +55,7 @@ object Skew {
     // both join sides (and the size histogram) consume this; materialize
     // once (bounded: input rows)
     val packed = df
-      .select(kc :+ struct(payload.map(col): _*).as("__skew_p"): _*)
+      .select(kc :+ struct(payload.toIndexedSeq.map(col): _*).as("__skew_p"): _*)
       .transform(graft.Materialize.pin)
     // one row per bucket — a bounded aggregate, shuffled map-side-combined
     val sizes = packed.groupBy(kc: _*).agg(count(lit(1)).as("__skew_n"))
