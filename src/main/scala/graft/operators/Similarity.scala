@@ -221,24 +221,46 @@ object Similarity {
     * data-adaptive cells). A production IVF would k-means its cells; the
     * pre-labeled corpus stands in for the assignment step here. */
   def ss06IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ArrayDot.dotLong
-    // the pinned corpus is consumed by the centroid build, the query row,
-    // and the probe scan; the centroid recipe is the ONE shared
-    // centroidsOf (also ss07/c03's trainer) so the quantizer cannot drift
-    // between the ANN index and the k-means path
     val emb = embCorpus(spark, dir)
-    val cent = centroidsOf(emb,
-      emb.select(col("vec_id"), col("label").as("cell")))
+    ivfAnnOn(emb, emb.select(col("vec_id"), col("label").as("cell")),
+      nprobe = 2)
+  }
+
+  /** IVF ANN over TRAINED cells: refine the seed labels with `iters`
+    * Lloyd rounds (kmeansFit) before probing — the full production IVF
+    * recipe ss06's doc promises, where the coarse quantizer is learned
+    * from the data rather than inherited from labels. Same probe/re-rank
+    * core as ss06, so quality differences are attributable to the cells
+    * alone. */
+  def ivfAnnTrained(spark: SparkSession, dir: String, iters: Int,
+      nprobe: Int): DataFrame = {
+    val emb = embCorpus(spark, dir)
+    val cells = kmeansFit(spark, dir, iters)
+      .select(col("vec_id"), col("assigned").as("cell"))
+    ivfAnnOn(emb, cells, nprobe)
+  }
+
+  /** The parameterized IVF core: build centroids of `cells` (one shared
+    * recipe with the k-means trainer — the quantizer cannot drift between
+    * index and training), rank cells by centroid cosine against the query
+    * vector, probe the top `nprobe`, exact-cosine re-rank only their
+    * members. The centroid and probed-cell frames are |cells| and
+    * `nprobe` rows — broadcast by construction at any corpus size. */
+  private def ivfAnnOn(emb: DataFrame, cells: DataFrame,
+      nprobe: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val cent = centroidsOf(emb, cells)
     val query = emb.where(col("vec_id") === 0)
       .select(col("q").as("qq"), col("n2").as("qn2"))
-    val cells = cent.crossJoin(broadcast(query))
+    val probed = cent.crossJoin(broadcast(query))
       .withColumn("ccos", dotLong(col("cvec"), col("qq")).cast("double") /
         sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
       .orderBy(col("ccos").desc, col("clabel"))
-      .limit(2)
-      .select(col("clabel").as("label"))
-    emb.where(col("vec_id") =!= 0)
-      .join(broadcast(cells), Seq("label"))
+      .limit(nprobe)
+      .select(col("clabel").as("cell"))
+    emb.join(cells, Seq("vec_id"))
+      .where(col("vec_id") =!= 0)
+      .join(broadcast(probed), Seq("cell"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
         round(dotLong(col("q"), col("qq")).cast("double") /

@@ -157,6 +157,23 @@ class PipelinesSpec extends SparkSpec {
     info(s"IVF nprobe=2 recall vs exact top-10: ${(exact & got).size / 10.0}")
   }
 
+  test("trained IVF (Lloyd-refined cells) probes nprobe cells and recalls") {
+    val trained = Similarity.ivfAnnTrained(spark, sf, iters = 2, nprobe = 2)
+    assert(trained.count() == 10)
+    assert(trained.where(col("vec_id") === 0).isEmpty)
+    // results live in at most nprobe TRAINED cells
+    val cells = Similarity.kmeansFit(spark, sf, iters = 2)
+      .select(col("vec_id"), col("assigned"))
+    assert(trained.join(cells, "vec_id")
+      .select("assigned").distinct().count() <= 2)
+    val exact = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val got = trained.collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size / 10.0
+    info(s"trained-IVF nprobe=2 recall vs exact top-10: $recall")
+    assert(recall >= 0.3, s"trained-IVF recall $recall collapsed")
+  }
+
   test("ss04 LSH near-dup pairs are a subset of the exact ss02 pairs") {
     // candidate generation can lose recall (one bucket table) but must
     // never invent a pair: every surviving pair passed the exact filter
