@@ -24,15 +24,25 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.conf.getOption("spark.graft.checkpointDir") match {
-          case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
-          case None => throw new IllegalStateException(
-            "spark.graft.reliableCheckpoint=true needs a checkpoint dir: " +
-              "set spark.graft.checkpointDir or SparkContext.setCheckpointDir")
-        }
-      df.checkpoint()
-    } else df.localCheckpoint()
+    val pinned =
+      if (spark.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.conf.getOption("spark.graft.checkpointDir") match {
+            case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
+            case None => throw new IllegalStateException(
+              "spark.graft.reliableCheckpoint=true needs a checkpoint dir: " +
+                "set spark.graft.checkpointDir or SparkContext.setCheckpointDir")
+          }
+        df.checkpoint()
+      } else df.localCheckpoint()
+    // Drop the ancestor-derived statistics Dataset.checkpoint copies onto
+    // the leaf: join estimates are PRODUCTS of child sizes, so in an
+    // iterative loop (pin-per-round) the inherited sizeInBytes BigInt
+    // doubles its bit-length every round and stats estimation itself
+    // becomes a driver CPU sink (observed: minutes inside BigInteger
+    // multiply past ~25 chained pins). A fresh leaf reports "unknown";
+    // AQE re-plans joins from true runtime sizes, which for a pinned
+    // bounded frame are also the more accurate ones.
+    org.apache.spark.sql.graft.Bridge.freshLeaf(pinned)
   }
 }

@@ -246,9 +246,14 @@ object Dedup {
       passageTokens: Int): DataFrame = {
     require(passageTokens >= 1, s"passageTokens: $passageTokens")
     val p = passageTokens
-    val chunks = transform(
+    // the empty-token-array guard matters: sequence(0, -1) auto-infers step
+    // −1 and yields [0, −1] — two phantom passages where the oracle's
+    // range(0, 0) yields none. Unreachable through the declared query
+    // (split(trim(text)) is never empty) but live for the library surface.
+    val chunks = when(size(col("ws")) >= 1, transform(
       sequence(lit(0), expr(s"(size(ws) + ${p - 1}) div $p") - 1),
-      c => array_join(slice(col("ws"), c * p + 1, lit(p)), " "))
+      c => array_join(slice(col("ws"), c * p + 1, lit(p)), " ")))
+      .otherwise(array())
     // the shuffle key is the passage's 64-bit HASH, not the passage string
     // — the count groupBy and the occurrence join then move 16 B rows
     // instead of ~20-token text (passages cover ~the whole corpus, so a
@@ -360,77 +365,25 @@ object Dedup {
     * dd05 Hamming ≤ 4 pair graph. Pairs alone aren't actionable in a
     * curation pipeline — "keep one per group" needs the transitive group —
     * so every document gets the smallest doc_id reachable through near-dup
-    * edges as its cluster id (singletons label themselves).
-    *
-    * Iterative min-label propagation with pointer jumping and a CHANGED
-    * FRONTIER: each round, only nodes whose label improved last round
-    * offer it to their neighbors (a label can only improve via a
-    * neighbor's improvement, so messages from unchanged nodes are
-    * provably redundant) — the edge join therefore touches Σ
-    * frontier-degree edges per round, a shrinking fraction of E, instead
-    * of all of E every round; at 10⁹ touched nodes that is the difference
-    * between rounds·E and ~E log D total traffic. After the min-aggregate,
-    * each node adopts its LABEL's label (pointer jump on the label frame —
-    * ~log-diameter rounds instead of diameter). Each round materializes
-    * via Materialize.pin so lineage doesn't grow with the iteration
-    * count; convergence is simply an EMPTY frontier — detected on the
-    * frame the round already computes, no extra detection round, no label
-    * collect. */
+    * edges as its cluster id (singletons label themselves). The component
+    * search runs over the edge-TOUCHED subgraph only — per-round state is
+    * proportional to the near-dup fraction of the corpus, not the corpus
+    * (on a real corpus most documents are singletons and never enter the
+    * loop); singletons are attached after the fixpoint with one left join. */
   def dd06NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     // pin the pair set BEFORE the bidirectional union: both branches then
     // read materialized blocks instead of executing the whole dd05
     // pipeline once each (simhashPairs is the unsorted core — dd05's
-    // presentation sort would be pure waste here)
-    val pairs = simhashPairs(spark, dir).select("ida", "idb")
+    // presentation sort would be pure waste here). The pair-distinct stays
+    // even though min-label propagation is duplicate-insensitive: measured
+    // A/B at sf0.1, paying one dedup shuffle beats re-joining each
+    // duplicated edge (≤ 5× per shared band) every propagation round
+    val pairs = simhashPairs(spark, dir)
+      .select("ida", "idb")
       .transform(graft.Materialize.pin)
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-    // propagate over the edge-TOUCHED subgraph only: per-round state is
-    // proportional to the near-dup fraction of the corpus, not the corpus
-    // (on a real corpus most documents are singletons and never enter the
-    // loop); singletons are attached after the fixpoint with a single
-    // left join
-    var labels = edges.select(col("ida").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-      .transform(graft.Materialize.pin)
-    // round 0: every touched node is "changed" (it just got a label)
-    var frontier = labels
-    var rounds = 0
-    // an edge-free corpus has an empty frontier and never enters the loop
-    while (!frontier.isEmpty) {
-      rounds += 1
-      if (rounds > 64) throw new IllegalStateException(
-        "label propagation did not converge in 64 rounds — component " +
-          "diameter outgrew the simple propagation; use star-contraction")
-      // one round = messages (each CHANGED node's label offered to every
-      // neighbor, UNION'd with everyone's current label — the union is
-      // free, no extra join) → min per node → pointer jump (adopt the
-      // label's own new label; label[v] always names a node whose label
-      // is ≤ it, so the hop is monotone and the fixpoint — everyone at
-      // the component min, where the hop is the identity — is unchanged,
-      // just reached in ~half the rounds)
-      val stepped = edges
-        .join(frontier.select(col("doc_id").as("ida"), col("lbl")),
-          Seq("ida"))
-        .select(col("idb").as("doc_id"), col("lbl"))
-        .unionAll(labels)
-        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
-        // both sides of the hop self-join consume this; pin or the message
-        // join + min-aggregate execute twice per round
-        .transform(graft.Materialize.pin)
-      val merged = jump(stepped)
-      // next frontier = labels the round IMPROVED (strictly decreased —
-      // labels are monotone, so <, never ≠, and an empty frontier IS the
-      // fixpoint: no join against a previous snapshot, just the round's
-      // own before/after frames)
-      frontier = merged
-        .join(labels.select(col("doc_id"), col("lbl").as("__prev")),
-          Seq("doc_id"))
-        .where(col("lbl") < col("__prev"))
-        .select(col("doc_id"), col("lbl"))
-        .transform(graft.Materialize.pin)
-      labels = merged
-    }
+    val labels = connectedComponents(edges)
     t(spark, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -438,18 +391,122 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** One pointer jump: every node adopts its label's own label —
-    * lbl[v] ← min(lbl[v], lbl[lbl[v]]). Monotone (a label always names a
-    * node whose label is ≤ it), fixpoint-preserving (at the component min
-    * the hop is the identity). Pins its output because the next jump (or
-    * the convergence scalar + next round) consumes it from both sides. */
-  private def jump(labelFrame: DataFrame): DataFrame =
-    labelFrame
-      .join(labelFrame.select(col("doc_id").as("lbl"), col("lbl").as("hop")),
-        Seq("lbl"), "left")
-      .select(col("doc_id"),
-        least(col("lbl"), coalesce(col("hop"), col("lbl"))).as("lbl"))
+  /** Connected components over a SYMMETRIC edge frame (ida, idb): every
+    * edge-touched node gets the smallest node id reachable from it, as
+    * (doc_id, lbl). Two regimes, switched automatically:
+    *
+    * FAST PATH — frontier-driven min-label propagation with pointer
+    * jumping. Each round, only nodes whose label improved last round offer
+    * it to their neighbors (a label can only improve via a neighbor's
+    * improvement, so messages from unchanged nodes are provably redundant):
+    * the edge join touches Σ frontier-degree edges per round, a shrinking
+    * fraction of E, for ~E log D total traffic instead of rounds·E. The
+    * round is ONE fused job — messages UNION'd with every node's current
+    * label (tagged with the pre-round label so the frontier falls out of
+    * the same aggregate), min per node, then a pointer jump against the
+    * PREVIOUS round's pinned labels (lbl ← min(lbl, prev-labels[lbl]);
+    * monotone because a label always names a node whose label is ≤ it, and
+    * fixpoint-preserving because at the component min the hop is the
+    * identity — same ~log-diameter doubling as Shiloach–Vishkin
+    * shortcutting, but the stepped frame is consumed ONCE, so nothing else
+    * per round needs materializing). Convergence = the round improved no
+    * label — a limit-1 probe of a lazy filter over the already-pinned
+    * frame, not an extra join or a label collect.
+    *
+    * FALLBACK — after `propRounds` un-converged rounds, CONTRACT: collapse
+    * the graph by the labels found so far (edges between current labels,
+    * self-loops dropped) and recurse on the contracted graph with a
+    * DOUBLED round budget, composing the final label through the
+    * contraction mapping. The doubling is load-bearing: pointer jumping
+    * doubles label reach per round but a contraction resets that doubling
+    * (the contracted graph starts back at identity labels), so a FIXED
+    * per-phase budget b advances a diameter-D path only ~2^b nodes per
+    * phase — linear, not geometric. With the budget doubling, phase k
+    * covers reach 2^(b·2^k), so total rounds across all phases ≈ 2·log₂ D
+    * — the same asymptotics as uninterrupted propagation — while each
+    * phase re-pins lineage and works on a strictly smaller graph (only
+    * the still-unconverged components' labels). Adversarial diameter
+    * (crawl chains, quote cascades) therefore degrades to more phases,
+    * never to an exception, and a nightly 100 TB curation job cannot be
+    * killed by one pathological component. */
+  private[graft] def connectedComponents(edges: DataFrame,
+      propRounds: Int = 8, phase: Int = 0): DataFrame = {
+    require(propRounds >= 1, s"propRounds: $propRounds")
+    // unreachable for data reasons (phase k alone covers diameter
+    // 2^(propRounds·2^k), and the node count strictly decreases per
+    // phase); guards against a logic bug turning into an infinite loop
+    require(phase <= 64, "connectedComponents: 64 contraction phases — " +
+      "node count must strictly decrease per phase; logic bug")
+    var labels = edges.select(col("ida").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
       .transform(graft.Materialize.pin)
+    // round-0 frontier = every touched node (it just acquired a label);
+    // an edge-free graph is empty here and skips the loop entirely
+    var frontier = labels
+    var rounds = 0
+    var converged = frontier.isEmpty
+    while (!converged && rounds < propRounds) {
+      rounds += 1
+      // messages carry a null pre-round tag; each node's own current label
+      // carries itself as the tag — after the min-aggregate, `__prev` is
+      // exactly the node's pre-round label (one labels row per node), so
+      // "did this round improve me" needs no join against a snapshot
+      val stepped = edges
+        .join(frontier.select(col("doc_id").as("ida"), col("lbl")),
+          Seq("ida"))
+        .select(col("idb").as("doc_id"), col("lbl"),
+          lit(null).cast("long").as("__prev"))
+        .unionAll(labels.select(col("doc_id"), col("lbl"),
+          col("lbl").as("__prev")))
+        .groupBy("doc_id")
+        .agg(min(col("lbl")).as("lbl"), max(col("__prev")).as("__prev"))
+      // pointer jump against the previous round's PINNED labels: stepped
+      // is consumed once, so the whole round is a single pinned job —
+      // and the convergence scalar rides THAT job as an observed metric
+      // (CollectMetrics during checkpoint materialization), so no
+      // separate probe job or extra pass over the frame exists at all
+      val obs = org.apache.spark.sql.Observation()
+      val merged = stepped
+        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("__hop")),
+          Seq("lbl"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("__hop"), col("lbl"))).as("lbl"),
+          col("__prev"))
+        .observe(obs,
+          count(when(col("lbl") < col("__prev"), 1)).as("improved"))
+        .transform(graft.Materialize.pin)
+      // labels are monotone (the union includes the own-label row), so
+      // "improved" is strictly-less — and zero improvements IS the fixpoint
+      converged = obs.get("improved").asInstanceOf[Long] == 0L
+      frontier = merged.where(col("lbl") < col("__prev"))
+        .select(col("doc_id"), col("lbl"))
+      labels = merged.select(col("doc_id"), col("lbl"))
+    }
+    if (converged) labels
+    else {
+      // contract by the labels found so far and recurse; compose through
+      // the mapping. Components that already converged have no inter-label
+      // edge and drop out of the sub-problem (coalesce keeps their label).
+      val cPairs = edges
+        .join(labels.select(col("doc_id").as("ida"), col("lbl").as("__la")),
+          Seq("ida"))
+        .join(labels.select(col("doc_id").as("idb"), col("lbl").as("__lb")),
+          Seq("idb"))
+        .where(col("__la") =!= col("__lb"))
+        .select(least(col("__la"), col("__lb")).as("ida"),
+          greatest(col("__la"), col("__lb")).as("idb"))
+        .distinct()
+        .transform(graft.Materialize.pin)
+      val cEdges = cPairs
+        .unionAll(cPairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      val sub = connectedComponents(cEdges, propRounds * 2, phase + 1)
+      labels
+        .join(sub.select(col("doc_id").as("lbl"), col("lbl").as("__sub")),
+          Seq("lbl"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__sub"), col("lbl")).as("lbl"))
+    }
+  }
 
   /** dd05 — SimHash near-dup pairs: block on 5×12-bit bands, verify
     * Hamming ≤ 4 via bit_count(xor). Pigeonhole: ≤4 differing bits touch at

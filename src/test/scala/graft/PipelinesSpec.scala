@@ -84,6 +84,42 @@ class PipelinesSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("connectedComponents survives adversarial diameter via contraction") {
+    // 200-node path graph: diameter 199, far past any small propagation
+    // budget. With propRounds=2 the frontier loop CANNOT converge — the
+    // contraction fallback must take over (several phases) and still land
+    // every node on the component minimum, with no round-cap exception.
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val edges = chain.unionAll(
+      chain.select(col("idb").as("ida"), col("ida").as("idb")))
+    val labels = operators.Dedup.connectedComponents(edges, propRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == (0L until 200L).map(i => (i, 0L)).toSet)
+  }
+
+  test("connectedComponents contraction keeps components separate") {
+    // two long chains + one already-tiny component, tiny propagation
+    // budget: contraction must not merge across components, and components
+    // that converge in the fast path keep their labels through the
+    // contraction mapping
+    import spark.implicits._
+    val pairs =
+      (100L until 179L).map(i => (i, i + 1)) ++ // chain A, min 100
+        (500L until 560L).map(i => (i, i + 1)) ++ // chain B, min 500
+        Seq((900L, 901L)) // single edge, converges in round 1
+    val p = pairs.toDF("ida", "idb")
+    val edges = p.unionAll(
+      p.select(col("idb").as("ida"), col("ida").as("idb")))
+    val got = operators.Dedup.connectedComponents(edges, propRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want =
+      (100L to 179L).map(i => (i, 100L)).toSet ++
+        (500L to 560L).map(i => (i, 500L)).toSet ++
+        Set((900L, 900L), (901L, 900L))
+    assert(got == want)
+  }
+
   test("c02 keeps exactly the quality-passing cluster representatives") {
     val kept = graft.operators.Curation.c02ClusterCuration(spark, sf)
     val labels = Dedup.dd06NearDupClusters(spark, sf)
@@ -182,6 +218,63 @@ class PipelinesSpec extends SparkSpec {
     val lsh = Similarity.ss04LshNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact) && lsh.nonEmpty)
+  }
+
+  test("ss04 recall floor on planted near-dup pairs") {
+    // Planted-pair fixture, mirroring the ss03 recall-floor test: 60 base
+    // vectors each get a twin at cos ≈ 0.995 (the true near-DUPLICATE
+    // regime this miner exists for) and 60 more a twin at cos ≈ 0.9.
+    // Theory (sign-agreement prob 1 − θ/π per plane, 8-plane tables):
+    // cos 0.995 → per-table ≈ 0.77, two tables ≈ 0.95; cos 0.9 →
+    // per-table ≈ 0.29, two tables ≈ 0.50. The hard floor is asserted in
+    // the tight regime; the loose regime's measured recall is reported
+    // (and must beat one table's) — recovering MORE of it is what adding
+    // tables is for (T tables: 1 − (1 − p₈)^T, ~7 tables for 90% at
+    // cos 0.9). Deterministic seed ⇒ no flake.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def twin(v: Array[Float], rel: Double): Array[Float] = {
+      val base = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val n = Array.fill(64)(rnd.nextGaussian())
+      val nn = math.sqrt(n.map(x => x * x).sum)
+      v.zip(n).map { case (x, e) =>
+        (x + (e / nn * base * rel).toFloat) }
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    // rel 0.1 → cos ≈ 1/sqrt(1.01) ≈ 0.995; rel 0.484 → cos ≈ 0.90
+    val tight = (0 until 60).map { i =>
+      val v = vec(); (4L * i, v, 4L * i + 1, twin(v, 0.1))
+    }
+    val loose = (0 until 60).map { i =>
+      val v = vec(); (4L * i + 2, v, 4L * i + 3, twin(v, 0.484))
+    }
+    val dir = tmpDir("planted-lsh")
+    (tight ++ loose)
+      .flatMap { case (ia, va, ib, vb) => Seq((ia, va, 0), (ib, vb, 0)) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(dir + "/embeddings.parquet")
+    val got = Similarity.ss04LshNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(pairs: Seq[(Long, Array[Float], Long, Array[Float])],
+        minCos: Double): Double = {
+      val planted = pairs.filter(p => cos(p._2, p._4) >= minCos)
+        .map(p => (p._1, p._3))
+      assert(planted.size >= 50, s"fixture degenerated: ${planted.size}")
+      planted.count(got.contains).toDouble / planted.size
+    }
+    val rTight = recallOf(tight, 0.97)
+    val rLoose = recallOf(loose, 0.85)
+    info(s"ss04 planted recall: cos≈0.995 → $rTight, cos≈0.9 → $rLoose")
+    assert(rTight >= 0.8, s"near-duplicate recall $rTight below 0.8 floor")
+    // the loose regime is where the tables-vs-recall trade bites: assert
+    // only that the second table is pulling its weight (> one table's
+    // theoretical ceiling alone would flake; > 0.25 does not)
+    assert(rLoose >= 0.25, s"cos 0.9 recall $rLoose collapsed")
   }
 
   test("ss07 kmeans assignment is the true per-vector argmax") {
