@@ -167,14 +167,18 @@ object Similarity {
     * task with its n_b² pairs.
     *
     * Recall characteristics (sign-agreement probability 1 − θ/π per
-    * plane): for true near-DUPLICATES (cos ≥ 0.9, the mining regime this
-    * operator exists for) a pair collides in one 8-bit table with p ≈ 0.66
-    * — two tables ≈ 0.88. At this fixture's deliberately loose cos ≥ 0.4
-    * presentation threshold, per-table collision is only ~2.5%, so the
-    * emitted set is sparse — the subset relation vs exact ss02 and the
-    * oracle hash keep it honest; tighten recall by adding tables (union
-    * more `tableCands`), never by widening buckets (bucket occupancy, and
-    * with it Σ n_b², explodes). */
+    * plane, so one 8-plane table collides with p₈ = (1 − θ/π)⁸ and T
+    * tables recall 1 − (1 − p₈)^T): at cos 0.995 — the true
+    * near-DUPLICATE regime this miner exists for — p₈ ≈ 0.77 and two
+    * tables ≈ 0.95; at cos 0.99, ≈ 0.90; at cos 0.9 the pair angle is
+    * already 26° and two tables recall only ≈ 0.50 (≈ 7 tables for 90%).
+    * Both regimes are measured against planted pairs in PipelinesSpec
+    * (hard floor 0.8 at cos ≈ 0.995). At this fixture's deliberately
+    * loose cos ≥ 0.4 presentation threshold, per-table collision is only
+    * ~2.5%, so the emitted set is sparse — the subset relation vs exact
+    * ss02 and the oracle hash keep it honest; tighten recall by adding
+    * tables (union more `tableCands`), never by widening buckets (bucket
+    * occupancy, and with it Σ n_b², explodes). */
   def ss04LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     // same two independent tables as ss03: a near-dup pair is a candidate
@@ -306,9 +310,18 @@ object Similarity {
     * is total and engine-portable. */
   private def assignStep(emb: DataFrame, cent: DataFrame): DataFrame = {
     import graft.functions.ArrayDot.dotLong
+    // zero-norm guard: an all-zero quantized vector or a cancelled-out sum
+    // centroid makes the division 0/0 = NaN, and max_by's struct ordering
+    // treats NaN as largest — the argmax would diverge from any engine
+    // with ordinary division semantics. Degenerate sides get a defined
+    // cosine of −1 (worse than every real cosine), so such vectors land in
+    // the smallest-labeled cell deterministically instead of NaN-winning.
     emb.crossJoin(broadcast(cent))
-      .withColumn("ccos", dotLong(col("q"), col("cvec")).cast("double") /
-        sqrt(col("cn2").cast("double") * col("n2").cast("double")))
+      .withColumn("ccos",
+        when(col("n2") > 0 && col("cn2") > 0,
+          dotLong(col("q"), col("cvec")).cast("double") /
+            sqrt(col("cn2").cast("double") * col("n2").cast("double")))
+          .otherwise(lit(-1.0)))
       .groupBy("vec_id")
       .agg(max_by(
         struct(col("label"), col("q"), col("n2"), col("clabel"),

@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   * is the exact same pair SET, only spread over g² cells of ≤ maxGroup
   * right-rows each instead of one n_b²-pair task.
   *
-  * When NO bucket exceeds `maxGroup` the whole salting apparatus is skipped
-  * and the join is the plain bucket self-join — an unskewed corpus pays one
-  * cheap bucket-histogram aggregation (one row per bucket), not the
-  * explode/replicate bookkeeping. Bucket sizes come from a groupBy count
-  * joined back, never from an unbounded window frame: a window would buffer
-  * every row of a hot bucket in a single task — re-introducing the exact
-  * single-key pressure this module exists to remove.
+  * The salt factor g is computed PER BUCKET inside the plan (from a
+  * one-row-per-bucket histogram joined back — never an unbounded window
+  * frame, which would buffer every row of a hot bucket in one task,
+  * re-introducing the exact single-key pressure this module exists to
+  * remove). A bucket at or under `maxGroup` gets g = 1, where the scheme
+  * degenerates to the plain self-join by construction (the left side's
+  * explode emits the single salt 0, the right side's hash-mod-1 is 0) — so
+  * an unskewed corpus pays only the histogram join, and NO data-dependent
+  * decision happens on the driver: constructing the plan fires no Spark
+  * job beyond the [[graft.Materialize.pin]] policy sites, and composing
+  * selfPairs inside a larger lazy pipeline stays lazy.
   */
 object Skew {
 
@@ -57,37 +61,30 @@ object Skew {
     val packed = df
       .select(kc :+ struct(payload.toIndexedSeq.map(col): _*).as("__skew_p"): _*)
       .transform(graft.Materialize.pin)
-    // one row per bucket — a bounded aggregate, shuffled map-side-combined
+    // one row per bucket — a bounded aggregate, shuffled map-side-combined;
+    // pinned because both join sides re-derive the salted frame from it
+    // (pinning the tiny histogram instead of the full salted copy of the
+    // data keeps executor memory ∝ bucket count, not corpus size — the
+    // repeated packed ⋈ sizes join is a map-only pass over pinned blocks)
     val sizes = packed.groupBy(kc: _*).agg(count(lit(1)).as("__skew_n"))
-    val maxN = Option(sizes.agg(max("__skew_n")).collect()(0).get(0))
-      .fold(0L)(_.asInstanceOf[Long])
-    val pairs =
-      if (maxN <= maxGroup) {
-        // unskewed fast path: no salt columns, no left-side replication —
-        // the plain bucket self-join, with per-task pair volume already
-        // bounded by maxGroup²
-        packed.select(kc :+ col("__skew_p").as("__skew_a"): _*)
-          .join(packed.select(kc :+ col("__skew_p").as("__skew_b"): _*), keys)
-      } else {
-        // sizes is one row per bucket; as a plain equi-join AQE broadcasts
-        // it when small (no mandatory-broadcast hint — same 8 GB-ceiling
-        // rationale as the LSH candidate-attach joins)
-        val salted = packed.join(sizes, keys)
-          .withColumn("__skew_g", greatest(lit(1L),
-            ceil(col("__skew_n").cast("double") / maxGroup)).cast("int"))
-          .withColumn("__skew_salt",
-            pmod(xxhash64(col("__skew_p").getField(id)),
-              col("__skew_g").cast("long")).cast("int"))
-          .transform(graft.Materialize.pin)
-        val left = salted
-          .withColumn("__skew_t",
-            explode(sequence(lit(0), col("__skew_g") - 1)))
-          .select(kc :+ col("__skew_t") :+ col("__skew_p").as("__skew_a"): _*)
-        val right = salted
-          .select(kc :+ col("__skew_salt").as("__skew_t") :+
-            col("__skew_p").as("__skew_b"): _*)
-        left.join(right, keys :+ "__skew_t")
-      }
+      .transform(graft.Materialize.pin)
+    // sizes is one row per bucket; as a plain equi-join AQE broadcasts it
+    // when small (no mandatory-broadcast hint — same 8 GB-ceiling
+    // rationale as the LSH candidate-attach joins)
+    val salted = packed.join(sizes, keys)
+      .withColumn("__skew_g", greatest(lit(1L),
+        ceil(col("__skew_n").cast("double") / maxGroup)).cast("int"))
+      .withColumn("__skew_salt",
+        pmod(xxhash64(col("__skew_p").getField(id)),
+          col("__skew_g").cast("long")).cast("int"))
+    val left = salted
+      .withColumn("__skew_t",
+        explode(sequence(lit(0), col("__skew_g") - 1)))
+      .select(kc :+ col("__skew_t") :+ col("__skew_p").as("__skew_a"): _*)
+    val right = salted
+      .select(kc :+ col("__skew_salt").as("__skew_t") :+
+        col("__skew_p").as("__skew_b"): _*)
+    val pairs = left.join(right, keys :+ "__skew_t")
     pairs
       .where(col("__skew_a").getField(id) < col("__skew_b").getField(id))
       .select(col("__skew_a").as("a"), col("__skew_b").as("b"))

@@ -16,7 +16,11 @@ trait KafkaAdmin {
   /** topic → partition ids, for every requested topic that exists. Topics
     * the cluster does not know are OMITTED from the result, not errors —
     * one missing topic must not fail offset discovery for the rest (the
-    * reflective impl describes per topic for exactly this isolation). */
+    * reflective impl batches one describeTopics and isolates failures via
+    * the per-topic futures). Authorization failures are NOT omitted — an
+    * ACL-denied topic still exists, and silently treating it as absent
+    * would let a mirror job conclude the topic is gone (and e.g. tombstone
+    * downstream); those abort discovery loudly, naming the topic. */
   def partitionsOf(topics: Seq[String]): Map[String, Seq[Int]]
   /** (topic, partition) → next-offset-to-write, for every partition of the
     * requested topics. */
@@ -89,32 +93,36 @@ object ReflectiveKafkaAdmin {
 
     override def partitionsOf(topics: Seq[String]): Map[String, Seq[Int]] = {
       import scala.jdk.CollectionConverters._
-      // one describeTopics per topic: the batched call's all() future fails
-      // wholesale when ANY topic is unknown, which would violate the trait's
-      // omit-missing contract. Driver-side metadata over a handful of topics
-      // — per-topic round trips are noise next to offset listing.
-      topics.flatMap { topic =>
-        try {
-          val res = call(client, "describeTopics",
-            classOf[java.util.Collection[_]])(Seq(topic).asJava)
-          // allTopicNames() replaced all() in kafka-clients 3.x; support both
-          val fut =
-            try futureGet(res, "allTopicNames")
-            catch { case _: NoSuchMethodException => futureGet(res, "all") }
-          fut.asInstanceOf[java.util.Map[String, AnyRef]].asScala.map {
-            case (t, desc) =>
-              val parts = call(desc, "partitions")()
-                .asInstanceOf[java.util.List[AnyRef]].asScala
-                .map(p =>
-                  call(p, "partition")().asInstanceOf[Integer].intValue())
-              t -> parts.toSeq.sorted
+      if (topics.isEmpty) return Map.empty
+      // ONE batched describeTopics round trip. The result's all() future
+      // fails wholesale when ANY topic is unknown, which would violate the
+      // trait's omit-missing contract — so go through the PER-TOPIC future
+      // map instead (topicNameValues() in kafka-clients 3.1+, values()
+      // before): one unknown topic fails only its own future. Per the trait
+      // contract, only UnknownTopicOrPartition is treated as absence; any
+      // other per-topic failure (authorization, timeouts) propagates and
+      // aborts discovery — unwrap() has already surfaced the real Kafka
+      // exception, which names the topic.
+      val res = call(client, "describeTopics",
+        classOf[java.util.Collection[_]])(topics.asJava)
+      val perTopic =
+        try call(res, "topicNameValues")()
+        catch { case _: NoSuchMethodException => call(res, "values")() }
+      perTopic.asInstanceOf[java.util.Map[String, AnyRef]].asScala.flatMap {
+        case (topic, fut) =>
+          try {
+            val desc = call(fut, "get")()
+            val parts = call(desc, "partitions")()
+              .asInstanceOf[java.util.List[AnyRef]].asScala
+              .map(p =>
+                call(p, "partition")().asInstanceOf[Integer].intValue())
+            Some(topic -> parts.toSeq.sorted)
+          } catch {
+            // by-name match: kafka-clients is not on the compile classpath
+            case e: Throwable if e.getClass.getName ==
+                "org.apache.kafka.common.errors.UnknownTopicOrPartitionException" =>
+              None
           }
-        } catch {
-          // by-name match: kafka-clients is not on the compile classpath
-          case e: Throwable if e.getClass.getName ==
-              "org.apache.kafka.common.errors.UnknownTopicOrPartitionException" =>
-            Nil
-        }
       }.toMap
     }
 

@@ -46,17 +46,34 @@ class SkewSpec extends SparkSpec {
     assert(pairs.count() == 2 * 45)
   }
 
-  test("unskewed input skips the salting apparatus entirely") {
-    // max bucket size 10 <= maxGroup 50: the plan must be the plain bucket
-    // self-join — no explode (Generate) for left-side replication
-    val pairs = Skew.selfPairs(df.where(col("bucket") > 0),
-      Seq("bucket"), "vid", maxGroup = 50)
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(!plan.contains("Generate"), s"unexpected salting in plan:\n$plan")
-    // and the skewed input (hot bucket of 500 > 50) must still salt
-    val saltedPlan = Skew.selfPairs(df, Seq("bucket"), "vid", maxGroup = 50)
-      .queryExecution.executedPlan.toString
-    assert(saltedPlan.contains("Generate"))
+  test("construction is lazy: no data-dependent driver action, g in-plan") {
+    // the salt factor is a per-bucket PLAN column, not a driver decision:
+    // every job construction fires must be a Materialize.pin site — never
+    // a histogram collect (the job count itself is AQE-dependent: a pinned
+    // aggregate materializes its shuffle stage as its own job). Jobs are
+    // submitted synchronously, so by the time selfPairs returns they have
+    // run; give the async listener bus a beat to deliver before checking.
+    val sites = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        j.stageInfos.foreach(s => sites.add(s.name)); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Skew.selfPairs(df, Seq("bucket"), "vid", maxGroup = 50)
+      Thread.sleep(1500)
+      val strays = sites.toArray.map(_.toString)
+        .filter(_.startsWith("collect"))
+      assert(strays.isEmpty,
+        s"construction collected to the driver: ${strays.mkString(", ")}")
+      // the explode is structural (unskewed buckets degenerate to g = 1
+      // inside the same plan), so Generate appears even for mixed input
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Generate"), s"missing salt explode in:\n$plan")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("reserved internal column names are rejected, not silently shadowed") {
