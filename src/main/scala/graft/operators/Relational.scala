@@ -351,6 +351,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Q24b — grouped APPROXIMATE percentiles: q24's prescribed 100 TB form,
+    * registered as its own driver-verified query so the scale path itself
+    * is oracle-green, not just recommended in a scaladoc.
+    * `approx_percentile`'s quantile summary is mergeable and map-side
+    * combined, with memory bounded by the ACCURACY parameter, never by
+    * group size — one hot group cannot buffer a fifth of the corpus in a
+    * single task the way exact `percentile` does. Error contract: rank
+    * error ≤ N/accuracy per group; while N ≤ accuracy (10⁵ here) the
+    * summary retains every value and the result is EXACT. Oracle parity is
+    * by construction in that regime: the function returns an ACTUAL
+    * element — the value at 1-based rank ⌈p·N⌉, no interpolation
+    * arithmetic to order differently — and DuckDB's `quantile_disc`
+    * selects the same rank (verified at convention-divergent probe points
+    * p=0.85/0.05 as well as on the fixture). */
+  def q24bPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(round(expr("approx_percentile(value, 0.5, 100000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.95, 100000)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Q25 — rollup aggregation (the report-cube shape): per (status,
     * priority), per status, and grand total in ONE pass. Spark plans this
     * as an Expand operator — each input row replicated once per grouping
@@ -469,6 +491,8 @@ object Relational {
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events), c0 AS (SELECT user_id, tsn, event_id, value, row_number() OVER (PARTITION BY user_id, tsn ORDER BY event_id DESC) AS rn FROM e WHERE event_type = 'click'), c AS (SELECT user_id, tsn, event_id AS click_id, value AS click_value FROM c0 WHERE rn = 1), err AS (SELECT event_id, user_id, tsn FROM e WHERE event_type = 'error') SELECT err.event_id, err.user_id, err.tsn, c.click_id, c.click_value FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.tsn >= c.tsn ORDER BY err.event_id",
     "q24_percentiles" ->
       "SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.95), 4) AS p95, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q24b_percentiles_approx" ->
+      "SELECT event_type, ROUND(quantile_disc(value, 0.5), 4) AS p50, ROUND(quantile_disc(value, 0.95), 4) AS p95, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "q25_rollup" ->
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "q26_pivot" ->
@@ -503,6 +527,7 @@ object Relational {
     "q22_distinct_agg" -> q22DistinctAgg _,
     "q23_asof_join" -> q23AsofJoin _,
     "q24_percentiles" -> q24Percentiles _,
+    "q24b_percentiles_approx" -> q24bPercentilesApprox _,
     "q25_rollup" -> q25Rollup _,
     "q26_pivot" -> q26Pivot _,
     "q27_window_rank" -> q27WindowRank _,
