@@ -381,8 +381,16 @@ object Dedup {
     val pairs = simhashPairs(spark, dir)
       .select("ida", "idb")
       .transform(graft.Materialize.pin)
+    // pin the SYMMETRIC edge frame hash-partitioned on the join key: the
+    // propagation loop joins edges on ida every round, and a pinned leaf
+    // advertising HashPartitioning(ida) satisfies the join's required
+    // distribution — the E-sized side is shuffled ONCE here instead of
+    // once per round (the frontier side, which shrinks round over round,
+    // is the only thing that still moves)
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .repartition(col("ida"))
+      .transform(graft.Materialize.pin)
     val labels = connectedComponents(edges)
     t(spark, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
