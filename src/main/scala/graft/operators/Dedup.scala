@@ -418,8 +418,10 @@ object Dedup {
     * identity — same ~log-diameter doubling as Shiloach–Vishkin
     * shortcutting, but the stepped frame is consumed ONCE, so nothing else
     * per round needs materializing). Convergence = the round improved no
-    * label — a limit-1 probe of a lazy filter over the already-pinned
-    * frame, not an extra join or a label collect.
+    * label — an OBSERVED metric (CollectMetrics) collected during the
+    * pin's own materialization, so detection costs zero extra jobs and
+    * zero extra passes; the next round's frontier is a lazy filter over
+    * the pinned frame.
     *
     * FALLBACK — after `propRounds` un-converged rounds, CONTRACT: collapse
     * the graph by the labels found so far (edges between current labels,
