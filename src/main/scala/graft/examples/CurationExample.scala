@@ -70,10 +70,13 @@ object CurationExample {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CurationExample <sf-dir> <out-path> [bucketed-table]")
-    val spark = SparkSession.builder()
+    // local master only when none was provided (sbt runMain forks with no
+    // spark.master; under spark-submit the submitted master must win)
+    val builder = SparkSession.builder()
       .appName("graft-curation-example")
       .config("spark.sql.shuffle.partitions", "32")
-      .getOrCreate()
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master("local[32]")).getOrCreate()
     try {
       val out = curated(spark, args(0))
       Sink.writeCurated(out, args(1),

@@ -507,8 +507,13 @@ object Dedup {
           greatest(col("__la"), col("__lb")).as("idb"))
         .distinct()
         .transform(graft.Materialize.pin)
+      // same treatment the top-level caller gives its edge frame: pin the
+      // symmetric contracted edges hash-partitioned on the join key, so
+      // the sub-phase's (doubled) rounds never re-exchange the edge side
       val cEdges = cPairs
         .unionAll(cPairs.select(col("idb").as("ida"), col("ida").as("idb")))
+        .repartition(col("ida"))
+        .transform(graft.Materialize.pin)
       val sub = connectedComponents(cEdges, propRounds * 2, phase + 1)
       labels
         .join(sub.select(col("doc_id").as("lbl"), col("lbl").as("__sub")),

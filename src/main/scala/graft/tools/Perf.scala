@@ -3,14 +3,22 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
-/** Per-query timing + plan inspection: `runMain graft.tools.Perf <sfDir>
-  * [explain] <query>...` — times each named query (all if none given). */
+/** Per-query timing + plan inspection:
+  * `runMain graft.tools.Perf <sfDir> [explain] [reps=N] <query>...` —
+  * times each named query (all if none given). With `reps=N` (N ≥ 2) each
+  * query gets one untimed warmup then N timed runs reported as
+  * min/med/max — the reliable way to compare plan variants on this
+  * machine, since separate bench JVMs swing ±15–20% under background
+  * load while same-JVM repeats after warmup are stable. */
 object Perf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rest = args.drop(1)
     val explain = rest.contains("explain")
-    val names = rest.filterNot(_ == "explain")
+    val reps = rest.collectFirst { case s if s.startsWith("reps=") =>
+      s.stripPrefix("reps=").toInt }.getOrElse(1)
+    require(reps >= 1, s"reps must be >= 1: $reps")
+    val names = rest.filterNot(s => s == "explain" || s.startsWith("reps="))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,11 +26,23 @@ object Perf {
     spark.sparkContext.setLogLevel("ERROR")
     val todo = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     todo.foreach { name =>
+      require(SparkEntry.queries.contains(name), s"unknown query $name")
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) { println(s"==== $name"); df.explain("formatted") }
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      if (reps == 1) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      } else {
+        df.count() // untimed warmup (codegen, file listing)
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-22s min=${times.min}%.2f " +
+          f"med=${times.sorted.apply(reps / 2)}%.2f max=${times.max}%.2f")
+      }
     }
     spark.stop()
   }

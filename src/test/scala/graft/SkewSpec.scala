@@ -65,10 +65,15 @@ class SkewSpec extends SparkSpec {
     try {
       val pairs = Skew.selfPairs(df, Seq("bucket"), "vid", maxGroup = 50)
       Thread.sleep(1500)
+      // any driver-side materialization counts, not just collect(): a
+      // regression could just as easily sneak back in as head/first/
+      // isEmpty/count/take on the histogram
+      val actions =
+        Seq("collect", "head", "first", "isEmpty", "count", "take", "show")
       val strays = sites.toArray.map(_.toString)
-        .filter(_.startsWith("collect"))
+        .filter(s => actions.exists(s.startsWith))
       assert(strays.isEmpty,
-        s"construction collected to the driver: ${strays.mkString(", ")}")
+        s"construction ran driver actions: ${strays.mkString(", ")}")
       // the explode is structural (unskewed buckets degenerate to g = 1
       // inside the same plan), so Generate appears even for mixed input
       val plan = pairs.queryExecution.executedPlan.toString
