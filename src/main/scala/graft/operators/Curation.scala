@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The fused training-data curation pipeline — what the individual
@@ -86,4 +86,46 @@ object Curation {
         Seq("doc_id"), "left_anti")
       .where(col("quality") >= minQuality)
       .orderBy("doc_id")
+
+  /** c04 — benchmark DECONTAMINATION: flag every corpus document whose
+    * verbatim n-gram overlap with a held-out benchmark set reaches
+    * `minShared` distinct grams — the step a training pipeline runs so
+    * eval data cannot leak into the training mix. The declared query
+    * treats doc_id % 97 == 0 as the benchmark (6 docs at sf0.01) with
+    * 3-token grams and minShared = 2; production decontamination uses
+    * longer windows (8–13 tokens — this fixture's synthetic text has no
+    * verbatim 8-gram collisions at all, so the declared query pins the
+    * width where overlap is actually observable).
+    *
+    * Scale shape: the benchmark gram set is |bench|·|grams/doc| rows —
+    * tiny relative to any corpus, so the equi-join on the 64-bit gram
+    * hash broadcasts at runtime (no mandatory hint, same 8 GB-ceiling
+    * stance as everywhere else); the corpus side is one map-only gram
+    * pass plus a per-doc count aggregate (map-side combined). Document
+    * text never crosses the wire — only (doc_id, gram-hash) pairs. */
+  def c04Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(spark, dir, col("doc_id") % 97 === 0,
+      ngramTokens = 3, minShared = 2)
+
+  /** Library surface: decontamination with a caller-chosen benchmark
+    * predicate (over the documents columns), gram width, and threshold.
+    * Emits every NON-benchmark document with its shared-gram count. */
+  def decontaminate(spark: SparkSession, dir: String, isBenchmark: Column,
+      ngramTokens: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    val grams = Dedup.hashedNgrams(spark, dir, ngramTokens)
+    val benchGrams = grams.where(isBenchmark).select("hs").distinct()
+    // grams are distinct per doc and benchGrams is distinct, so the join
+    // emits each (doc, shared gram) once — count(1) IS the distinct count
+    val shared = grams.where(!isBenchmark)
+      .join(benchGrams, "hs")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    graft.sources.Tables.t(spark, dir, "documents")
+      .where(!isBenchmark).select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
 }

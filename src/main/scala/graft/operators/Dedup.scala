@@ -36,24 +36,28 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val R = 2  // rows per band → 8 bands
 
-  /** Distinct word-bigram shingles per doc: (doc_id, s). Per-doc dedup is
+  /** Distinct word n-gram shingles per doc: (doc_id, s). Per-doc dedup is
     * `array_distinct` BEFORE the explode — a map-only operation — never an
     * exploded `.distinct()`, which would shuffle every shingle OCCURRENCE
     * of the corpus just to drop within-document repeats (cross-document
     * rows were never mergeable anyway: doc_id is in the key). At 100 TB
     * that distinct-shuffle is the single largest data movement in the
     * whole dedup family; this formulation has none. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextAnalysis.toks
-    val grams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1))))
+  private[operators] def ngrams(spark: SparkSession, dir: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"ngram width: $n")
+    val grams = when(size(col("ws")) >= n,
+      transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => array_join(slice(col("ws"), i, lit(n)), " ")))
       .otherwise(array())
     t(spark, dir, "documents")
-      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(array_distinct(grams)).as("s"))
   }
+
+  /** The dedup family's word-bigram shingling (dd02/dd03 contract). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    ngrams(spark, dir, 2)
 
   /** The shared engine-portable md5→int64 recipe. */
   private def md5Long(s: Column, hexChars: Int): Column =
@@ -77,12 +81,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Distinct shingles hashed to int64 — all set operations downstream run
+  /** Distinct n-grams hashed to int64 — all set operations downstream run
     * on fixed-width longs, not strings (cheaper movement, codegen-friendly
     * comparisons). Collision probability over |shingle vocab|² / 2⁶⁴ is
     * negligible at any realistic corpus. */
+  private[operators] def hashedNgrams(spark: SparkSession, dir: String,
+      n: Int): DataFrame =
+    ngrams(spark, dir, n).select(col("doc_id"), xxhash64(col("s")).as("hs"))
+
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).select(col("doc_id"), xxhash64(col("s")).as("hs"))
+    hashedNgrams(spark, dir, 2)
 
   /** Each doc's shingle set as ONE sorted array<bigint> row. Intersections
     * are then a codegen'd two-pointer merge per pair

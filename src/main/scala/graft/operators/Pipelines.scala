@@ -31,13 +31,16 @@ object Pipelines {
     "ss05_label_centroids" -> Similarity.ss05LabelCentroids _,
     "ss06_ivf_ann" -> Similarity.ss06IvfAnn _,
     "ss07_kmeans_assign" -> Similarity.ss07KmeansAssign _,
+    "ss08_knn_join" -> Similarity.ss08KnnJoin _,
     "c01_curation" -> Curation.c01Curation _,
     "c02_cluster_curation" -> Curation.c02ClusterCuration _,
     "c03_semantic_curation" -> Curation.c03SemanticCuration _,
+    "c04_decontaminate" -> Curation.c04Decontaminate _,
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,
     "m03_resize" -> Multimodal.m03Resize _,
     "sp01_split_sample" -> Sampling.sp01SplitSample _,
+    "sp02_source_quota" -> Sampling.sp02SourceQuota _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

@@ -31,6 +31,34 @@ object Sampling {
     * presentation sort; at 100 TB this is scan-bandwidth-bound and
     * embarrassingly parallel, and the decisions are reproducible
     * bit-for-bit by any engine that can compute md5. */
+  /** sp02 — per-source QUOTA sampling: keep at most `quota` documents per
+    * source, best quality first — the mixing-cap that stops one crawl
+    * domain / data vendor from dominating a training mix. The rank
+    * functions sit alone in their window node, so the `rk <= quota`
+    * filter plans as WindowGroupLimit: each input partition pre-prunes to
+    * its own top-quota BEFORE the per-source shuffle (the q27/t06
+    * machinery) — a hot source never buffers its whole document set in
+    * one task. Ordering (quality DESC, doc_id) is total, so the kept set
+    * is deterministic and engine-portable. */
+  def sp02SourceQuota(spark: SparkSession, dir: String): DataFrame =
+    sourceQuota(spark, dir, quota = 10)
+
+  /** Library surface: per-source quota at a caller-chosen cap (the
+    * declared query pins 10 for the oracle). */
+  def sourceQuota(spark: SparkSession, dir: String, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    t(spark, dir, "documents").select("doc_id", "source")
+      .join(TextAnalysis.t02Quality(spark, dir).select("doc_id", "quality"),
+        "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select("source", "rk", "doc_id", "quality")
+      .orderBy("source", "rk")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

@@ -209,6 +209,90 @@ object Similarity {
       .orderBy("ida", "idb")
   }
 
+  /** ss08 — exact k-NN JOIN: for every query vector, its k nearest corpus
+    * vectors by cosine — the BATCH retrieval shape (embedding-level
+    * decontamination of a training corpus against an eval set, hard-
+    * negative mining, retrieval eval) where ss01 is one query, this is a
+    * query TABLE. The declared query treats vec_id % 50 == 0 as the query
+    * batch (10 of 500 at sf0.01) with k = 3.
+    *
+    * This is the exact baseline: the query batch BROADCASTS (a batch is
+    * small by definition — for query sets that outgrow a broadcast, use
+    * [[ivfKnnJoin]], whose probe is an equi-join) and the corpus is
+    * scanned once, map-only, with the per-query top-k planned as
+    * WindowGroupLimit (row_number alone in its window node): every
+    * partition pre-prunes to k candidates per query BEFORE the shuffle,
+    * so the movement is |Q|·k·partitions, never |Q|·|corpus|. */
+  def ss08KnnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoin(spark, dir, col("vec_id") % 50 === 0, k = 3)
+
+  /** Library surface: exact k-NN join at a caller-chosen query predicate
+    * (over the embeddings columns) and k. Ordering (raw cosine DESC,
+    * vec_id) is total, so the kept neighbor set is deterministic and
+    * engine-portable; integer dot products make the raw cosine doubles
+    * bit-identical across engines. */
+  def knnJoin(spark: SparkSession, dir: String, isQuery: Column,
+      k: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k: $k")
+    val c = corpus(spark, dir)
+    val q = c.where(isQuery).select(col("vec_id").as("qid"),
+      col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("vec_id"))
+    c.where(!isQuery)
+      .crossJoin(broadcast(q))
+      .withColumn("c", dotLong(col("q"), col("qq")).cast("double") /
+        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"),
+        round(col("c"), 4).as("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  /** The k-NN join's scale path: IVF-probe instead of scanning the whole
+    * corpus per query. Corpus vectors keep their label cells; each query
+    * ranks the |cells|-row centroid table (broadcast by construction) and
+    * probes its top `nprobe` cells; candidates come from an EQUI-JOIN of
+    * probed (qid, cell) rows against the corpus on the cell id — per-query
+    * work is the probed cells' occupancy (~nprobe/|cells| of the corpus),
+    * and nothing quadratic or corpus-broadcast exists anywhere. Same
+    * recall trade as ss06, measured against the exact join in
+    * PipelinesSpec. */
+  def ivfKnnJoin(spark: SparkSession, dir: String, isQuery: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nprobe >= 1, s"k: $k nprobe: $nprobe")
+    val emb = embCorpus(spark, dir)
+    val corp = emb.where(!isQuery)
+    val cent = centroidsOf(corp,
+      corp.select(col("vec_id"), col("label").as("cell")))
+    val q = emb.where(isQuery).select(col("vec_id").as("qid"),
+      col("q").as("qq"), col("n2").as("qn2"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        when(col("qn2") > 0 && col("cn2") > 0,
+          dotLong(col("qq"), col("cvec")).cast("double") /
+            sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
+          .otherwise(lit(-1.0)))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("clabel"))))
+      .where(col("crk") <= nprobe)
+      .select(col("qid"), col("qq"), col("qn2"), col("clabel").as("cell"))
+    probed.join(corp.withColumnRenamed("label", "cell"), Seq("cell"))
+      .withColumn("c", dotLong(col("q"), col("qq")).cast("double") /
+        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"),
+        round(col("c"), 4).as("cos"))
+      .orderBy("qid", "rk")
+  }
+
   /** ss06 — IVF-style ANN: the label partition acts as the coarse quantizer
     * (what ss05's centroids exist FOR). Centroid = component-wise integer
     * SUM per cell — cosine against a sum-vector ranks identically to the

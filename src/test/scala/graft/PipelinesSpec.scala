@@ -277,6 +277,26 @@ class PipelinesSpec extends SparkSpec {
     assert(rLoose >= 0.25, s"cos 0.9 recall $rLoose collapsed")
   }
 
+  test("ivfKnnJoin recalls from the exact knn join through probed cells") {
+    val isQ = col("vec_id") % 50 === 0
+    val exact = Similarity.knnJoin(spark, sf, isQ, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // fixture labels are ARBITRARY cells (not learned clusters), so recall
+    // tracks probed-fraction ≈ nprobe/|cells| — measured 0.27 at nprobe=2
+    // of 10 cells, exactly the geometry predicts; a trained quantizer is
+    // what lifts it (same story as ss06 vs ivfAnnTrained). Probe 4 cells
+    // for a floor comfortably above the probed fraction.
+    val ivf = Similarity.ivfKnnJoin(spark, sf, isQ, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // per-query output is exactly k (every probed cell has >= k members
+    // on this fixture), queries never appear as their own neighbors
+    assert(ivf.size == exact.size)
+    assert(!ivf.exists { case (q, v) => q == v })
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"ivfKnnJoin nprobe=4 recall vs exact k-NN join: $recall")
+    assert(recall >= 0.35, s"ivf knn recall $recall collapsed")
+  }
+
   test("ss07 kmeans assignment is the true per-vector argmax") {
     import graft.functions.ArrayDot.dotLong
     val asg = Similarity.ss07KmeansAssign(spark, sf)

@@ -17,7 +17,10 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "dd02_ngram_jaccard", "ss02_neardup",
     "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann",
-    "ss07_kmeans_assign", "c03_semantic_curation")
+    "ss07_kmeans_assign", "c03_semantic_curation",
+    // ss08's broadcast side is the QUERY BATCH — bounded by definition of
+    // a batch (ivfKnnJoin is the equi-join path for unbounded query sets)
+    "ss08_knn_join")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -94,6 +97,14 @@ class PlanAuditSpec extends SparkSpec {
     val q27 = Relational.q27WindowRank(spark, sf)
       .queryExecution.executedPlan.toString
     assert(q27.contains("WindowGroupLimit"), s"no partial top-k pruning:\n$q27")
+    // sp02 partitions by SOURCE (a hot crawl domain is the norm, not the
+    // exception) and ss08 by query id over the whole corpus scan — both
+    // exist to avoid buffering a group per task, so both must prune
+    for (name <- Seq("sp02_source_quota", "ss08_knn_join")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), s"$name: no partial top-k pruning:\n$p")
+    }
   }
 
   test("q01: column pruning reaches the scan (untouched columns unread)") {
