@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.sources.Sink
 
 /** "Use as a library" — the wiring a user's first custom pipeline needs,
@@ -23,9 +23,10 @@ object CurationExample {
 
   /** The curated corpus as a pure plan: PII-scrubbed text for every
     * document that (a) clears the quality gate, (b) is not the later twin
-    * of a lexical near-duplicate at Jaccard ≥ `nearDupJaccard`, and (c) is
+    * of a lexical near-duplicate at Jaccard ≥ `nearDupJaccard`, (c) is
     * not dominated by boilerplate (> `maxDupPassageRatio` of its 20-token
-    * passages occur elsewhere in the corpus). Returns
+    * passages occur elsewhere in the corpus), and (d) does not leak the
+    * held-out benchmark set (n-gram decontamination). Returns
     * (doc_id, lang, source, text, quality, n_pii_hits). */
   def curated(spark: SparkSession, dir: String,
       minQuality: Double = 0.3,
@@ -52,6 +53,14 @@ object CurationExample {
         col("n_passages") * maxDupPassageRatio)
       .select("doc_id")
 
+    // 5. benchmark decontamination: drop documents sharing verbatim
+    //    n-grams with the held-out eval set (gram-hash equi-join — the
+    //    benchmark side broadcasts at runtime)
+    val leaked = Curation.decontaminate(spark, dir,
+      isBenchmark = col("doc_id") % 97 === 0, ngramTokens = 3,
+      minShared = 2)
+      .where(col("contaminated")).select("doc_id")
+
     graft.sources.Tables.t(spark, dir, "documents")
       .select("doc_id", "lang", "source")
       .join(scrubbed, "doc_id")
@@ -59,6 +68,7 @@ object CurationExample {
       .where(col("quality") >= minQuality)
       .join(losers, Seq("doc_id"), "left_anti")
       .join(boilerplate, Seq("doc_id"), "left_anti")
+      .join(leaked, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "text", "quality", "n_pii_hits")
   }
 

@@ -120,6 +120,48 @@ class PipelinesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: connectedComponents == union-find on random graphs") {
+    // random edge sets, tiny propagation budgets (so the CONTRACTION path
+    // runs, not just the frontier loop), checked against a brute-force
+    // driver-side union-find — the fallback must be exactly as correct as
+    // the fast path on arbitrary topology, not just chains
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      n <- Gen.choose(2, 60) // node id space
+      m <- Gen.choose(1, 90) // edges
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      budget <- Gen.oneOf(1, 2, 3)
+    } yield (edges.distinct, budget)
+    (1L to 5L).foreach { seed =>
+      val (pairs, budget) =
+        graphGen.pureApply(Gen.Parameters.default, Seed(seed))
+      withClue(s"seed=$seed budget=$budget edges=$pairs") {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => (v, find(v))).toMap
+        val p = pairs.toDF("ida", "idb")
+        val edges = p.unionAll(
+          p.select(col("idb").as("ida"), col("ida").as("idb")))
+        val got = operators.Dedup.connectedComponents(edges, budget)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == want)
+      }
+    }
+  }
+
   test("c02 keeps exactly the quality-passing cluster representatives") {
     val kept = graft.operators.Curation.c02ClusterCuration(spark, sf)
     val labels = Dedup.dd06NearDupClusters(spark, sf)
