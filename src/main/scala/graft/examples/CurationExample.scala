@@ -53,15 +53,17 @@ object CurationExample {
         col("n_passages") * maxDupPassageRatio)
       .select("doc_id")
 
-    // 5. benchmark decontamination: drop documents sharing verbatim
-    //    n-grams with the held-out eval set (gram-hash equi-join — the
-    //    benchmark side broadcasts at runtime)
+    // 5. benchmark decontamination: the held-out eval documents NEVER
+    //    enter the training corpus, and neither does any document sharing
+    //    verbatim n-grams with them (gram-hash equi-join — the benchmark
+    //    side broadcasts at runtime)
+    val isBenchmark = col("doc_id") % 97 === 0
     val leaked = Curation.decontaminate(spark, dir,
-      isBenchmark = col("doc_id") % 97 === 0, ngramTokens = 3,
-      minShared = 2)
+      isBenchmark, ngramTokens = 3, minShared = 2)
       .where(col("contaminated")).select("doc_id")
 
     graft.sources.Tables.t(spark, dir, "documents")
+      .where(!isBenchmark)
       .select("doc_id", "lang", "source")
       .join(scrubbed, "doc_id")
       .join(quality, "doc_id")

@@ -108,20 +108,27 @@ object Curation {
       ngramTokens = 3, minShared = 2)
 
   /** Library surface: decontamination with a caller-chosen benchmark
-    * predicate (over the documents columns), gram width, and threshold.
-    * Emits every NON-benchmark document with its shared-gram count. */
+    * predicate — evaluated against the FULL documents row (doc_id, text,
+    * lang, source, n_chars), so `col("source") === "eval-vendor"` works,
+    * not just doc_id arithmetic. Emits every NON-benchmark document with
+    * its shared-gram count. The benchmark id set is resolved once against
+    * the documents scan and semi/anti-joined onto the gram stream (the id
+    * set is small by definition of a benchmark — it broadcasts). */
   def decontaminate(spark: SparkSession, dir: String, isBenchmark: Column,
       ngramTokens: Int, minShared: Int): DataFrame = {
     require(minShared >= 1, s"minShared: $minShared")
+    val docs = graft.sources.Tables.t(spark, dir, "documents")
+    val benchIds = docs.where(isBenchmark).select("doc_id")
     val grams = Dedup.hashedNgrams(spark, dir, ngramTokens)
-    val benchGrams = grams.where(isBenchmark).select("hs").distinct()
+    val benchGrams = grams.join(benchIds, Seq("doc_id"), "left_semi")
+      .select("hs").distinct()
     // grams are distinct per doc and benchGrams is distinct, so the join
     // emits each (doc, shared gram) once — count(1) IS the distinct count
-    val shared = grams.where(!isBenchmark)
+    val shared = grams.join(benchIds, Seq("doc_id"), "left_anti")
       .join(benchGrams, "hs")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    graft.sources.Tables.t(spark, dir, "documents")
-      .where(!isBenchmark).select("doc_id")
+    docs.select("doc_id")
+      .join(benchIds, Seq("doc_id"), "left_anti")
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))

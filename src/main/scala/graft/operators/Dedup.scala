@@ -446,9 +446,18 @@ object Dedup {
     * the still-unconverged components' labels). Adversarial diameter
     * (crawl chains, quote cascades) therefore degrades to more phases,
     * never to an exception, and a nightly 100 TB curation job cannot be
-    * killed by one pathological component. */
-  private[graft] def connectedComponents(edges: DataFrame,
-      propRounds: Int = 8, phase: Int = 0): DataFrame = {
+    * killed by one pathological component.
+    *
+    * Public library surface: works over ANY symmetric (ida, idb) edge
+    * frame — near-dup graphs here, but equally link graphs or entity-
+    * resolution matches. Property-tested against union-find on random
+    * topologies with contraction forced (PipelinesSpec). */
+  def connectedComponents(edges: DataFrame,
+      propRounds: Int = 8): DataFrame =
+    ccPhase(edges, propRounds, phase = 0)
+
+  private def ccPhase(edges: DataFrame,
+      propRounds: Int, phase: Int): DataFrame = {
     require(propRounds >= 1, s"propRounds: $propRounds")
     // unreachable for data reasons (phase k alone covers diameter
     // 2^(propRounds·2^k), and the node count strictly decreases per
@@ -522,7 +531,7 @@ object Dedup {
         .unionAll(cPairs.select(col("idb").as("ida"), col("ida").as("idb")))
         .repartition(col("ida"))
         .transform(graft.Materialize.pin)
-      val sub = connectedComponents(cEdges, propRounds * 2, phase + 1)
+      val sub = ccPhase(cEdges, propRounds * 2, phase + 1)
       labels
         .join(sub.select(col("doc_id").as("lbl"), col("lbl").as("__sub")),
           Seq("lbl"), "left")

@@ -44,20 +44,10 @@ object Sampling {
     sourceQuota(spark, dir, quota = 10)
 
   /** Library surface: per-source quota at a caller-chosen cap (the
-    * declared query pins 10 for the oracle). */
-  def sourceQuota(spark: SparkSession, dir: String, quota: Int): DataFrame = {
-    require(quota >= 1, s"quota: $quota")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(col("quality").desc, col("doc_id"))
-    t(spark, dir, "documents").select("doc_id", "source")
-      .join(TextAnalysis.t02Quality(spark, dir).select("doc_id", "quality"),
-        "doc_id")
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= quota)
-      .select("source", "rk", "doc_id", "quality")
-      .orderBy("source", "rk")
-  }
+    * declared query pins 10 for the oracle). One recipe with t06 — the
+    * shared stratified top-k in [[TextAnalysis.qualityTopKBy]]. */
+  def sourceQuota(spark: SparkSession, dir: String, quota: Int): DataFrame =
+    TextAnalysis.qualityTopKBy(spark, dir, stratum = "source", k = quota)
 
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))

@@ -42,6 +42,18 @@ object Similarity {
       .withColumn("n2", dotLong(col("q"), col("q")))
   }
 
+  /** Guarded cosine from an integer dot and two squared norms: degenerate
+    * (zero-norm) sides get a defined −1.0 instead of the 0/0 = NaN that
+    * Spark's descending sort would rank FIRST — without this, one all-zero
+    * quantized vector becomes every query's top neighbor. Shared by every
+    * ranking path that can see caller data (the declared fixture queries
+    * have no zero norms, so oracle parity is unaffected — same sanctioned
+    * divergence as assignStep's guard). */
+  private def guardedCos(dot: Column, n2a: Column, n2b: Column): Column =
+    when(n2a > 0 && n2b > 0,
+      dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double")))
+      .otherwise(lit(-1.0))
+
   /** ss01 — exact cosine top-10 neighbors of vec_id 0 (brute force): one
     * broadcast of the query vector, one scan of the corpus with the native
     * dot product, TakeOrderedAndProject keeps k rows per partition. */
@@ -226,9 +238,23 @@ object Similarity {
   def ss08KnnJoin(spark: SparkSession, dir: String): DataFrame =
     knnJoin(spark, dir, col("vec_id") % 50 === 0, k = 3)
 
+  /** Quantized corpus with the query flag evaluated against the FULL
+    * embeddings row (vec_id, embedding, label) BEFORE projection — so
+    * `col("label") === 0` is as valid a query predicate as doc-id
+    * arithmetic. Pinned: the query side and the corpus side both read it. */
+  private def flaggedCorpus(spark: SparkSession, dir: String,
+      isQuery: Column): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    t(spark, dir, "embeddings")
+      .withColumn("__isq", isQuery)
+      .select(col("vec_id"), col("label"), quantized.as("q"), col("__isq"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      .transform(graft.Materialize.pin)
+  }
+
   /** Library surface: exact k-NN join at a caller-chosen query predicate
-    * (over the embeddings columns) and k. Ordering (raw cosine DESC,
-    * vec_id) is total, so the kept neighbor set is deterministic and
+    * (evaluated over the full embeddings row) and k. Ordering (raw cosine
+    * DESC, vec_id) is total, so the kept neighbor set is deterministic and
     * engine-portable; integer dot products make the raw cosine doubles
     * bit-identical across engines. */
   def knnJoin(spark: SparkSession, dir: String, isQuery: Column,
@@ -236,15 +262,15 @@ object Similarity {
     import graft.functions.ArrayDot.dotLong
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k: $k")
-    val c = corpus(spark, dir)
-    val q = c.where(isQuery).select(col("vec_id").as("qid"),
+    val c = flaggedCorpus(spark, dir, isQuery)
+    val q = c.where(col("__isq")).select(col("vec_id").as("qid"),
       col("q").as("qq"), col("n2").as("qn2"))
     val w = Window.partitionBy("qid")
       .orderBy(col("c").desc, col("vec_id"))
-    c.where(!isQuery)
+    c.where(!col("__isq"))
       .crossJoin(broadcast(q))
-      .withColumn("c", dotLong(col("q"), col("qq")).cast("double") /
-        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("c",
+        guardedCos(dotLong(col("q"), col("qq")), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("qid"), col("rk"), col("vec_id"),
@@ -266,25 +292,22 @@ object Similarity {
     import graft.functions.ArrayDot.dotLong
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && nprobe >= 1, s"k: $k nprobe: $nprobe")
-    val emb = embCorpus(spark, dir)
-    val corp = emb.where(!isQuery)
+    val emb = flaggedCorpus(spark, dir, isQuery)
+    val corp = emb.where(!col("__isq"))
     val cent = centroidsOf(corp,
       corp.select(col("vec_id"), col("label").as("cell")))
-    val q = emb.where(isQuery).select(col("vec_id").as("qid"),
+    val q = emb.where(col("__isq")).select(col("vec_id").as("qid"),
       col("q").as("qq"), col("n2").as("qn2"))
     val probed = q.crossJoin(broadcast(cent))
       .withColumn("ccos",
-        when(col("qn2") > 0 && col("cn2") > 0,
-          dotLong(col("qq"), col("cvec")).cast("double") /
-            sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
-          .otherwise(lit(-1.0)))
+        guardedCos(dotLong(col("qq"), col("cvec")), col("qn2"), col("cn2")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("qid").orderBy(col("ccos").desc, col("clabel"))))
       .where(col("crk") <= nprobe)
       .select(col("qid"), col("qq"), col("qn2"), col("clabel").as("cell"))
     probed.join(corp.withColumnRenamed("label", "cell"), Seq("cell"))
-      .withColumn("c", dotLong(col("q"), col("qq")).cast("double") /
-        sqrt(col("qn2").cast("double") * col("n2").cast("double")))
+      .withColumn("c",
+        guardedCos(dotLong(col("q"), col("qq")), col("qn2"), col("n2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
       .where(col("rk") <= k)
@@ -341,8 +364,8 @@ object Similarity {
     val query = emb.where(col("vec_id") === 0)
       .select(col("q").as("qq"), col("n2").as("qn2"))
     val probed = cent.crossJoin(broadcast(query))
-      .withColumn("ccos", dotLong(col("cvec"), col("qq")).cast("double") /
-        sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
+      .withColumn("ccos",
+        guardedCos(dotLong(col("cvec"), col("qq")), col("cn2"), col("qn2")))
       .orderBy(col("ccos").desc, col("clabel"))
       .limit(nprobe)
       .select(col("clabel").as("cell"))
@@ -394,18 +417,15 @@ object Similarity {
     * is total and engine-portable. */
   private def assignStep(emb: DataFrame, cent: DataFrame): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    // zero-norm guard: an all-zero quantized vector or a cancelled-out sum
-    // centroid makes the division 0/0 = NaN, and max_by's struct ordering
-    // treats NaN as largest — the argmax would diverge from any engine
-    // with ordinary division semantics. Degenerate sides get a defined
-    // cosine of −1 (worse than every real cosine), so such vectors land in
-    // the smallest-labeled cell deterministically instead of NaN-winning.
+    // zero-norm guard (guardedCos): an all-zero quantized vector or a
+    // cancelled-out sum centroid makes the division 0/0 = NaN, and
+    // max_by's struct ordering treats NaN as largest — the argmax would
+    // diverge from any engine with ordinary division semantics.
+    // Degenerate sides get the defined −1 (worse than every real cosine),
+    // so such vectors land in the smallest-labeled cell deterministically.
     emb.crossJoin(broadcast(cent))
       .withColumn("ccos",
-        when(col("n2") > 0 && col("cn2") > 0,
-          dotLong(col("q"), col("cvec")).cast("double") /
-            sqrt(col("cn2").cast("double") * col("n2").cast("double")))
-          .otherwise(lit(-1.0)))
+        guardedCos(dotLong(col("q"), col("cvec")), col("n2"), col("cn2")))
       .groupBy("vec_id")
       .agg(max_by(
         struct(col("label"), col("q"), col("n2"), col("clabel"),

@@ -123,17 +123,29 @@ object TextAnalysis {
     * selection a curation pipeline runs after scoring. row_number over a
     * (lang)-partitioned window ordered (quality desc, doc_id) — rank
     * computed within sorted partitions, one shuffle on lang. */
-  def t06QualityTopK(spark: SparkSession, dir: String): DataFrame = {
+  def t06QualityTopK(spark: SparkSession, dir: String): DataFrame =
+    qualityTopKBy(spark, dir, stratum = "lang", k = 3)
+
+  /** The shared best-quality-per-stratum selection (t06 strata = lang,
+    * sp02 strata = source): row_number alone in its window node, so the
+    * rank filter plans as WindowGroupLimit — every input partition
+    * pre-prunes to its own top-k BEFORE the per-stratum shuffle, and a
+    * hot stratum never buffers its whole document set in one task.
+    * Ordering (quality DESC, doc_id) is total ⇒ deterministic and
+    * engine-portable. */
+  private[operators] def qualityTopKBy(spark: SparkSession, dir: String,
+      stratum: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k: $k")
     val quality = t02Quality(spark, dir).select("doc_id", "quality")
-    val w = Window.partitionBy("lang")
+    val w = Window.partitionBy(stratum)
       .orderBy(col("quality").desc, col("doc_id"))
-    t(spark, dir, "documents").select("doc_id", "lang")
+    t(spark, dir, "documents").select("doc_id", stratum)
       .join(quality, "doc_id")
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 3)
-      .select("lang", "rk", "doc_id", "quality")
-      .orderBy("lang", "rk")
+      .where(col("rk") <= k)
+      .select(stratum, "rk", "doc_id", "quality")
+      .orderBy(stratum, "rk")
   }
 
   /** t08 — pattern scrub (the PII-redaction shape): replace every match of

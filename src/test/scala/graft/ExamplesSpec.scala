@@ -19,6 +19,8 @@ class ExamplesSpec extends SparkSpec {
     assert(out.where(col("quality") < 0.3).isEmpty)
     // survivors are unique documents
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // the held-out benchmark set itself never ships in the training mix
+    assert(out.where(col("doc_id") % 97 === 0).isEmpty)
   }
 
   test("CurationExample write path emits lang-partitioned parquet") {
