@@ -339,6 +339,25 @@ class PipelinesSpec extends SparkSpec {
     assert(recall >= 0.35, s"ivf knn recall $recall collapsed")
   }
 
+  test("library surfaces honor full-row predicates and degenerate inputs") {
+    // decontaminate by SOURCE (the scaladoc-promised shape) — and an
+    // empty benchmark set contaminates nothing rather than erroring
+    val bySource = graft.operators.Curation.decontaminate(spark, sf,
+      col("source") === "src0", ngramTokens = 3, minShared = 1)
+    assert(bySource.count() == 475) // 500 docs − src0's 25
+    val noBench = graft.operators.Curation.decontaminate(spark, sf,
+      col("source") === "no-such-source", ngramTokens = 3, minShared = 1)
+    assert(noBench.where(col("contaminated")).isEmpty)
+    assert(noBench.count() == 500)
+    // knnJoin with a LABEL predicate (full-row contract) and with an
+    // empty query set
+    val byLabel = Similarity.knnJoin(spark, sf, col("label") === 0, k = 2)
+    assert(byLabel.select("qid").distinct().count() ==
+      graft.sources.Tables.t(spark, sf, "embeddings")
+        .where(col("label") === 0).count())
+    assert(Similarity.knnJoin(spark, sf, col("vec_id") < 0, k = 2).isEmpty)
+  }
+
   test("ss07 kmeans assignment is the true per-vector argmax") {
     import graft.functions.ArrayDot.dotLong
     val asg = Similarity.ss07KmeansAssign(spark, sf)
