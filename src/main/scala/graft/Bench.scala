@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Drop every persisted RDD — the localCheckpoint blocks left behind by
+    * `Materialize.pin` inside the iterative operators. Each bench query is
+    * self-contained (constructed, counted, discarded), so after its count
+    * returns nothing references those blocks again — but the block manager
+    * holds them until the ContextCleaner happens to GC them, and across a
+    * 60+-query run (plus the full warmup pass) that accumulation becomes
+    * storage-eviction/GC pressure that lands on whichever query runs LATER
+    * — the measured-noise mode where a cheap query intermittently reads
+    * 10× its fresh-JVM time. Freeing deterministically between queries
+    * keeps each measurement independent of position in the run order. */
+  private[graft] def dropPins(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +38,7 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }
+      dropPins(spark)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -33,7 +48,9 @@ object Bench {
           false
       }
       // a failed query reports -1, not a plausible-looking wall time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val r = name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      dropPins(spark)
+      r
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -16,6 +16,7 @@ object Pipelines {
     "t07_repetition" -> TextAnalysis.t07Repetition _,
     "t08_scrub" -> TextAnalysis.t08Scrub _,
     "t09_top_ngrams" -> TextAnalysis.t09TopNgrams _,
+    "t10_common_ratio" -> TextAnalysis.t10CommonRatio _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,
@@ -41,6 +42,7 @@ object Pipelines {
     "m03_resize" -> Multimodal.m03Resize _,
     "sp01_split_sample" -> Sampling.sp01SplitSample _,
     "sp02_source_quota" -> Sampling.sp02SourceQuota _,
+    "sp03_temperature_mix" -> Sampling.sp03TemperatureMix _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

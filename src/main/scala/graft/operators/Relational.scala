@@ -409,6 +409,47 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** Q28 — CUBE aggregation with grouping_id (the full report-cube
+    * complement to q25's rollup): all four grouping sets of (status,
+    * priority) in ONE pass, with `grouping_id()` disambiguating which set
+    * each output row belongs to (NULL-as-value vs NULL-as-"all" is
+    * ambiguous without it). Same Expand-operator physics as rollup: each
+    * input row is replicated once per grouping set BEFORE the shuffle with
+    * partial aggregation after expansion, so the shuffle carries groups ×
+    * sets, not rows × sets. Bit order (first cube column = most
+    * significant bit) matches DuckDB/Postgres `GROUPING(a, b)`, making the
+    * id engine-portable; money sums ride the ×100→int64 quantization. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n", "total_cents")
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Q29 — tumbling time-window rollup (hourly traffic/engagement
+    * summaries, the batch twin of the streaming windowed aggregation in
+    * streaming/Streaming.scala): bucket = epoch_µs DIV 3600s. Deriving the
+    * bucket as INTEGER division keeps it a pure per-row expression (no
+    * timezone/calendar arithmetic to diverge between engines) and the
+    * groupBy shuffle carries one row per (bucket) after map-side partial
+    * aggregation. The distinct-user count adds the standard Expand pass;
+    * at 100 TB swap `approx_count_distinct` per q22's documented sketch
+    * contract — and when events arrive time-ordered (the common log
+    * layout), hour-partitioned input makes this whole query
+    * partition-local: no shuffle reaches the wire at all. */
+  def q29TimeBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(expr("CAST(ts DIV 1000 AS BIGINT) DIV 3600000000")
+        .as("hour_bucket"), col("user_id"), col("value"))
+      .groupBy("hour_bucket")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_bucket")
+
   /** Q27 — the analytic-window family (rank, dense_rank, lag) with a rank
     * limit: top-5 customers by balance per market segment plus each row's
     * predecessor balance. The rank functions get their OWN window node so
@@ -499,6 +540,10 @@ object Relational {
       "SELECT o_orderpriority, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q27_window_rank" ->
       "SELECT c_mktsegment, rk, c_custkey, bal, drk, prev_bal FROM (SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS bal, rank() OVER w AS rk, dense_rank() OVER w AS drk, ROUND(lag(c_acctbal) OVER w, 2) AS prev_bal FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) WHERE rk <= 5 ORDER BY c_mktsegment, rk, c_custkey",
+    "q28_cube" ->
+      "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
+    "q29_time_buckets" ->
+      "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -531,5 +576,7 @@ object Relational {
     "q25_rollup" -> q25Rollup _,
     "q26_pivot" -> q26Pivot _,
     "q27_window_rank" -> q27WindowRank _,
+    "q28_cube" -> q28Cube _,
+    "q29_time_buckets" -> q29TimeBuckets _,
   )
 }

@@ -49,6 +49,42 @@ object Sampling {
   def sourceQuota(spark: SparkSession, dir: String, quota: Int): DataFrame =
     TextAnalysis.qualityTopKBy(spark, dir, stratum = "source", k = quota)
 
+  /** sp03 — temperature-based source mixing (the inverse-sqrt downsampling
+    * of multilingual/multi-source training mixes): each source keeps its
+    * documents with probability min(1, c/√n_source), so over-represented
+    * sources are downweighted toward ∝ √n — the α=0.5 temperature knob —
+    * while sources at or below c² docs are kept whole. The per-source
+    * count table has one row per source (thousands at most against
+    * billions of documents), so the count pass is a map-side-combined
+    * aggregation whose shuffle carries sources, and the attach back is an
+    * AQE broadcast join; the keep decision itself is the salted-md5 bucket
+    * against a threshold — a property of the DOCUMENT and the corpus
+    * composition, not of the run, so retries/resizes/engines agree.
+    * Determinism across engines: √ and ÷ are IEEE-correctly-rounded, so
+    * the double threshold 10000·min(1, c/√n) is bit-identical in Spark and
+    * DuckDB and the strict `<` compare never straddles an engine. */
+  def sp03TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(spark, dir, c = 3.0)
+
+  /** Library surface: temperature mix at a caller-chosen c (the declared
+    * query pins c=3 so both small and mid fixtures exercise real
+    * downsampling). */
+  def temperatureMix(spark: SparkSession, dir: String, c: Double): DataFrame = {
+    require(c > 0, s"c: $c")
+    val counts = t(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_source"))
+    val kb = (graft.functions.Hashing.md5Long(
+      concat(lit("mix:"), col("doc_id").cast("string")), 15) % 10000)
+      .cast("int")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(counts, "source")
+      .withColumn("kept", kb.cast("double") <
+        lit(10000.0) * least(lit(1.0), lit(c) / sqrt(col("n_source"))))
+      .select("doc_id", "source", "n_source", "kept")
+      .orderBy("doc_id")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

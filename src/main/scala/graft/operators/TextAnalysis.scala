@@ -197,6 +197,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** t10 — corpus-adaptive common-token ratio: fraction of each document's
+    * tokens that fall in the corpus's own top-v vocabulary. Unlike t02's
+    * FIXED stopword list, the vocabulary here is LEARNED from the corpus in
+    * a first pass — the data-driven boilerplate/stopword signal a pipeline
+    * computes before it has a hand-tuned list for the language mix at hand
+    * (high ratio = templated/function-word text, low ratio = rare-token
+    * content). Two-pass corpus-statistic shape: pass 1 aggregates token
+    * counts map-side-combined and keeps the top-v (TakeOrdered, total
+    * order (n DESC, w) ⇒ deterministic vocabulary); pass 2 re-tokenizes
+    * and LEFT-joins tokens against the v-row vocabulary — at any corpus
+    * size the build side is v rows, so AQE plans a broadcast hash join and
+    * the only real shuffle is the per-doc count aggregation, which carries
+    * (doc_id, counts), never text. This is the general template for every
+    * corpus-statistic score (IDF weighting, rare-word rate): small learned
+    * table, broadcast attach, map-side-combined per-doc aggregate. */
+  def t10CommonRatio(spark: SparkSession, dir: String): DataFrame =
+    commonTokenRatio(spark, dir, v = 20)
+
+  /** Library surface: common-token ratio against the corpus top-v
+    * vocabulary (the declared query pins v=20 for the oracle). */
+  def commonTokenRatio(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    require(v >= 1, s"v: $v")
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(v)
+      .select(col("w"), lit(1).as("hit"))
+    tok.join(vocab, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_common"))
+      .withColumn("common_ratio",
+        round(col("n_common").cast("double") / col("n_tokens"), 3))
+      .orderBy("doc_id")
+  }
+
   /** t05 — BPE-ish sub-token counting: letter runs / digit runs / single
     * punctuation, the pre-tokenization split every BPE-family tokenizer
     * applies before merges. Compared against the whitespace word count —

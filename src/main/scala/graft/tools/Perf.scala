@@ -33,12 +33,18 @@ object Perf {
         val t0 = System.nanoTime()
         val n = df.count()
         println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+        graft.Bench.dropPins(spark)
       } else {
         df.count() // untimed warmup (codegen, file listing)
+        graft.Bench.dropPins(spark)
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // free the rep's checkpoint blocks so rep N doesn't pay rep
+          // N-1's storage pressure (see Bench.dropPins)
+          graft.Bench.dropPins(spark)
+          dt
         }
         println(f"$name%-22s min=${times.min}%.2f " +
           f"med=${times.sorted.apply(reps / 2)}%.2f max=${times.max}%.2f")

@@ -574,4 +574,74 @@ class PipelinesSpec extends SparkSpec {
     assert(out.where(col("n_frames") =!=
       floor((col("n_bytes") - 1) / 100) + 1).isEmpty)
   }
+
+  test("t10 common-token ratio: learned vocab of the whole corpus is the identity") {
+    // With v ≥ the corpus vocabulary every token is "common" — the learned
+    // table saturates and the ratio must be exactly 1.0 for every document
+    val all = TextAnalysis.commonTokenRatio(spark, sf, v = 1000000)
+    assert(all.where(col("common_ratio") =!= 1.0).isEmpty)
+    // and the declared v=20 query is a proper sub-ratio: bounded by (0, 1]
+    val t10 = TextAnalysis.t10CommonRatio(spark, sf)
+    assert(t10.where(col("common_ratio") <= 0.0 ||
+      col("common_ratio") > 1.0).isEmpty)
+    // monotone in v: a larger vocabulary can only raise each doc's count
+    val t10big = TextAnalysis.commonTokenRatio(spark, sf, v = 25)
+      .select(col("doc_id"), col("n_common").as("big"))
+    assert(t10.join(t10big, "doc_id")
+      .where(col("n_common") > col("big")).isEmpty)
+  }
+
+  test("sp03 temperature mix: decisions are document properties, rates honored") {
+    import graft.operators.Sampling
+    val out = Sampling.sp03TemperatureMix(spark, sf)
+    // one count per source, constant across its documents and equal to the
+    // source's actual document count
+    val perSource = out.groupBy("source", "n_source")
+      .agg(count(lit(1)).as("n"))
+    assert(perSource.groupBy("source").agg(count(lit(1)).as("d"))
+      .where(col("d") =!= 1).isEmpty)
+    assert(perSource.where(col("n") =!= col("n_source")).isEmpty)
+    // c large enough to cover every source ⇒ keep-all (rate clamps at 1)
+    val keepAll = Sampling.temperatureMix(spark, sf, c = 1e6)
+    assert(keepAll.where(!col("kept")).isEmpty)
+    // kept fraction tracks min(1, c/sqrt(n)) within binomial noise per source
+    val rates = out.groupBy("source", "n_source")
+      .agg(avg(when(col("kept"), 1.0).otherwise(0.0)).as("frac"))
+      .withColumn("rate", least(lit(1.0), lit(3.0) / sqrt(col("n_source"))))
+      .where(abs(col("frac") - col("rate")) >
+        lit(4.0) * sqrt(col("rate") * (lit(1.0) - col("rate")) /
+          col("n_source")) + lit(0.02))
+    assert(rates.isEmpty)
+    // determinism: same document, same decision, independent of run
+    val again = Sampling.sp03TemperatureMix(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("q28 cube: grouping_id stratifies the four grouping sets coherently") {
+    val out = graft.operators.Relational.q28Cube(spark, sf).collect()
+    val orders = graft.sources.Tables.t(spark, sf, "orders").count()
+    // gid=3: the grand total — exactly one row, counting every order
+    val grand = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == orders)
+    // gid=1: priority rolled away (null), status present — Spark's MSB-first
+    // bit order must match the oracle's GROUPING(a, b)
+    assert(out.filter(_.getAs[Long]("gid") == 1L)
+      .forall(r => r.getAs[String]("o_orderstatus") != null &&
+        r.getAs[String]("o_orderpriority") == null))
+    assert(out.filter(_.getAs[Long]("gid") == 2L)
+      .forall(r => r.getAs[String]("o_orderstatus") == null &&
+        r.getAs[String]("o_orderpriority") != null))
+    // every grouping set totals to the same corpus count
+    for (g <- Seq(0L, 1L, 2L))
+      assert(out.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n")).sum == orders)
+  }
+
+  test("q29 time buckets partition the corpus: counts total, users bounded") {
+    val out = graft.operators.Relational.q29TimeBuckets(spark, sf)
+    val events = graft.sources.Tables.t(spark, sf, "events")
+    assert(out.agg(sum("n")).head.getLong(0) == events.count())
+    // per-bucket distinct users can never exceed the bucket's event count
+    assert(out.where(col("users") > col("n")).isEmpty)
+  }
 }
