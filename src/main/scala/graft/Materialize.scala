@@ -45,4 +45,21 @@ object Materialize {
     // bounded frame are also the more accurate ones.
     org.apache.spark.sql.graft.Bridge.freshLeaf(pinned)
   }
+
+  /** Free the checkpoint blocks behind a pinned frame (and any pinned
+    * leaves a lazy plan over pins references). Iterative operators pin one
+    * frame per round; without explicit release, executor storage grows
+    * LINEARLY with round count — superseded round state stays resident
+    * until the context cleaner happens to GC the driver-side handle, which
+    * at 100 TB means hours of peak storage pressure for state that died a
+    * round ago. Caller contract: a pinned leaf CANNOT be recomputed (its
+    * lineage was truncated at the pin), so unpin ONLY frames no live plan
+    * will read again — i.e. after the pin that supersedes them has
+    * materialized. No-op on plans with no pinned leaves. */
+  def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

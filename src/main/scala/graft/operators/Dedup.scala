@@ -399,7 +399,12 @@ object Dedup {
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .repartition(col("ida"))
       .transform(graft.Materialize.pin)
+    // the edge pin (eager) was pairs' only consumer; and the label search
+    // materializes every round eagerly, so once it returns, its result
+    // plan references only pinned label leaves — the edge frame is dead
+    graft.Materialize.unpin(pairs)
     val labels = connectedComponents(edges)
+    graft.Materialize.unpin(edges)
     t(spark, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -505,6 +510,10 @@ object Dedup {
       // labels are monotone (the union includes the own-label row), so
       // "improved" is strictly-less — and zero improvements IS the fixpoint
       converged = obs.get("improved").asInstanceOf[Long] == 0L
+      // merged is materialized (pin is eager) and carries every label, so
+      // the previous round's pinned state is dead — free its blocks now
+      // instead of letting round count become peak storage footprint
+      graft.Materialize.unpin(labels)
       frontier = merged.where(col("lbl") < col("__prev"))
         .select(col("doc_id"), col("lbl"))
       labels = merged.select(col("doc_id"), col("lbl"))
@@ -531,7 +540,12 @@ object Dedup {
         .unionAll(cPairs.select(col("idb").as("ida"), col("ida").as("idb")))
         .repartition(col("ida"))
         .transform(graft.Materialize.pin)
+      // cPairs only existed to build cEdges; the sub-phase consumes cEdges
+      // eagerly (its rounds pin), so both die before the composed result
+      // below — which reads only this phase's labels and the sub result
+      graft.Materialize.unpin(cPairs)
       val sub = ccPhase(cEdges, propRounds * 2, phase + 1)
+      graft.Materialize.unpin(cEdges)
       labels
         .join(sub.select(col("doc_id").as("lbl"), col("lbl").as("__sub")),
           Seq("lbl"), "left")

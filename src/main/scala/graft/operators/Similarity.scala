@@ -459,8 +459,14 @@ object Similarity {
     var cells = emb.select(col("vec_id"), col("label").as("cell"))
     var out: DataFrame = null
     for (_ <- 1 to iters) {
-      out = assignStep(emb, centroidsOf(emb, cells))
+      val next = assignStep(emb, centroidsOf(emb, cells))
         .transform(graft.Materialize.pin)
+      // the new pin (eager) holds the full assignment — the previous
+      // round's pinned state is superseded; free it (round 1's `cells`
+      // is a view over emb, where unpin must not fire: emb is consumed
+      // by every later round — hence unpin(out), never unpin(cells))
+      if (out != null) graft.Materialize.unpin(out)
+      out = next
       cells = out.select(col("vec_id"), col("assigned").as("cell"))
     }
     out.select("vec_id", "label", "assigned", "cos").orderBy("vec_id")

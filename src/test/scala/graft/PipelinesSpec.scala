@@ -637,6 +637,21 @@ class PipelinesSpec extends SparkSpec {
         .map(_.getAs[Long]("n")).sum == orders)
   }
 
+  test("iterative operators free superseded round state (unpin discipline)") {
+    // dd06 pins one frame per round plus the pair/edge frames; everything
+    // but the surviving label leaves must be unpersisted by the time the
+    // result materializes — otherwise executor storage grows linearly
+    // with round count at scale
+    Bench.dropPins(spark)
+    Dedup.dd06NearDupClusters(spark, sf).count()
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 2, s"$live persistent RDDs survive dd06 — unpin regressed")
+    Bench.dropPins(spark)
+    Similarity.kmeansFit(spark, sf, iters = 3).count()
+    val live2 = spark.sparkContext.getPersistentRDDs.size
+    assert(live2 <= 3, s"$live2 persistent RDDs survive kmeansFit")
+  }
+
   test("q29 time buckets partition the corpus: counts total, users bounded") {
     val out = graft.operators.Relational.q29TimeBuckets(spark, sf)
     val events = graft.sources.Tables.t(spark, sf, "events")
