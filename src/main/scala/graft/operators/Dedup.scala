@@ -280,6 +280,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd09 — duplicated-SPAN detection at stride 1 (the exact-substring
+    * dedup shape: a duplicated run of ≥ w tokens is flagged wherever it
+    * starts, not only when it lands on a passage boundary — the
+    * alignment-free sibling of dd07, which a copied paragraph straddling
+    * two chunks slips past). Every w-token sliding window of every
+    * document is hashed — a map-only transform over the token array, w×
+    * the token count in 8 B hashes, no text — then one map-side-combined
+    * count shuffle on the 64-bit window hash and one join back. A window
+    * instance is duplicated when its text occurs anywhere else in the
+    * corpus (within-document repeats included, matching the oracle).
+    * Documents shorter than w have zero windows and are reported with
+    * zero counts (left join), not dropped. Scale note: the blow-up factor
+    * vs dd07 is exactly w (every token starts a window instead of every
+    * w-th) — this is the honest cost of alignment-free detection and it
+    * rides the cheapest possible shape: 16 B (hash, id) rows, map-side
+    * combined. The suffix-array formulation trades that w× for sort
+    * passes; at w ≈ 20–50 the hashed-window pipeline shuffles less than
+    * the corpus-wide suffix sort and needs no custom operator. */
+  def dd09DuplicateSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicateSpans(spark, dir, windowTokens = 20)
+
+  /** Library surface: duplicated-span detection at a caller-chosen window
+    * width (the declared query pins 20 tokens for the oracle). */
+  def duplicateSpans(spark: SparkSession, dir: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens: $windowTokens")
+    val w = windowTokens
+    val wins = when(size(col("ws")) >= w, transform(
+      sequence(lit(1), size(col("ws")) - (w - 1)),
+      i => xxhash64(array_join(slice(col("ws"), i, lit(w)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val spans = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.toks.as("ws"))
+      .select(col("doc_id"), explode(wins).as("wh"))
+    val counts = spans.groupBy("wh").agg(count(lit(1)).as("occ"))
+    val agg = spans.join(counts, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
   /** Lead fingerprint: md5 of the first `n` whitespace tokens — the
     * header/lead-paragraph dedup key (mirrored articles, templated pages
     * and syndicated copies share their lead long before they share the

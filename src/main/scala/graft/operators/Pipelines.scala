@@ -25,6 +25,7 @@ object Pipelines {
     "dd06_neardup_clusters" -> Dedup.dd06NearDupClusters _,
     "dd07_passage_dedup" -> Dedup.dd07PassageDedup _,
     "dd08_incremental" -> Dedup.dd08IncrementalDedup _,
+    "dd09_duplicate_spans" -> Dedup.dd09DuplicateSpans _,
     "ss01_cosine_topk" -> Similarity.ss01CosineTopK _,
     "ss02_neardup" -> Similarity.ss02NearDup _,
     "ss03_lsh_ann" -> Similarity.ss03LshAnn _,

@@ -637,19 +637,55 @@ class PipelinesSpec extends SparkSpec {
         .map(_.getAs[Long]("n")).sum == orders)
   }
 
+  test("dd09 duplicate spans: stride-1 windows catch straddling copies dd07 misses") {
+    import spark.implicits._
+    // two docs share a 20-token run that is OFFSET by 10 tokens in the
+    // second doc — it straddles dd07's aligned 20-token chunk boundary
+    // (no chunk of A equals any chunk of B) but stride-1 windows find it
+    val run = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val a = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $run " +
+      (1 to 10).map(i => s"z$i").mkString(" ")
+    val b = s"$run ${(1 to 20).map(i => s"b$i").mkString(" ")}"
+    val dir = java.nio.file.Files.createTempDirectory("dd09").toString
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = Dedup.duplicateSpans(spark, dir, windowTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans(0L) >= 1 && spans(1L) >= 1, s"straddling run missed: $spans")
+    val chunks = Dedup.passageDedup(spark, dir, passageTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunks(0L) == 0 && chunks(1L) == 0,
+      s"fixture broken — the run must straddle chunk alignment: $chunks")
+    // and a document shorter than the window reports zero windows, present
+    val tiny = java.nio.file.Files.createTempDirectory("dd09b").toString
+    Seq((7L, "just five little tokens here", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+    val short = Dedup.duplicateSpans(spark, tiny, windowTokens = 20).collect()
+    assert(short.length == 1 && short.head.getLong(1) == 0 &&
+      short.head.getLong(2) == 0)
+  }
+
   test("iterative operators free superseded round state (unpin discipline)") {
     // dd06 pins one frame per round plus the pair/edge frames; everything
     // but the surviving label leaves must be unpersisted by the time the
-    // result materializes — otherwise executor storage grows linearly
-    // with round count at scale
-    Bench.dropPins(spark)
+    // result materializes — otherwise executor storage grows linearly with
+    // round count at scale. Suites share one SparkContext and run
+    // concurrently, so the assertion is DELTA-based (new persistent RDDs
+    // minus a small allowance for neighbors pinning in the window) — and
+    // never Bench.dropPins here, which would unpersist a concurrent
+    // suite's live pins out from under it
+    def snap() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = snap()
     Dedup.dd06NearDupClusters(spark, sf).count()
-    val live = spark.sparkContext.getPersistentRDDs.size
-    assert(live <= 2, s"$live persistent RDDs survive dd06 — unpin regressed")
-    Bench.dropPins(spark)
+    val dd06Live = (snap() -- before).size
+    assert(dd06Live <= 4,
+      s"$dd06Live new persistent RDDs survive dd06 — unpin regressed")
+    val before2 = snap()
     Similarity.kmeansFit(spark, sf, iters = 3).count()
-    val live2 = spark.sparkContext.getPersistentRDDs.size
-    assert(live2 <= 3, s"$live2 persistent RDDs survive kmeansFit")
+    val kmLive = (snap() -- before2).size
+    assert(kmLive <= 4, s"$kmLive new persistent RDDs survive kmeansFit")
   }
 
   test("q29 time buckets partition the corpus: counts total, users bounded") {
