@@ -79,6 +79,45 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming per-source admission quota — the mixing-cap (batch sp02 /
+    * `Sampling.sourceQuota`) on the LIVE path: admit a document iff its
+    * source has admitted fewer than `quota` documents so far. State is ONE
+    * counter per source, hash-partitioned by source in the checkpointed
+    * state store — bounded by source cardinality (thousands), never by
+    * document count, and deliberately un-TTL'd: the cap is cumulative for
+    * the life of the ingest, which is what "at most N from this vendor in
+    * the training mix" means. Honest semantic difference from batch sp02:
+    * batch sees the whole corpus and keeps the BEST `quota` by quality;
+    * a stream cannot see the future, so admission is first-come — run
+    * batch sp02 over the accumulated corpus when ranking matters and this
+    * guard on the tail to stop a hot source flooding ingest in between.
+    * Within a micro-batch, decisions are made in doc_id order, so the
+    * admitted set is a deterministic property of (arrival batches, ids),
+    * not of partition iteration order. */
+  def streamingQuota(spark: SparkSession, docs: DataFrame,
+      quota: Int): DataFrame = {
+    import spark.implicits._
+    require(quota >= 1, s"quota: $quota")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String)],
+            state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _) =>
+            val admit = admitted < quota
+            if (admit) admitted += 1
+            (id, source, admit)
+          }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "admitted")
+  }
+
   /** Event-time tumbling-window counts with late-data watermark — the
     * standard streaming-analytics shape the north star adds on top of the
     * reference (which orders by change version only, SURVEY §2.2). */

@@ -126,6 +126,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota admits first-come per source, state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "source")
+    val q = Streaming.streamingQuota(spark, docs, quota = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_quota")
+      .start()
+    try {
+      // batch 1: s1 fills its quota exactly; s2 uses one slot. Within the
+      // batch, admission is by doc_id order — 10 and 11 beat 12
+      in.addData((12L, "s1"), (10L, "s1"), (11L, "s1"), (20L, "s2"))
+      q.processAllAvailable()
+      // batch 2: s1 is full (cumulative state), s2 has one slot left
+      in.addData((13L, "s1"), (21L, "s2"), (22L, "s2"))
+      q.processAllAvailable()
+      val admitted = spark.table("stream_quota")
+        .where(col("admitted")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(admitted == Set(10L, 11L, 20L, 21L),
+        s"admitted: $admitted")
+      val rejected = spark.table("stream_quota")
+        .where(!col("admitted")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(rejected == Set(12L, 13L, 22L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: in-stream gaps close immediately, idle sessions close by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
