@@ -60,6 +60,19 @@ object Materialize {
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        // reliable-checkpoint mode persists to FILES, not blocks — and
+        // spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+        // false, so without this delete a spot-fleet run accumulates one
+        // checkpoint directory per superseded round for the job's
+        // lifetime (the exact linear growth unpin exists to prevent).
+        // Best-effort: cleanup must never fail the job it serves.
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Exception => () }
+        }
       case _ => ()
     }
 }

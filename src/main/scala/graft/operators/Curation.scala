@@ -120,7 +120,11 @@ object Curation {
     val docs = graft.sources.Tables.t(spark, dir, "documents")
     val benchIds = docs.where(isBenchmark).select("doc_id")
     val grams = Dedup.hashedNgrams(spark, dir, ngramTokens)
-    val benchGrams = grams.join(benchIds, Seq("doc_id"), "left_semi")
+    // tokenize ONLY the benchmark subset for the gram set — the previous
+    // semi-join formulation ran the full-corpus tokenize+hash pass twice
+    // (once here, once for `shared` below), doubling the dominant cost
+    val benchGrams = Dedup.hashedNgramsOf(docs.where(isBenchmark),
+        ngramTokens)
       .select("hs").distinct()
     // grams are distinct per doc and benchGrams is distinct, so the join
     // emits each (doc, shared gram) once — count(1) IS the distinct count

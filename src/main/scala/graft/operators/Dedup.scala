@@ -44,13 +44,19 @@ object Dedup {
     * that distinct-shuffle is the single largest data movement in the
     * whole dedup family; this formulation has none. */
   private[operators] def ngrams(spark: SparkSession, dir: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    ngramsOf(t(spark, dir, "documents"), n)
+
+  /** Same shingling over a caller-provided documents frame — lets a
+    * consumer tokenize a SUBSET (e.g. only benchmark docs) without paying
+    * a full-corpus gram pass it will immediately filter away. */
+  private[operators] def ngramsOf(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"ngram width: $n")
     val grams = when(size(col("ws")) >= n,
       transform(sequence(lit(1), size(col("ws")) - (n - 1)),
         i => array_join(slice(col("ws"), i, lit(n)), " ")))
       .otherwise(array())
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(array_distinct(grams)).as("s"))
   }
@@ -88,6 +94,9 @@ object Dedup {
   private[operators] def hashedNgrams(spark: SparkSession, dir: String,
       n: Int): DataFrame =
     ngrams(spark, dir, n).select(col("doc_id"), xxhash64(col("s")).as("hs"))
+
+  private[operators] def hashedNgramsOf(docs: DataFrame, n: Int): DataFrame =
+    ngramsOf(docs, n).select(col("doc_id"), xxhash64(col("s")).as("hs"))
 
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     hashedNgrams(spark, dir, 2)

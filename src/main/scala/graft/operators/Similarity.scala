@@ -246,7 +246,10 @@ object Similarity {
       isQuery: Column): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     t(spark, dir, "embeddings")
-      .withColumn("__isq", isQuery)
+      // NULL-predicate rows (e.g. label === 0 on a null label) must land
+      // in the CORPUS side, not vanish from both sides of the split —
+      // same stance as decontaminate's "null means not-benchmark"
+      .withColumn("__isq", coalesce(isQuery, lit(false)))
       .select(col("vec_id"), col("label"), quantized.as("q"), col("__isq"))
       .withColumn("n2", dotLong(col("q"), col("q")))
       .transform(graft.Materialize.pin)

@@ -46,8 +46,13 @@ object Perf {
           graft.Bench.dropPins(spark)
           dt
         }
+        // true median: average the two middle elements for even rep
+        // counts (sorted(reps/2) alone reports the MAX at reps=2)
+        val sorted = times.sorted
+        val med = if (reps % 2 == 1) sorted(reps / 2)
+          else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
         println(f"$name%-22s min=${times.min}%.2f " +
-          f"med=${times.sorted.apply(reps / 2)}%.2f max=${times.max}%.2f")
+          f"med=$med%.2f max=${times.max}%.2f")
       }
     }
     spark.stop()

@@ -45,6 +45,38 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("unpin deletes reliable checkpoint files, not just blocks") {
+    // spark.cleaner.referenceTracking.cleanCheckpoints defaults to false —
+    // without unpin's file delete, every superseded round of an iterative
+    // operator leaves a checkpoint directory behind for the job's lifetime
+    val dir = tmpDir("reliable_unpin")
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      // the context's checkpoint dir is JVM-sticky: if an earlier test
+      // already set one, our conf is ignored — measure against whatever
+      // root the pin ACTUALLY writes under, via the RDD's own path
+      spark.conf.set("spark.graft.checkpointDir", dir)
+      val pinned = Materialize.pin(sample)
+      assert(pinned.count() == 100)
+      val ckptFile = pinned.queryExecution.analyzed.collectLeaves()
+        .collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD
+              if lr.rdd.getCheckpointFile.isDefined =>
+            lr.rdd.getCheckpointFile.get
+        }
+      assert(ckptFile.isDefined, "reliable pin produced no checkpoint file")
+      val p = new org.apache.hadoop.fs.Path(ckptFile.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p))
+      Materialize.unpin(pinned)
+      assert(!fs.exists(p),
+        "superseded reliable checkpoint files survived unpin")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
   test("an operator runs end-to-end in reliable-checkpoint mode") {
     // the judge's spot-instance scenario: flip the flag, run an LSH operator
     // whose shared subplans pin through Materialize — same results
