@@ -384,6 +384,84 @@ object Similarity {
       .limit(10)
   }
 
+  /** Persist a trained IVF index as a cell-PARTITIONED parquet layout —
+    * the build-once / probe-many ANN deployment shape. One directory:
+    *
+    *  - `<path>/cell=<c>/`: (vec_id, q, n2) per cell — the physical
+    *    layout IS the index: a probe filters `cell IN (<literals>)` and
+    *    the scan lists ONLY the probed cells' directories
+    *    (`PartitionFilters` in the plan, asserted in the spec). At 100 TB
+    *    with 4096 cells and nprobe = 8, a probe touches ~0.2% of the
+    *    corpus bytes with no external index structure — parquet +
+    *    directory partitioning do all of it. Directory partition pruning
+    *    is chosen over a bucketed-table layout deliberately: bucket-file
+    *    pruning rides the bucketed SCAN, which the planner's
+    *    DisableUnnecessaryBucketedScan rule turns off when no downstream
+    *    join needs the distribution — exactly the probe's shape — whereas
+    *    partition pruning is unconditional.
+    *  - `<path>/_centroids/`: (clabel, cvec, cn2) — |cells| rows, the
+    *    coarse quantizer (shared recipe with the k-means trainer). The
+    *    underscore prefix keeps it invisible to the data scan's file
+    *    index, so index and quantizer travel as one self-contained
+    *    directory.
+    *
+    * `iters` = 0 keeps the seed (label) cells; ≥ 1 refines them with
+    * Lloyd rounds first. */
+  def buildIvfIndex(spark: SparkSession, dir: String, path: String,
+      iters: Int): Unit = {
+    require(iters >= 0, s"iters: $iters")
+    val emb = embCorpus(spark, dir)
+    val cells =
+      if (iters == 0) emb.select(col("vec_id"), col("label").as("cell"))
+      else kmeansFit(spark, dir, iters)
+        .select(col("vec_id"), col("assigned").as("cell"))
+    graft.sources.Sink.writeCurated(
+      emb.join(cells, "vec_id").select("vec_id", "cell", "q", "n2"),
+      path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"))
+    centroidsOf(emb, cells).write.mode("overwrite")
+      .parquet(s"$path/_centroids")
+  }
+
+  /** Probe a persisted index with a caller-supplied float vector: rank
+    * cells by centroid cosine (|cells|-row scan), COLLECT the top-nprobe
+    * cell ids (a bounded nprobe-scalar collect — the literal IN list is
+    * what lets the scan prune partitions; a join would list every cell
+    * directory), then exact-cosine re-rank only those cells' members.
+    * Quantization mirrors the build side exactly (round-half-up ×1000,
+    * the `quantized` recipe) so a probe vector equal to an indexed vector
+    * scores 1.0. */
+  def probeIvfIndex(spark: SparkSession, path: String,
+      query: Array[Float], nprobe: Int, k: Int,
+      excludeIds: Seq[Long] = Seq.empty): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
+    // HALF_UP to match Spark's round() on negatives (Math.round would
+    // differ at -x.5: floor(x+0.5) rounds toward positive infinity)
+    val q = query.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
+    val qn2 = q.map(x => x * x).sum
+    val qlit = typedLit(q)
+    val cells = spark.read.parquet(s"$path/_centroids")
+      .withColumn("ccos",
+        guardedCos(dotLong(col("cvec"), qlit), col("cn2"), lit(qn2)))
+      .orderBy(col("ccos").desc, col("clabel"))
+      .limit(nprobe)
+      .select("clabel")
+      .collect().map(_.get(0))
+    val probed = spark.read.parquet(path)
+      .where(col("cell").isInCollection(cells.toSeq))
+    val scoped =
+      if (excludeIds.isEmpty) probed
+      else probed.where(!col("vec_id").isInCollection(excludeIds))
+    scoped
+      .select(col("vec_id"),
+        round(dotLong(col("q"), qlit).cast("double") /
+          sqrt(lit(qn2).cast("double") * col("n2").cast("double")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Pinned quantized corpus with the seed cell column (the given label):
     * (vec_id, label, q, n2). */
   private def embCorpus(spark: SparkSession, dir: String): DataFrame = {

@@ -667,6 +667,27 @@ class PipelinesSpec extends SparkSpec {
       short.head.getLong(2) == 0)
   }
 
+  test("persisted IVF index: probes prune cell partitions and match the in-memory path") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(spark, sf, path, iters = 1)
+    // the probe vector is corpus vector 0's floats — quantization on the
+    // driver must reproduce the indexed q exactly, so the probe result
+    // must equal ivfAnnTrained's (same cells, same nprobe, vec 0 excluded)
+    val q0 = graft.sources.Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val probe = Similarity.probeIvfIndex(spark, path, q0,
+      nprobe = 2, k = 10, excludeIds = Seq(0L))
+    val expected = Similarity.ivfAnnTrained(spark, sf, iters = 1, nprobe = 2)
+    assert(probe.collect().toSeq == expected.collect().toSeq)
+    // physical proof the layout IS the index: the probed cells arrive as
+    // PartitionFilters (directory pruning — the scan never lists the
+    // other cells) and the data filter column list stays partition-free
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell.* IN \\(".r
+      .findFirstIn(plan).isDefined, s"no partition pruning:\n$plan")
+  }
+
   test("iterative operators free superseded round state (unpin discipline)") {
     // dd06 pins one frame per round plus the pair/edge frames; everything
     // but the surviving label leaves must be unpersisted by the time the
