@@ -17,6 +17,8 @@ object Pipelines {
     "t08_scrub" -> TextAnalysis.t08Scrub _,
     "t09_top_ngrams" -> TextAnalysis.t09TopNgrams _,
     "t10_common_ratio" -> TextAnalysis.t10CommonRatio _,
+    "t11_quality_bins" -> TextAnalysis.t11QualityBins _,
+    "t12_corpus_profile" -> TextAnalysis.t12CorpusProfile _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,

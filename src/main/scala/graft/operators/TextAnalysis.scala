@@ -233,6 +233,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t11 — quality binning by sketch quantile cutoffs (the "keep the top
+    * quartile" mix knob): each document gets the bin index of its quality
+    * among corpus-wide quartile cuts. The SCALE-CORRECT shape for rank
+    * binning: `ntile`/`percent_rank` need a corpus-wide total-order
+    * window — ONE task sorting everything — whereas a mergeable
+    * `approx_percentile` sketch (exact while N ≤ accuracy, per the q24b
+    * contract) reduces the corpus to a 3-value cutoff row, broadcast back
+    * for a map-only comparison bin. Strict `>` against the same doubles
+    * in both engines keeps tie handling engine-portable. */
+  def t11QualityBins(spark: SparkSession, dir: String): DataFrame =
+    qualityBins(spark, dir, Seq(0.25, 0.5, 0.75))
+
+  /** Library surface: bin by any ascending probability cutoffs (the
+    * declared query pins quartiles for the oracle). */
+  def qualityBins(spark: SparkSession, dir: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps == ps.sorted, s"ascending cutoffs: $ps")
+    val q = t02Quality(spark, dir).select("doc_id", "quality")
+    val cuts = q.agg(expr(
+      s"approx_percentile(quality, array(${ps.mkString("D, ")}D), 100000)")
+      .as("cuts"))
+    q.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("quality"),
+        ps.indices.map(i =>
+          when(col("quality") > element_at(col("cuts"), i + 1), 1)
+            .otherwise(0)).reduce(_ + _).as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** t12 — corpus profile: per (source, lang) document counts, token
+    * volume, and mean quality — the report a pipeline prints before and
+    * after every curation stage. One map-side-combined aggregation whose
+    * shuffle carries (source, lang) groups; the mean rides the
+    * ×1000→int64 quantization (sum of exact integers, divided once at the
+    * end) so the double never depends on summation order — the same
+    * engine-portability trick as the money sums in q25/q28. */
+  def t12CorpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ws = toks
+    val quality = round(
+      countIn(ws, stopwords).cast("double") / size(ws) * 0.5 +
+        when(size(ws).between(20, 80), 0.5).otherwise(0.0), 3)
+    t(spark, dir, "documents")
+      .select(col("source"), col("lang"), size(ws).as("n_tokens"),
+        quality.as("quality"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(expr("CAST(ROUND(quality * 1000) AS BIGINT)"))
+          .cast("double") / 1000.0 / count(lit(1)), 3).as("mean_quality"))
+      .orderBy("source", "lang")
+  }
+
   /** t05 — BPE-ish sub-token counting: letter runs / digit runs / single
     * punctuation, the pre-tokenization split every BPE-family tokenizer
     * applies before merges. Compared against the whitespace word count —

@@ -667,6 +667,21 @@ class PipelinesSpec extends SparkSpec {
       short.head.getLong(2) == 0)
   }
 
+  test("t11 bins are monotone in quality; t12 profile partitions the corpus") {
+    val bins = TextAnalysis.t11QualityBins(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    assert(bins.forall { case (_, b) => b >= 0 && b <= 3 })
+    // a higher-quality doc can never land in a lower bin
+    val sorted = bins.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, b1), (_, b2)) => b1 <= b2 })
+    assert(bins.map(_._2).distinct.length >= 3, "degenerate cutoffs")
+    val prof = TextAnalysis.t12CorpusProfile(spark, sf)
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    assert(prof.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(prof.where(col("mean_quality") < 0 ||
+      col("mean_quality") > 1).isEmpty)
+  }
+
   test("persisted IVF index: probes prune cell partitions and match the in-memory path") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Similarity.buildIvfIndex(spark, sf, path, iters = 1)

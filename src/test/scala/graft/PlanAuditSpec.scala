@@ -20,7 +20,9 @@ class PlanAuditSpec extends SparkSpec {
     "ss07_kmeans_assign", "c03_semantic_curation",
     // ss08's broadcast side is the QUERY BATCH — bounded by definition of
     // a batch (ivfKnnJoin is the equi-join path for unbounded query sets)
-    "ss08_knn_join")
+    "ss08_knn_join",
+    // t11's broadcast side is the ONE-row quantile-cutoff frame
+    "t11_quality_bins")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
