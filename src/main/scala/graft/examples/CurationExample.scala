@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Sampling, TextAnalysis}
 import graft.sources.Sink
 
 /** "Use as a library" — the wiring a user's first custom pipeline needs,
@@ -62,6 +62,13 @@ object CurationExample {
       isBenchmark, ngramTokens = 3, minShared = 2)
       .where(col("contaminated")).select("doc_id")
 
+    // 6. training-mix shaping: inverse-sqrt temperature downsampling per
+    //    source (a deterministic document property — reruns and resizes
+    //    keep the identical mix), with the over-represented sources
+    //    damped toward ∝ √n
+    val mix = Sampling.temperatureMix(spark, dir, c = 20.0)
+      .where(col("kept")).select("doc_id")
+
     graft.sources.Tables.t(spark, dir, "documents")
       .where(!isBenchmark)
       .select("doc_id", "lang", "source")
@@ -71,6 +78,7 @@ object CurationExample {
       .join(losers, Seq("doc_id"), "left_anti")
       .join(boilerplate, Seq("doc_id"), "left_anti")
       .join(leaked, Seq("doc_id"), "left_anti")
+      .join(mix, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "text", "quality", "n_pii_hits")
   }
 

@@ -450,6 +450,31 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_bucket")
 
+  /** Q30 — dimension-chain rollup (the TPC-H Q5 shape): revenue by region
+    * through orders → customer → nation → region. The snowflaked
+    * dimensions (nation 25 rows, region 5) BROADCAST — hinted, because
+    * they are small by schema design, not by statistics luck — so the
+    * chain adds zero shuffles beyond the one fact-to-customer equi-join;
+    * at 100 TB customer is itself fact-sized, so that first join stays a
+    * shuffle join (co-bucket orders and customer on custkey via
+    * writeBucketed and even that Exchange disappears). Money rides the
+    * ×100→int64 quantization. */
+  def q30RegionRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy("r_name")
+
   /** Q27 — the analytic-window family (rank, dense_rank, lag) with a rank
     * limit: top-5 customers by balance per market segment plus each row's
     * predecessor balance. The rank functions get their OWN window node so
@@ -544,6 +569,8 @@ object Relational {
       "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "q29_time_buckets" ->
       "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
+    "q30_region_rollup" ->
+      "SELECT r.r_name, COUNT(*) AS n_orders, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -578,5 +605,6 @@ object Relational {
     "q27_window_rank" -> q27WindowRank _,
     "q28_cube" -> q28Cube _,
     "q29_time_buckets" -> q29TimeBuckets _,
+    "q30_region_rollup" -> q30RegionRollup _,
   )
 }
