@@ -154,6 +154,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota state survives a checkpointed stop/restart") {
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("quota_restart_src")
+    val ckpt = tmpDir("quota_restart_ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Boolean)]
+    var phase = 1
+    def run() = Streaming
+      .streamingQuota(spark,
+        spark.readStream.schema(schema).json(srcDir), quota = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            decisions += ((phase, r.getLong(0), r.getBoolean(2)))); ()
+      }
+      .start()
+
+    writeFile("b1.json", Seq(
+      """{"doc_id":10,"source":"s1"}""",
+      """{"doc_id":11,"source":"s1"}""",
+      """{"doc_id":12,"source":"s1"}"""))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(decisions.collect { case (1, id, a) => id -> a }.toMap ==
+      Map(10L -> true, 11L -> true, 12L -> false))
+
+    // restart on the same checkpoint: only RECOVERED state knows s1's
+    // quota is spent — lost state would admit doc 13 again
+    phase = 2
+    writeFile("b2.json", Seq(
+      """{"doc_id":13,"source":"s1"}""",
+      """{"doc_id":20,"source":"s2"}"""))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(decisions.collect { case (2, id, a) => id -> a }.toMap ==
+      Map(13L -> false, 20L -> true))
+  }
+
   test("streaming sessionization: in-stream gaps close immediately, idle sessions close by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
