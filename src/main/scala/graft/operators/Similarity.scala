@@ -349,7 +349,7 @@ object Similarity {
   def ivfAnnTrained(spark: SparkSession, dir: String, iters: Int,
       nprobe: Int): DataFrame = {
     val emb = embCorpus(spark, dir)
-    val cells = kmeansFit(spark, dir, iters)
+    val cells = kmeansFitOn(emb, iters)
       .select(col("vec_id"), col("assigned").as("cell"))
     ivfAnnOn(emb, cells, nprobe)
   }
@@ -377,9 +377,8 @@ object Similarity {
       .join(broadcast(probed), Seq("cell"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        round(dotLong(col("q"), col("qq")).cast("double") /
-          sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
-          .as("cos"))
+        round(guardedCos(dotLong(col("q"), col("qq")),
+          col("qn2"), col("n2")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -413,13 +412,19 @@ object Similarity {
     val emb = embCorpus(spark, dir)
     val cells =
       if (iters == 0) emb.select(col("vec_id"), col("label").as("cell"))
-      else kmeansFit(spark, dir, iters)
+      else kmeansFitOn(emb, iters)
         .select(col("vec_id"), col("assigned").as("cell"))
     graft.sources.Sink.writeCurated(
       emb.join(cells, "vec_id").select("vec_id", "cell", "q", "n2"),
       path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"))
     centroidsOf(emb, cells).write.mode("overwrite")
       .parquet(s"$path/_centroids")
+    // both artifacts are on disk — nothing references the build's pinned
+    // frames anymore. A library caller has no bench harness behind it to
+    // sweep leaked pins, so a build/rebuild loop would otherwise
+    // accumulate pinned corpus copies in executor storage.
+    graft.Materialize.unpin(cells)
+    graft.Materialize.unpin(emb)
   }
 
   /** Probe a persisted index with a caller-supplied float vector: rank
@@ -455,8 +460,7 @@ object Similarity {
       else probed.where(!col("vec_id").isInCollection(excludeIds))
     scoped
       .select(col("vec_id"),
-        round(dotLong(col("q"), qlit).cast("double") /
-          sqrt(lit(qn2).cast("double") * col("n2").cast("double")), 4)
+        round(guardedCos(dotLong(col("q"), qlit), lit(qn2), col("n2")), 4)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -534,9 +538,14 @@ object Similarity {
     * with the iteration count. Cells that lose all members simply drop out
     * of the centroid table (standard Lloyd behavior). Returns the final
     * (vec_id, label, assigned, cos). */
-  def kmeansFit(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+  def kmeansFit(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    kmeansFitOn(embCorpus(spark, dir), iters)
+
+  /** The Lloyd loop over an already-pinned corpus — callers that hold an
+    * `embCorpus` frame pass it here so trainer and consumer share ONE
+    * pinned copy instead of each paying (and leaking) their own. */
+  private def kmeansFitOn(emb: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters: $iters")
-    val emb = embCorpus(spark, dir)
     var cells = emb.select(col("vec_id"), col("label").as("cell"))
     var out: DataFrame = null
     for (_ <- 1 to iters) {

@@ -28,6 +28,15 @@ object TextAnalysis {
   private def countIn(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => w.isin(words: _*)))
 
+  /** THE quality heuristic (stopword ratio + length prior, rounded 3) —
+    * one definition shared by the per-doc score (t02, and through it the
+    * top-k/quota/bin consumers) and the corpus profile's mean (t12), so
+    * the formula cannot drift between the queries that rank by it and
+    * the report that averages it. */
+  private def qualityOf(ws: Column): Column =
+    round(countIn(ws, stopwords).cast("double") / size(ws) * 0.5 +
+      when(size(ws).between(20, 80), 0.5).otherwise(0.0), 3)
+
   /** t01 — token count per document (whitespace tokenizer; a BPE-ish regex
     * tokenizer would swap in here as another `split` pattern). */
   def t01TokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -53,10 +62,7 @@ object TextAnalysis {
           .as("avg_token_len"),
         round(countIn(col("ws"), stopwords).cast("double") / size(col("ws")), 3)
           .as("stop_ratio"),
-        round(
-          countIn(col("ws"), stopwords).cast("double") / size(col("ws")) * 0.5 +
-            when(size(col("ws")).between(20, 80), 0.5).otherwise(0.0), 3)
-          .as("quality"))
+        qualityOf(col("ws")).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -249,11 +255,12 @@ object TextAnalysis {
     * declared query pins quartiles for the oracle). */
   def qualityBins(spark: SparkSession, dir: String,
       ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps == ps.sorted, s"ascending cutoffs: $ps")
+    require(ps.nonEmpty && ps == ps.sorted &&
+      ps.forall(p => p > 0.0 && p < 1.0),
+      s"cutoffs must be ascending probabilities in (0, 1): $ps")
     val q = t02Quality(spark, dir).select("doc_id", "quality")
-    val cuts = q.agg(expr(
-      s"approx_percentile(quality, array(${ps.mkString("D, ")}D), 100000)")
-      .as("cuts"))
+    val cuts = q.agg(percentile_approx(col("quality"), typedlit(ps),
+      lit(100000)).as("cuts"))
     q.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("quality"),
         ps.indices.map(i =>
@@ -271,12 +278,9 @@ object TextAnalysis {
     * engine-portability trick as the money sums in q25/q28. */
   def t12CorpusProfile(spark: SparkSession, dir: String): DataFrame = {
     val ws = toks
-    val quality = round(
-      countIn(ws, stopwords).cast("double") / size(ws) * 0.5 +
-        when(size(ws).between(20, 80), 0.5).otherwise(0.0), 3)
     t(spark, dir, "documents")
       .select(col("source"), col("lang"), size(ws).as("n_tokens"),
-        quality.as("quality"))
+        qualityOf(ws).as("quality"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
