@@ -186,8 +186,11 @@ object Dedup {
     * tuples — at 100 TB this is the formulation that survives; an inverted
     * index does not once document frequency grows. Shared by dd03 and the
     * curation pipeline's near-dup removal. */
-  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairsOf(t(spark, dir, "documents"))
+
+  private def minhashCandidatePairsOf(docs: DataFrame): DataFrame = {
+    val sh = ngramsOf(docs, 2)
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("hs"),
       (md5Long(col("s"), 15) % P).as("hm"))
     // one pass per doc: the sorted shingle set AND all K minhashes
@@ -243,7 +246,13 @@ object Dedup {
     * J ≥ 0.9 it is ≈ 0.99997 per pair (see lshNearDupLosers). */
   def minhashNearDups(spark: SparkSession, dir: String,
       threshold: Double): DataFrame =
-    jaccardOfPairs(minhashCandidatePairs(spark, dir), threshold)
+    minhashNearDupsOf(t(spark, dir, "documents"), threshold)
+
+  /** Generic library surface: MinHash-LSH near-dup pairs over ANY frame
+    * bearing (doc_id, text) — the testdata entry points above are thin
+    * wrappers over this. Same banding, same verified-candidates contract. */
+  def minhashNearDupsOf(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardOfPairs(minhashCandidatePairsOf(docs), threshold)
 
   /** dd07 — passage-level exact dedup (the boilerplate-removal shape:
     * repeated headers/footers/templates recur across documents even when
@@ -260,7 +269,12 @@ object Dedup {
   /** Library surface: passage dedup at a caller-chosen passage length (the
     * declared query pins 20 tokens for the oracle). */
   def passageDedup(spark: SparkSession, dir: String,
-      passageTokens: Int): DataFrame = {
+      passageTokens: Int): DataFrame =
+    passageDedupOf(t(spark, dir, "documents"), passageTokens)
+
+  /** Generic library surface: passage dedup over ANY (doc_id, text)
+    * frame. */
+  def passageDedupOf(docs: DataFrame, passageTokens: Int): DataFrame = {
     require(passageTokens >= 1, s"passageTokens: $passageTokens")
     val p = passageTokens
     // the empty-token-array guard matters: sequence(0, -1) auto-infers step
@@ -277,7 +291,7 @@ object Dedup {
     // string-keyed shuffle would move the corpus twice). Same collision
     // stance as hashedShingles: |distinct passages|²/2⁶⁴ is negligible,
     // and the hash is engine-internal (outputs carry only counts).
-    val passages = t(spark, dir, "documents")
+    val passages = docs
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(chunks).as("passage"))
       .select(col("doc_id"), xxhash64(col("passage")).as("ph"))
@@ -313,14 +327,19 @@ object Dedup {
   /** Library surface: duplicated-span detection at a caller-chosen window
     * width (the declared query pins 20 tokens for the oracle). */
   def duplicateSpans(spark: SparkSession, dir: String,
-      windowTokens: Int): DataFrame = {
+      windowTokens: Int): DataFrame =
+    duplicateSpansOf(t(spark, dir, "documents"), windowTokens)
+
+  /** Generic library surface: duplicated-span detection over ANY
+    * (doc_id, text) frame. */
+  def duplicateSpansOf(docs: DataFrame, windowTokens: Int): DataFrame = {
     require(windowTokens >= 1, s"windowTokens: $windowTokens")
     val w = windowTokens
     val wins = when(size(col("ws")) >= w, transform(
       sequence(lit(1), size(col("ws")) - (w - 1)),
       i => xxhash64(array_join(slice(col("ws"), i, lit(w)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    val spans = t(spark, dir, "documents")
+    val spans = docs
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(wins).as("wh"))
     val counts = spans.groupBy("wh").agg(count(lit(1)).as("occ"))
@@ -328,7 +347,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
-    t(spark, dir, "documents").select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),

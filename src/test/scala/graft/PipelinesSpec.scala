@@ -667,6 +667,26 @@ class PipelinesSpec extends SparkSpec {
       short.head.getLong(2) == 0)
   }
 
+  test("generic Of-surfaces run on arbitrary in-memory frames") {
+    import spark.implicits._
+    // no parquet, no testdata layout — any (doc_id, text) frame is a
+    // valid input to the dedup family's generic surfaces
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "a b c d e a b c d e"),
+      (3L, "totally different text here")).toDF("doc_id", "text")
+    val nd = Dedup.minhashNearDupsOf(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq == Seq((1L, 2L)))
+    val pd = Dedup.passageDedupOf(docs, passageTokens = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // both copies of the repeated 5-token passage occur 4x corpus-wide
+    assert(pd(1L) == 2 && pd(2L) == 2 && pd(3L) == 0)
+    val ds = Dedup.duplicateSpansOf(docs, windowTokens = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ds(1L) > 0 && ds(2L) > 0 && ds(3L) == 0)
+  }
+
   test("t11 bins are monotone in quality; t12 profile partitions the corpus") {
     val bins = TextAnalysis.t11QualityBins(spark, sf).collect()
       .map(r => (r.getDouble(1), r.getInt(2)))
