@@ -30,12 +30,13 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Int, checksum: Int,
       head_byte: Int, n_frames: Int)
 
-  /** STUB — replace with the real decoder (libjpeg/ffmpeg via JNI/FFI).
+  /** STUB — the DEFAULT decoder (a real deployment injects its own via
+    * [[decodeWith]]/[[decodeInContext]]; the oracle queries keep this one).
     * Deterministic fake: byte-level stats + frame sampling at stride 100.
     * NOTE the oracle computes the same features per CHARACTER (ascii/substr)
     * — equal only because the fixture text is ASCII (asserted true for all
     * SFs); a non-ASCII or empty document would diverge bytes-vs-chars. */
-  private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+  private[graft] def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
@@ -47,19 +48,71 @@ object Multimodal {
       n_frames = if (payload.isEmpty) 0 else (payload.length - 1) / 100 + 1)
   }
 
-  /** m01 — binary ingest → per-partition batch decode → typed metadata. */
-  def m01Decode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The standard (doc_id, payload) binary frame over the documents table —
+    * the input shape every decode surface below expects. A real corpus reads
+    * its media bytes from parquet `binary` columns the same way. */
+  def binaryDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  // ---- pluggable codec seams -----------------------------------------
+  // A user injects a real libjpeg/ffmpeg codec WITHOUT forking the
+  // operator: the injected function rides the exact typed-mapPartitions
+  // plan the stub rides (MultimodalSpec asserts plan equality). Two forms:
+  //  - decodeWith: per-row pure function, for codecs with no setup cost;
+  //  - decodeInContext: per-partition context acquire/release around the
+  //    row loop — the JNI/FFI shape (codec contexts are expensive and not
+  //    serializable, so they must be constructed ON the executor, once per
+  //    partition batch, and released even when a row throws).
+
+  /** Library seam: decode an arbitrary (id, payload) frame with a caller
+    * codec. `docs` must have `idCol` (castable to long) and `payloadCol`
+    * (binary). Unsorted — callers order for presentation themselves. */
+  def decodeWith(docs: DataFrame, decode: (Long, Array[Byte]) => MediaMeta,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    decodeInContext(docs, () => (), (_: Unit, id, payload) => decode(id, payload),
+      (_: Unit) => (), idCol, payloadCol)
+
+  /** Library seam, JNI shape: `open()` runs once per partition batch on the
+    * executor, `decode(ctx, id, payload)` per row, `close(ctx)` in a
+    * finally. `C` need not be serializable — only the three functions are
+    * shipped; the context lives and dies inside one partition. */
+  def decodeInContext[C](docs: DataFrame, open: () => C,
+      decode: (C, Long, Array[Byte]) => MediaMeta, close: C => Unit,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // real decoder: acquire codec context once per batch here
-        batch.map { case (id, payload) => decodeStub(id, payload) }
+        val ctx = open() // codec context: once per partition batch
+        val it = batch.map { case (id, payload) => decode(ctx, id, payload) }
+        // Iterators are lazy: close only after the last row is consumed
+        // (exactly once — hasNext may be re-asked after exhaustion), and
+        // also on mid-stream failure so a throwing payload can't leak a
+        // codec context.
+        new Iterator[MediaMeta] {
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; close(ctx) }
+          def hasNext: Boolean = {
+            val h = try it.hasNext catch { case e: Throwable => closeOnce(); throw e }
+            if (!h) closeOnce()
+            h
+          }
+          def next(): MediaMeta =
+            try it.next() catch { case e: Throwable => closeOnce(); throw e }
+        }
       }
       .toDF()
-      .orderBy("doc_id")
   }
+
+  /** m01 — binary ingest → per-partition batch decode → typed metadata.
+    * Routes through the [[decodeWith]] seam with the stub codec, so the
+    * oracle query exercises the same plan an injected real codec gets. */
+  def m01Decode(spark: SparkSession, dir: String): DataFrame =
+    decodeWith(binaryDocs(spark, dir), decodeStub).orderBy("doc_id")
 
   /** Resize result: original size, resized payload stats. */
   final case class Resized(doc_id: Long, n_bytes: Int, resized_bytes: Int,
@@ -72,27 +125,35 @@ object Multimodal {
     * shape, same contract: binary in, smaller binary out). The output
     * carries deterministic stats of the RESIZED payload so the
     * transformation itself — not just the plumbing — is oracle-checked. */
-  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+  def m03Resize(spark: SparkSession, dir: String): DataFrame =
+    resizeWith(binaryDocs(spark, dir), resizeStub(3)).orderBy("doc_id")
+
+  /** Default resizer: stats straight off the strided indices — the resized
+    * payload is never materialized (the only per-row allocation is the
+    * Resized record; a real resizer would of course allocate its output). */
+  private[graft] def resizeStub(stride: Int)(id: Long,
+      payload: Array[Byte]): Resized = {
+    val n = (payload.length + stride - 1) / stride
+    var sum = 0L
+    var k = 0
+    while (k < n) { sum += payload(k * stride) & 0xff; k += 1 }
+    Resized(id, payload.length, n, (sum % 256).toInt)
+  }
+
+  /** Library seam: resize/transcode with a caller scaler (libvips scale-on-
+    * decode). Same typed-mapPartitions plan as [[decodeWith]]. */
+  def resizeWith(docs: DataFrame, resize: (Long, Array[Byte]) => Resized,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val stride = 3
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // real resizer: acquire scaler context once per batch here
-        batch.map { case (id, payload) =>
-          // stats straight off the strided indices — the resized payload is
-          // never materialized (the only per-row allocation is the Resized
-          // record; a real resizer would of course allocate its output)
-          val n = (payload.length + stride - 1) / stride
-          var sum = 0L
-          var k = 0
-          while (k < n) { sum += payload(k * stride) & 0xff; k += 1 }
-          Resized(id, payload.length, n, (sum % 256).toInt)
-        }
+        batch.map { case (id, payload) => resize(id, payload) }
       }
       .toDF()
-      .orderBy("doc_id")
   }
 
   /** One sampled frame of a media payload. */
@@ -104,24 +165,34 @@ object Multimodal {
     * that EXPANDS rows, the UDTF pattern). Runs as a typed mapPartitions so
     * a real demuxer would be driven per partition batch; chunk features stay
     * deterministic byte math so the expansion is oracle-checked. */
-  def m02Frames(spark: SparkSession, dir: String): DataFrame = {
+  def m02Frames(spark: SparkSession, dir: String): DataFrame =
+    framesWith(binaryDocs(spark, dir), framesStub(100))
+      .orderBy("doc_id", "frame_no")
+
+  /** Default demuxer: one Frame per fixed-stride chunk. */
+  private[graft] def framesStub(stride: Int)(id: Long,
+      payload: Array[Byte]): Iterator[Frame] =
+    payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+      var sum = 0L
+      var j = 0
+      while (j < chunk.length) { sum += chunk(j) & 0xff; j += 1 }
+      Frame(id, i, chunk.length, (sum % 256).toInt)
+    }
+
+  /** Library seam: frame extraction with a caller demuxer — a row-EXPANDING
+    * codec (video frames, audio windows), so the injected function returns
+    * an iterator per document. Same typed-mapPartitions plan. */
+  def framesWith(docs: DataFrame, demux: (Long, Array[Byte]) => Iterator[Frame],
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val stride = 100
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        batch.flatMap { case (id, payload) =>
-          // real demuxer: seek + decode one frame per stride here
-          payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
-            var sum = 0L
-            var j = 0
-            while (j < chunk.length) { sum += chunk(j) & 0xff; j += 1 }
-            Frame(id, i, chunk.length, (sum % 256).toInt)
-          }
-        }
+        // real demuxer: seek + decode one frame per stride here
+        batch.flatMap { case (id, payload) => demux(id, payload) }
       }
       .toDF()
-      .orderBy("doc_id", "frame_no")
   }
 }
