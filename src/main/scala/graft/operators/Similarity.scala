@@ -31,8 +31,10 @@ import graft.sources.Tables.t
 object Similarity {
 
   /** Quantized vector: array<long> of round(x·1000). */
-  private def quantized: Column =
-    transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+  private def quantizedOf(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private def quantized: Column = quantizedOf(col("embedding"))
 
   /** Quantized corpus: (vec_id, q: array<long>, n2: |q|²). */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
@@ -407,24 +409,109 @@ object Similarity {
     * `iters` = 0 keeps the seed (label) cells; ≥ 1 refines them with
     * Lloyd rounds first. */
   def buildIvfIndex(spark: SparkSession, dir: String, path: String,
+      iters: Int): Unit =
+    buildIndexFrom(embCorpus(spark, dir), path, iters)
+
+  /** Generic build over a caller frame (`idCol` castable to long, `embCol`
+    * array<float/double>) — the library form of [[buildIvfIndex]]. Cell
+    * seeds come from `seedCol` when given, else `pmod(id, cells)`;
+    * `iters` ≥ 1 Lloyd rounds refine either seeding. */
+  def buildIvfIndexOf(vecs: DataFrame, path: String, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      seedCol: Option[String] = None, cells: Int = 10): Unit = {
+    import graft.functions.ArrayDot.dotLong
+    require(cells >= 1, s"cells: $cells")
+    val seed = seedCol.map(col)
+      .getOrElse(pmod(col(idCol).cast("long"), lit(cells.toLong)))
+    val emb = vecs
+      .select(col(idCol).cast("long").as("vec_id"), seed.as("label"),
+        quantizedOf(col(embCol)).as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      .transform(graft.Materialize.pin)
+    buildIndexFrom(emb, path, iters)
+  }
+
+  /** Train-then-add (the FAISS lifecycle): Lloyd rounds train the coarse
+    * quantizer, then EVERY vector is re-assigned against the final saved
+    * centroids before writing. The invariant this buys — stored cell ==
+    * argmax over stored `_centroids` for every row — is what makes
+    * incremental maintenance coherent: [[appendToIvfIndex]] uses the same
+    * assignment rule, so append-then-probe ≡ rebuild-then-probe exactly
+    * (cell-by-cell content equality, proven in IvfIndexSpec). Without the
+    * add-step, stored cells lag the stored centroids by one Lloyd
+    * half-round and appended rows would follow a different rule than
+    * built rows. */
+  private def buildIndexFrom(emb: DataFrame, path: String,
       iters: Int): Unit = {
     require(iters >= 0, s"iters: $iters")
-    val emb = embCorpus(spark, dir)
-    val cells =
+    val trained =
       if (iters == 0) emb.select(col("vec_id"), col("label").as("cell"))
       else kmeansFitOn(emb, iters)
         .select(col("vec_id"), col("assigned").as("cell"))
+    // consumed by the _centroids write AND the add-step broadcast
+    val cent = graft.Materialize.pin(centroidsOf(emb, trained))
+    val added = assignStep(emb, cent)
+      .select(col("vec_id"), col("assigned").as("cell"), col("q"), col("n2"))
     graft.sources.Sink.writeCurated(
-      emb.join(cells, "vec_id").select("vec_id", "cell", "q", "n2"),
-      path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"))
-    centroidsOf(emb, cells).write.mode("overwrite")
-      .parquet(s"$path/_centroids")
-    // both artifacts are on disk — nothing references the build's pinned
+      added, path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"))
+    cent.write.mode("overwrite").parquet(s"$path/_centroids")
+    // all artifacts are on disk — nothing references the build's pinned
     // frames anymore. A library caller has no bench harness behind it to
     // sweep leaked pins, so a build/rebuild loop would otherwise
     // accumulate pinned corpus copies in executor storage.
-    graft.Materialize.unpin(cells)
+    graft.Materialize.unpin(cent)
+    graft.Materialize.unpin(trained)
     graft.Materialize.unpin(emb)
+  }
+
+  /** Assign caller vectors to a persisted index's FROZEN coarse quantizer:
+    * (vec_id, cell, q, n2, cos) — the same broadcast-argmax recipe as the
+    * trainer's assignment step (|cells|-row centroid table broadcasts by
+    * construction; the shuffle carries D rows, never D·k; ties break to
+    * the smallest cell label so the argmax is total). */
+  def assignToIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val cent = spark.read.parquet(s"$path/_centroids")
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"), lit(0L).as("label"),
+        quantizedOf(col(embCol)).as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      .transform(assignStep(_, cent))
+      .select(col("vec_id"), col("assigned").as("cell"), col("q"),
+        col("n2"), col("cos"))
+  }
+
+  /** Append outcome: assignment-quality stats the caller uses as the
+    * re-train signal — when `meanCos` drifts materially below the values
+    * seen at build time (the corpus distribution moved away from the
+    * frozen quantizer), stop appending and re-train with
+    * [[buildIvfIndexOf]]; cells only grow lopsided, they never re-balance
+    * on their own. */
+  final case class IvfAppendStats(nAppended: Long, meanCos: Double,
+      minCos: Double)
+
+  /** Incremental IVF maintenance — the nightly-corpus (dd08) shape: assign
+    * NEW vectors to the existing frozen quantizer and append them into the
+    * cell-partitioned layout (new files inside existing `cell=` dirs; the
+    * probe path and its partition pruning are unchanged). `_centroids` is
+    * NOT rewritten — append ≡ rebuild holds exactly while the quantizer is
+    * frozen. Caller owns vec_id uniqueness across the base corpus and all
+    * appends (same contract as any postings file). */
+  def appendToIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfAppendStats = {
+    val assigned = graft.Materialize.pin(
+      assignToIvfIndex(spark, path, vecs, idCol, embCol))
+    try {
+      graft.sources.Sink.writeCurated(
+        assigned.select("vec_id", "cell", "q", "n2"),
+        path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"),
+        mode = "append")
+      val r = assigned.agg(count(lit(1)), avg("cos"), min("cos")).head()
+      IvfAppendStats(r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    } finally graft.Materialize.unpin(assigned)
   }
 
   /** Probe a persisted index with a caller-supplied float vector: rank

@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions.col
   * readers pruning on the partition columns for free. */
 object Sink {
 
+  /** `mode = "append"` adds files into existing partition directories —
+    * the nightly-ingest shape (e.g. [[graft.operators.Similarity.appendToIvfIndex]]);
+    * readers see old + new rows, partition pruning is unaffected. */
   def writeCurated(df: DataFrame, path: String,
       partitionCols: Seq[String] = Seq.empty,
       sortCols: Seq[String] = Seq.empty,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      mode: String = "overwrite"): Unit = {
     // REBALANCE, not repartition: plain hash repartition on the partition
     // columns funnels a hot value (one dominant language/date) into a
     // single task — the rebalance hint keeps rows grouped by the columns
@@ -39,7 +43,7 @@ object Sink {
     clustered.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
-      .mode("overwrite")
+      .mode(mode)
       .parquet(path)
   }
 

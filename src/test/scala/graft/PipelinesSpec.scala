@@ -711,10 +711,26 @@ class PipelinesSpec extends SparkSpec {
     val q0 = graft.sources.Tables.t(spark, sf, "embeddings")
       .where(col("vec_id") === 0).select("embedding").head()
       .getSeq[Float](0).toArray
+    // with nprobe ≥ every cell the probe degenerates to exact brute force
+    // over the index content — equality with ss01 proves the persisted
+    // (q, n2) rows and the probe's driver-side quantization are faithful
+    val nCells = spark.read.parquet(s"$path/_centroids").count().toInt
+    val full = Similarity.probeIvfIndex(spark, path, q0,
+      nprobe = nCells, k = 10, excludeIds = Seq(0L))
+    assert(full.collect().toSeq ==
+      Similarity.ss01CosineTopK(spark, sf).collect().toSeq)
     val probe = Similarity.probeIvfIndex(spark, path, q0,
       nprobe = 2, k = 10, excludeIds = Seq(0L))
-    val expected = Similarity.ivfAnnTrained(spark, sf, iters = 1, nprobe = 2)
-    assert(probe.collect().toSeq == expected.collect().toSeq)
+    // pruned probes scan a PREFIX of the centroid ranking, so recall is
+    // monotone in nprobe and the k=10 fixture recalls something at 2 cells
+    val fullSet = full.collect().map(_.getLong(0)).toSet
+    def recallAt(np: Int): Double =
+      Similarity.probeIvfIndex(spark, path, q0, nprobe = np, k = 10,
+        excludeIds = Seq(0L)).collect().map(_.getLong(0)).count(fullSet) / 10.0
+    val r2 = probe.collect().map(_.getLong(0)).count(fullSet) / 10.0
+    assert(r2 > 0.0, "nprobe=2 recalls nothing")
+    val r4 = recallAt(4)
+    assert(r4 >= r2, s"recall not monotone in nprobe: $r2 -> $r4")
     // physical proof the layout IS the index: the probed cells arrive as
     // PartitionFilters (directory pruning — the scan never lists the
     // other cells) and the data filter column list stays partition-free
