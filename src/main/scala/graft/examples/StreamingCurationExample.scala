@@ -1,0 +1,97 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.Streaming
+
+/** The live-tail sibling of [[CurationExample]]: the batch pipeline curates
+  * the accumulated corpus; this one guards the INGEST — the same dedup and
+  * quota definitions, run continuously with checkpointed state, so what
+  * reaches the curated store between batch runs already honors the
+  * pipeline's contracts.
+  *
+  * One streaming query, three stages:
+  *  1. `streamingDedup` — first arrival per content fingerprint survives;
+  *     state TTL'd by the event-time watermark (bounded by window key
+  *     cardinality, not history);
+  *  2. `streamingQuotaDocs` — per-source admission cap (ONE counter per
+  *     source in the checkpointed state store), payload carried through;
+  *  3. `foreachBatch` — per micro-batch: quality-score the admitted
+  *     documents (the batch pipeline's same map-only definition), append
+  *     survivors into the curated parquet store, and append the batch's
+  *     windowed ingest profile (event-time tumbling counts). The profile
+  *     rows are PARTIAL (one set per batch) and additive — a reader sums
+  *     by window; that keeps the query to two stateful operators and makes
+  *     the profile store append-only and trivially restart-safe.
+  *
+  * Restart contract: stop the query and call [[start]] again with the same
+  * `checkpointDir` — dedup/quota state recovers from the state store, the
+  * source resumes from committed offsets, and `foreachBatch` re-delivery is
+  * at-least-once (the curated write appends; dedup downstream on doc_id if
+  * the sink must be exactly-once — same contract as
+  * [[Streaming.compactedConsume]]).
+  *
+  * Input schema: (doc_id long, source string, text string, ts timestamp).
+  */
+object StreamingCurationExample {
+
+  def start(spark: SparkSession, docs: DataFrame, checkpointDir: String,
+      curatedDir: String, profileDir: String,
+      quota: Int = 1000, minQuality: Double = 0.3,
+      watermark: String = "10 minutes",
+      profileWindow: String = "1 hour"): StreamingQuery = {
+    val deduped = Streaming.streamingDedup(docs, "ts", watermark)
+    val admitted = Streaming.streamingQuotaDocs(spark, deduped, quota)
+      .where(col("admitted"))
+    admitted.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .queryName("graft-streaming-curation")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // quality gate: the ONE quality definition the batch pipeline uses
+        val scored = batch.withColumn("quality",
+          graft.operators.TextAnalysis.quality(col("text")))
+        val survivors = scored.where(col("quality") >= minQuality)
+          .select("doc_id", "source", "text", "ts", "quality")
+        survivors.persist()
+        try {
+          survivors.write.mode("append").parquet(curatedDir)
+          // additive windowed profile rows for this batch — reader sums
+          survivors
+            .groupBy(window(col("ts"), profileWindow), col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("quality")).as("sum_quality"))
+            .select(col("window.start").as("window_start"), col("source"),
+              col("n_docs"), col("sum_quality"))
+            .write.mode("append").parquet(profileDir)
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** Read back the additive profile store as per-(window, source) totals. */
+  def profile(spark: SparkSession, profileDir: String): DataFrame =
+    spark.read.parquet(profileDir)
+      .groupBy("window_start", "source")
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("sum_quality") / sum("n_docs")).as("mean_quality"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: StreamingCurationExample <src-json-dir> <checkpoint> <curated> <profile>")
+    val builder = SparkSession.builder()
+      .appName("graft-streaming-curation-example")
+      .config("spark.sql.shuffle.partitions", "32")
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master("local[32]")).getOrCreate()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    val docs = spark.readStream.schema(schema).json(args(0))
+    val q = start(spark, docs, args(1), args(2), args(3))
+    q.awaitTermination()
+  }
+}

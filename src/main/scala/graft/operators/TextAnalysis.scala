@@ -37,6 +37,12 @@ object TextAnalysis {
     round(countIn(ws, stopwords).cast("double") / size(ws) * 0.5 +
       when(size(ws).between(20, 80), 0.5).otherwise(0.0), 3)
 
+  /** The same ONE quality definition as a public column over arbitrary
+    * text — what a caller pipeline (batch or foreachBatch) applies to its
+    * own frame without re-deriving the formula. */
+  def quality(text: Column): Column =
+    qualityOf(split(lower(trim(text)), "\\s+"))
+
   /** t01 — token count per document (whitespace tokenizer; a BPE-ish regex
     * tokenizer would swap in here as another `split` pattern). */
   def t01TokenCount(spark: SparkSession, dir: String): DataFrame =

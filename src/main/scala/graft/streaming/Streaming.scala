@@ -94,6 +94,54 @@ object Streaming {
     * Within a micro-batch, decisions are made in doc_id order, so the
     * admitted set is a deterministic property of (arrival batches, ids),
     * not of partition iteration order. */
+  /** Bounded admission core: decide admit/reject for every row of one
+    * source's micro-batch group holding at most `remaining` rows in memory
+    * — NOT the whole group. The admitted set is the `remaining` smallest
+    * doc_ids (identical to sort-then-take-first, so decisions stay a
+    * deterministic property of (arrival batches, ids)), maintained as a
+    * size-bounded max-heap: a row evicted from the heap is rejectable
+    * immediately (it is provably not among the smallest), so rejections
+    * stream out and memory is O(min(remaining, group)) however hot the
+    * source floods the batch — the flooding source is exactly the case
+    * the quota exists for, and is exactly when `rows.toSeq.sortBy` would
+    * have OOM'd the executor. */
+  private def admitSmallest[T](rows: Iterator[T], idOf: T => Long,
+      remaining: Int, onInputDone: Int => Unit): Iterator[(T, Boolean)] = {
+    if (remaining <= 0) {
+      // quota already spent: nothing to decide, nothing to buffer — the
+      // state is untouched and rejections stream straight through
+      onInputDone(0)
+      return rows.map(r => (r, false))
+    }
+    new Iterator[(T, Boolean)] {
+      private val heap = new scala.collection.mutable.PriorityQueue[(Long, T)]()(
+        Ordering.by(_._1)) // max-heap on doc_id: root = current worst candidate
+      private var admittedOut: Iterator[T] = null
+      private var item: (T, Boolean) = null
+      private def advance(): Unit = {
+        while (item == null) {
+          if (admittedOut != null) {
+            if (!admittedOut.hasNext) return
+            item = (admittedOut.next(), true)
+          } else if (rows.hasNext) {
+            val r = rows.next()
+            heap.enqueue((idOf(r), r))
+            if (heap.size > remaining) item = (heap.dequeue()._2, false)
+          } else {
+            onInputDone(heap.size) // input exhausted: admissions are final
+            admittedOut = heap.iterator.map(_._2)
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); item != null }
+      def next(): (T, Boolean) = {
+        advance()
+        if (item == null) throw new NoSuchElementException
+        val r = item; item = null; r
+      }
+    }
+  }
+
   def streamingQuota(spark: SparkSession, docs: DataFrame,
       quota: Int): DataFrame = {
     import spark.implicits._
@@ -106,16 +154,45 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[(Long, String)],
             state: GroupState[Long]) =>
-          var admitted = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._1).map { case (id, _) =>
-            val admit = admitted < quota
-            if (admit) admitted += 1
-            (id, source, admit)
-          }
-          state.update(admitted)
-          out.iterator
+          val admitted = state.getOption.getOrElse(0L)
+          val remaining = math.min(quota - admitted, Int.MaxValue.toLong).toInt
+          // the counter update fires the moment the group's input is
+          // exhausted — strictly before the exec commits group state,
+          // which happens only after the output iterator completes
+          admitSmallest[(Long, String)](rows, _._1, remaining,
+            n => if (n > 0) state.update(admitted + n))
+            .map { case ((id, _), a) => (id, source, a) }
       }
       .toDF("doc_id", "source", "admitted")
+  }
+
+  /** [[streamingQuota]] with the document payload carried through —
+    * (doc_id, source, text, ts, admitted) — so a curation pipeline can act
+    * on the admitted text without a second join against the stream. Same
+    * state (one counter per source), same bounded-memory admission. */
+  def streamingQuotaDocs(spark: SparkSession, docs: DataFrame,
+      quota: Int): DataFrame = {
+    import spark.implicits._
+    require(quota >= 1, s"quota: $quota")
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"),
+        col("text").cast("string").as("text"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[(Long, String, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long,
+        (Long, String, String, java.sql.Timestamp, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String, String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val remaining = math.min(quota - admitted, Int.MaxValue.toLong).toInt
+          admitSmallest[(Long, String, String, java.sql.Timestamp)](
+            rows, _._1, remaining,
+            n => if (n > 0) state.update(admitted + n))
+            .map { case ((id, _, text, ts), a) => (id, source, text, ts, a) }
+      }
+      .toDF("doc_id", "source", "text", "ts", "admitted")
   }
 
   /** Event-time tumbling-window counts with late-data watermark — the
