@@ -319,6 +319,57 @@ class PipelinesSpec extends SparkSpec {
     assert(rLoose >= 0.25, s"cos 0.9 recall $rLoose collapsed")
   }
 
+  test("dd03 banding recall floor on planted Jaccard pairs") {
+    // Planted-pair fixture mirroring the ss04 planted-cosine test, so the
+    // 16-hash/8-band trade is ASSERTED, not narrated. Vocabulary is unique
+    // per pair, so each pair's bigram-shingle Jaccard is exact BY
+    // CONSTRUCTION (no cross-pair overlap, no measurement step):
+    //  - tight: 100 tokens, positions 30/70 replaced → 95 shared of 103
+    //    distinct bigrams, J = 0.922 — the near-duplicate regime. Theory
+    //    (2-row bands, 8 bands): hit = 1 − (1 − J²)⁸ ≈ 0.999998.
+    //  - loose: last 48 of 100 tokens replaced → 51 shared of 147,
+    //    J = 0.347 — below the regime the banding is tuned for. Theory:
+    //    1 − (1 − 0.12)⁸ ≈ 0.64; recovering more is what more bands/rows
+    //    would buy.
+    // Candidate misses are banding-only (verification is exact on the
+    // attached shingle sets), so recall measures exactly the documented
+    // trade. Deterministic token construction ⇒ no flake.
+    import spark.implicits._
+    def tokens(pair: Int, tag: String, n: Int): IndexedSeq[String] =
+      (0 until n).map(j => s"p${pair}${tag}$j")
+    def doc(pair: Int, mut: IndexedSeq[String] => IndexedSeq[String])
+        : String = mut(tokens(pair, "w", 100)).mkString(" ")
+    val tight = (0 until 60).map { i =>
+      (400L + 4 * i, doc(i, identity),
+        401L + 4 * i, doc(i, ts => ts.updated(30, s"p${i}x30")
+          .updated(70, s"p${i}x70")))
+    }
+    val loose = (0 until 60).map { i =>
+      (402L + 4 * i, doc(1000 + i, identity),
+        403L + 4 * i, doc(1000 + i,
+          ts => ts.take(52) ++ tokens(1000 + i, "z", 48)))
+    }
+    val docs = (tight ++ loose)
+      .flatMap { case (ia, ta, ib, tb) => Seq((ia, ta), (ib, tb)) }
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsOf(docs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(pairs: Seq[(Long, String, Long, String)]): Double =
+      pairs.count(p => got.contains((p._1, p._3))).toDouble / pairs.size
+    val rTight = recallOf(tight)
+    val rLoose = recallOf(loose)
+    info(s"dd03 planted recall: J=0.922 → $rTight, J=0.347 → $rLoose")
+    // hard floor in the near-duplicate regime the banding is built for
+    // (theory 0.999998 across 60 pairs; 0.95 allows hash-family slack)
+    assert(rTight >= 0.95, s"J≥0.9 recall $rTight below 0.95 floor")
+    // sub-regime: assert it hasn't collapsed (theory ≈ 0.64 ± binomial)
+    assert(rLoose >= 0.4, s"J=0.347 recall $rLoose collapsed")
+    // and the verified pairs report the exact constructed Jaccard
+    val j = Dedup.minhashNearDupsOf(docs, 0.3).where(col("ida") === 400L)
+      .collect()
+    assert(j.forall(r => math.abs(r.getDouble(2) - 0.922) < 0.001))
+  }
+
   test("ivfKnnJoin recalls from the exact knn join through probed cells") {
     val isQ = col("vec_id") % 50 === 0
     val exact = Similarity.knnJoin(spark, sf, isQ, k = 3).collect()
