@@ -22,6 +22,17 @@ import org.apache.spark.sql.DataFrame
   * write+read round trip to the FS instead of executor-memory blocks.
   */
 object Materialize {
+  /** Test observability: every pin records (caller thread, persisted RDD
+    * id). Pin runs synchronously on the operator's calling thread, so a
+    * concurrently-running suite can audit ITS OWN pins' release precisely
+    * — no cross-suite delta counting with allowance guesses
+    * (PipelinesSpec's unpin-discipline test). Bounded: tests read and
+    * clear; production callers never enable anything — the queue only
+    * costs one tuple append per pin (pins are materializations; the
+    * append is noise). */
+  private[graft] val pinLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val pinned =
@@ -43,7 +54,13 @@ object Materialize {
     // multiply past ~25 chained pins). A fresh leaf reports "unknown";
     // AQE re-plans joins from true runtime sizes, which for a pinned
     // bounded frame are also the more accurate ones.
-    org.apache.spark.sql.graft.Bridge.freshLeaf(pinned)
+    val out = org.apache.spark.sql.graft.Bridge.freshLeaf(pinned)
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        pinLog.add((Thread.currentThread().getId, lr.rdd.id))
+      case _ => ()
+    }
+    out
   }
 
   /** Free the checkpoint blocks behind a pinned frame (and any pinned
@@ -65,13 +82,19 @@ object Materialize {
         // false, so without this delete a spot-fleet run accumulates one
         // checkpoint directory per superseded round for the job's
         // lifetime (the exact linear growth unpin exists to prevent).
-        // Best-effort: cleanup must never fail the job it serves.
+        // Best-effort: cleanup must never fail the job it serves — but only
+        // for ordinary failures (NonFatal): a bare `catch Exception` would
+        // also swallow InterruptedException and lose a cancellation.
         lr.rdd.getCheckpointFile.foreach { dir =>
           try {
             val p = new org.apache.hadoop.fs.Path(dir)
             p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
               .delete(p, true)
-          } catch { case _: Exception => () }
+          } catch {
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt(); ()
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
       case _ => ()
     }

@@ -19,6 +19,7 @@ object Pipelines {
     "t10_common_ratio" -> TextAnalysis.t10CommonRatio _,
     "t11_quality_bins" -> TextAnalysis.t11QualityBins _,
     "t12_corpus_profile" -> TextAnalysis.t12CorpusProfile _,
+    "t13_tfidf" -> TextAnalysis.t13Tfidf _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,
@@ -46,6 +47,7 @@ object Pipelines {
     "sp01_split_sample" -> Sampling.sp01SplitSample _,
     "sp02_source_quota" -> Sampling.sp02SourceQuota _,
     "sp03_temperature_mix" -> Sampling.sp03TemperatureMix _,
+    "sp04_pack_sequences" -> Sampling.sp04PackSequences _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

@@ -85,6 +85,37 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** sp04 — training-sequence packing: concatenate each source's documents
+    * in doc_id order and assign every document to the fixed-token-budget
+    * bin its STARTING offset falls in (the GPT-style pack-then-chunk
+    * doc→shard map: bin = floor(start_offset / budget)). One running-sum
+    * window PARTITIONED BY SOURCE — packing parallelizes across sources
+    * and never needs a corpus-wide single-task sort. A source hot enough
+    * to bottleneck one task sub-shards first (partition by (source,
+    * pmod(doc_id, k)) via [[packSequences]]' partition column) — bins are
+    * then per-shard, which is what a sharded training run wants anyway. */
+  def sp04PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir, budget = 512)
+
+  /** Library surface: sequence packing at a caller-chosen token budget
+    * (the declared query pins 512 for the oracle). */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer division on both engines — no float rounding to straddle
+      .withColumn("bin", expr(s"start_offset div $budget"))
+      .select("doc_id", "source", "n_tokens", "start_offset", "bin")
+      .orderBy("doc_id")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

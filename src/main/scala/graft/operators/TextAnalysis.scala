@@ -275,6 +275,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t13 — per-document top-k TF-IDF terms (the keyword/topic fingerprint
+    * a curation pipeline uses for cluster labeling and boilerplate
+    * spotting). The corpus side reduces to a (term, df) table — NOT
+    * broadcast by hint (vocabulary grows with the corpus; AQE broadcasts
+    * it only while it is actually small, a shuffle hash join takes over
+    * beyond that) — joined back to map-side-combined per-(doc, term)
+    * counts; only the 1-row corpus count broadcasts by construction. Per-
+    * doc top-k rides row_number over (doc_id) — WindowGroupLimit prunes
+    * to k rows per group before the sort, the same recipe as t06/sp02.
+    * Float portability: ln is correctly rounded on both engines for these
+    * magnitudes; ties in the ORDER BY break on the integer-exact (term)
+    * key, so rank order never hangs on a final-ulp comparison. */
+  def t13Tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopK(spark, dir, k = 3)
+
+  /** Library surface: top-k TF-IDF terms per document (the declared query
+    * pins k=3 for the oracle). */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val docs = t(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(toks).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "w").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df")), 4))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rk", row_number().over(byDoc))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** t12 — corpus profile: per (source, lang) document counts, token
     * volume, and mean quality — the report a pipeline prints before and
     * after every curation stage. One map-side-combined aggregation whose

@@ -27,9 +27,12 @@ class MaterializeSpec extends SparkSpec {
 
   test("reliableCheckpoint=true writes recoverable checkpoints to the configured dir") {
     val dir = tmpDir("reliable_ckpt")
+    // dir FIRST, flag second (and the finally unsets flag first): suites
+    // share one session and run concurrently, so in no window may a
+    // neighbor's pin see the flag on without a dir configured
+    spark.conf.set("spark.graft.checkpointDir", dir)
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
     try {
-      spark.conf.set("spark.graft.checkpointDir", dir)
       val pinned = Materialize.pin(sample)
       assert(pinned.count() == 100)
       // blocks live on the (cluster) FS, not in executor memory
@@ -50,12 +53,13 @@ class MaterializeSpec extends SparkSpec {
     // without unpin's file delete, every superseded round of an iterative
     // operator leaves a checkpoint directory behind for the job's lifetime
     val dir = tmpDir("reliable_unpin")
+    // the context's checkpoint dir is JVM-sticky: if an earlier test
+    // already set one, our conf is ignored — measure against whatever
+    // root the pin ACTUALLY writes under, via the RDD's own path.
+    // dir before flag, same no-flag-without-dir window rule as above
+    spark.conf.set("spark.graft.checkpointDir", dir)
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
     try {
-      // the context's checkpoint dir is JVM-sticky: if an earlier test
-      // already set one, our conf is ignored — measure against whatever
-      // root the pin ACTUALLY writes under, via the RDD's own path
-      spark.conf.set("spark.graft.checkpointDir", dir)
       val pinned = Materialize.pin(sample)
       assert(pinned.count() == 100)
       val ckptFile = pinned.queryExecution.analyzed.collectLeaves()
@@ -82,9 +86,9 @@ class MaterializeSpec extends SparkSpec {
     // whose shared subplans pin through Materialize — same results
     val dir = tmpDir("reliable_op")
     val before = operators.Dedup.dd03MinhashLsh(spark, sf).collect().toSeq
+    spark.conf.set("spark.graft.checkpointDir", dir)
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
     try {
-      spark.conf.set("spark.graft.checkpointDir", dir)
       val after = operators.Dedup.dd03MinhashLsh(spark, sf).collect().toSeq
       assert(after == before && before.nonEmpty)
     } finally {

@@ -795,20 +795,40 @@ class PipelinesSpec extends SparkSpec {
     // but the surviving label leaves must be unpersisted by the time the
     // result materializes — otherwise executor storage grows linearly with
     // round count at scale. Suites share one SparkContext and run
-    // concurrently, so the assertion is DELTA-based (new persistent RDDs
-    // minus a small allowance for neighbors pinning in the window) — and
-    // never Bench.dropPins here, which would unpersist a concurrent
-    // suite's live pins out from under it
-    def snap() = spark.sparkContext.getPersistentRDDs.keySet
-    val before = snap()
+    // concurrently, so the audit uses Materialize.pinLog filtered to THIS
+    // thread (pin runs on the operator's calling thread): exactly the
+    // operator's own pins, zero allowance for neighbors — and never
+    // Bench.dropPins here, which would unpersist a concurrent suite's
+    // live pins out from under it
+    val me = Thread.currentThread().getId
+    def myPinsSince(mark: Int): Seq[Int] = {
+      import scala.jdk.CollectionConverters._
+      Materialize.pinLog.asScala.toSeq.drop(mark)
+        .collect { case (t, id) if t == me => id }
+    }
+    def live(ids: Seq[Int]): Seq[Int] = {
+      val persisted = spark.sparkContext.getPersistentRDDs.keySet
+      ids.filter(persisted)
+    }
+    val mark1 = Materialize.pinLog.size()
     Dedup.dd06NearDupClusters(spark, sf).count()
-    val dd06Live = (snap() -- before).size
-    assert(dd06Live <= 4,
-      s"$dd06Live new persistent RDDs survive dd06 — unpin regressed")
-    val before2 = snap()
-    Similarity.kmeansFit(spark, sf, iters = 3).count()
-    val kmLive = (snap() -- before2).size
-    assert(kmLive <= 4, s"$kmLive new persistent RDDs survive kmeansFit")
+    val dd06Live = live(myPinsSince(mark1))
+    // the RESULT legitimately references its final-round frames (label
+    // leaves + edge/sig pins) — bounded by the plan SHAPE (3), never by
+    // round count
+    assert(dd06Live.size <= 3,
+      s"${dd06Live.size} of dd06's own pins survive — unpin regressed")
+    // the real linear-growth invariant, now directly assertable: more
+    // Lloyd rounds must NOT leave more pins behind
+    def kmLive(iters: Int): Int = {
+      val mark = Materialize.pinLog.size()
+      Similarity.kmeansFit(spark, sf, iters).count()
+      live(myPinsSince(mark)).size
+    }
+    val (lo, hi) = (kmLive(2), kmLive(5))
+    assert(hi <= lo && lo <= 2,
+      s"kmeansFit live pins grew with iteration count: iters=2 → $lo, " +
+        s"iters=5 → $hi")
   }
 
   test("q29 time buckets partition the corpus: counts total, users bounded") {

@@ -22,7 +22,10 @@ class PlanAuditSpec extends SparkSpec {
     // a batch (ivfKnnJoin is the equi-join path for unbounded query sets)
     "ss08_knn_join",
     // t11's broadcast side is the ONE-row quantile-cutoff frame
-    "t11_quality_bins")
+    "t11_quality_bins",
+    // t13's broadcast side is the ONE-row corpus-count frame (the df
+    // table itself joins by key, no hint)
+    "t13_tfidf")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
