@@ -139,4 +139,33 @@ object Curation {
       .withColumn("contaminated", col("n_shared") >= minShared)
       .orderBy("doc_id")
   }
+
+  /** c05 — cluster-balanced (diversity) sampling: the best-quality k
+    * documents of EVERY embedding cluster — the coverage-balanced mix
+    * step (a quality-only cut over-samples whatever content type scores
+    * well; taking k per k-means cell keeps every content region
+    * represented). Reuses ss07's one-Lloyd-round assignment (broadcast
+    * centroids, map-side-collapsed argmax) joined to the shared quality
+    * score; per-cell top-k rides WindowGroupLimit, the t06/sp02 recipe.
+    * At scale the join carries (doc_id, cell) × (doc_id, quality) — two
+    * narrow frames on the same key; text and vectors stay in place. */
+  def c05DiverseSample(spark: SparkSession, dir: String): DataFrame =
+    diverseSample(spark, dir, k = 5)
+
+  /** Library surface: diversity sample at a caller-chosen per-cell k (the
+    * declared query pins 5 for the oracle). */
+  def diverseSample(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val cells = Similarity.ss07KmeansAssign(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("assigned"))
+    val quality = TextAnalysis.t02Quality(spark, dir)
+      .select("doc_id", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("assigned").orderBy(col("quality").desc, col("doc_id"))
+    cells.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("assigned", "rk", "doc_id", "quality")
+      .orderBy("assigned", "rk")
+  }
 }

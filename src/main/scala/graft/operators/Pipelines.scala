@@ -41,6 +41,7 @@ object Pipelines {
     "c02_cluster_curation" -> Curation.c02ClusterCuration _,
     "c03_semantic_curation" -> Curation.c03SemanticCuration _,
     "c04_decontaminate" -> Curation.c04Decontaminate _,
+    "c05_diverse_sample" -> Curation.c05DiverseSample _,
     "m01_decode" -> Multimodal.m01Decode _,
     "m02_frames" -> Multimodal.m02Frames _,
     "m03_resize" -> Multimodal.m03Resize _,
@@ -48,6 +49,7 @@ object Pipelines {
     "sp02_source_quota" -> Sampling.sp02SourceQuota _,
     "sp03_temperature_mix" -> Sampling.sp03TemperatureMix _,
     "sp04_pack_sequences" -> Sampling.sp04PackSequences _,
+    "sp05_stratified_k" -> Sampling.sp05StratifiedK _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

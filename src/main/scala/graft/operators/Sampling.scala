@@ -116,6 +116,33 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** sp05 — exact per-stratum k-sample: exactly min(k, |stratum|)
+    * documents per language, chosen by salted-md5 order — rate-based
+    * sampling (sp01) cannot hit an exact count; this is the "give me
+    * precisely 10k eval docs per language" shape. The md5 order key makes
+    * the SAMPLE ITSELF a deterministic property of the corpus (reruns,
+    * resizes, engines agree), and WindowGroupLimit prunes every partition
+    * to its own top-k before the per-stratum shuffle — the t06/sp02
+    * recipe, never a full sort. */
+  def sp05StratifiedK(spark: SparkSession, dir: String): DataFrame =
+    stratifiedK(spark, dir, k = 20)
+
+  /** Library surface: exact stratified k-sample (the declared query pins
+    * k=20 for the oracle). */
+  def stratifiedK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val ord = graft.functions.Hashing.md5Long(
+      concat(lit("strat:"), col("doc_id").cast("string")), 15)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(ord, col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

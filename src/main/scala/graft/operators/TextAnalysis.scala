@@ -297,8 +297,11 @@ object TextAnalysis {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(toks).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("w")
-      .agg(count_distinct(col("doc_id")).as("df"))
+      .transform(graft.Materialize.pin)
+    // df derives from tf — one (doc,term) row per containing doc — so the
+    // corpus tokenizes ONCE and the df aggregation shuffles (term, count)
+    // partials instead of re-exploding raw tokens into a count_distinct
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "w").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") *

@@ -18,6 +18,9 @@ class PlanAuditSpec extends SparkSpec {
     "dd02_ngram_jaccard", "ss02_neardup",
     "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann",
     "ss07_kmeans_assign", "c03_semantic_curation",
+    // c05 rides ss07's assignment — same bounded |cells| centroid
+    // broadcast
+    "c05_diverse_sample",
     // ss08's broadcast side is the QUERY BATCH — bounded by definition of
     // a batch (ivfKnnJoin is the equi-join path for unbounded query sets)
     "ss08_knn_join",
