@@ -65,6 +65,42 @@ object Multimodal {
   //    serializable, so they must be constructed ON the executor, once per
   //    partition batch, and released even when a row throws).
 
+  /** The one typed-mapPartitions core every codec surface rides: `open()`
+    * once per partition batch ON the executor, `f` per row (possibly
+    * row-expanding), `close(ctx)` exactly once after the last output row
+    * — and on mid-stream failure, so a throwing payload can't leak a
+    * codec context. `C` need not be serializable: only the functions
+    * ship; the context lives and dies inside one partition. */
+  private def inContext[C, O](docs: DataFrame, open: () => C,
+      f: (C, Long, Array[Byte]) => Iterator[O], close: C => Unit,
+      idCol: String, payloadCol: String)(
+      implicit enc: org.apache.spark.sql.Encoder[O]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val ctx = open() // codec context: once per partition batch
+        val it = batch.flatMap { case (id, payload) => f(ctx, id, payload) }
+        // Iterators are lazy: close only after the last row is consumed
+        // (exactly once — hasNext may be re-asked after exhaustion)
+        new Iterator[O] {
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; close(ctx) }
+          def hasNext: Boolean = {
+            val h = try it.hasNext catch { case e: Throwable => closeOnce(); throw e }
+            if (!h) closeOnce()
+            h
+          }
+          def next(): O =
+            try it.next() catch { case e: Throwable => closeOnce(); throw e }
+        }
+      }
+      .toDF()
+  }
+
   /** Library seam: decode an arbitrary (id, payload) frame with a caller
     * codec. `docs` must have `idCol` (castable to long) and `payloadCol`
     * (binary). Unsorted — callers order for presentation themselves. */
@@ -74,39 +110,29 @@ object Multimodal {
       (_: Unit) => (), idCol, payloadCol)
 
   /** Library seam, JNI shape: `open()` runs once per partition batch on the
-    * executor, `decode(ctx, id, payload)` per row, `close(ctx)` in a
-    * finally. `C` need not be serializable — only the three functions are
-    * shipped; the context lives and dies inside one partition. */
+    * executor, `decode(ctx, id, payload)` per row, `close(ctx)` after the
+    * last row. */
   def decodeInContext[C](docs: DataFrame, open: () => C,
       decode: (C, Long, Array[Byte]) => MediaMeta, close: C => Unit,
-      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        val ctx = open() // codec context: once per partition batch
-        val it = batch.map { case (id, payload) => decode(ctx, id, payload) }
-        // Iterators are lazy: close only after the last row is consumed
-        // (exactly once — hasNext may be re-asked after exhaustion), and
-        // also on mid-stream failure so a throwing payload can't leak a
-        // codec context.
-        new Iterator[MediaMeta] {
-          private var closed = false
-          private def closeOnce(): Unit =
-            if (!closed) { closed = true; close(ctx) }
-          def hasNext: Boolean = {
-            val h = try it.hasNext catch { case e: Throwable => closeOnce(); throw e }
-            if (!h) closeOnce()
-            h
-          }
-          def next(): MediaMeta =
-            try it.next() catch { case e: Throwable => closeOnce(); throw e }
-        }
-      }
-      .toDF()
-  }
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[C, MediaMeta](docs, open,
+      (c, id, p) => Iterator.single(decode(c, id, p)), close, idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[MediaMeta])
+
+  /** [[resizeWith]] with a per-partition scaler context (libvips handle). */
+  def resizeInContext[C](docs: DataFrame, open: () => C,
+      resize: (C, Long, Array[Byte]) => Resized, close: C => Unit,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[C, Resized](docs, open,
+      (c, id, p) => Iterator.single(resize(c, id, p)), close, idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[Resized])
+
+  /** [[framesWith]] with a per-partition demuxer context (ffmpeg handle). */
+  def framesInContext[C](docs: DataFrame, open: () => C,
+      demux: (C, Long, Array[Byte]) => Iterator[Frame], close: C => Unit,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[C, Frame](docs, open, demux, close, idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[Frame])
 
   /** m01 — binary ingest → per-partition batch decode → typed metadata.
     * Routes through the [[decodeWith]] seam with the stub codec, so the
@@ -143,18 +169,10 @@ object Multimodal {
   /** Library seam: resize/transcode with a caller scaler (libvips scale-on-
     * decode). Same typed-mapPartitions plan as [[decodeWith]]. */
   def resizeWith(docs: DataFrame, resize: (Long, Array[Byte]) => Resized,
-      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        // real resizer: acquire scaler context once per batch here
-        batch.map { case (id, payload) => resize(id, payload) }
-      }
-      .toDF()
-  }
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    resizeInContext(docs, () => (),
+      (_: Unit, id, payload) => resize(id, payload), (_: Unit) => (),
+      idCol, payloadCol)
 
   /** One sampled frame of a media payload. */
   final case class Frame(doc_id: Long, frame_no: Int, n_bytes: Int,
@@ -183,16 +201,8 @@ object Multimodal {
     * codec (video frames, audio windows), so the injected function returns
     * an iterator per document. Same typed-mapPartitions plan. */
   def framesWith(docs: DataFrame, demux: (Long, Array[Byte]) => Iterator[Frame],
-      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
-        // real demuxer: seek + decode one frame per stride here
-        batch.flatMap { case (id, payload) => demux(id, payload) }
-      }
-      .toDF()
-  }
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    framesInContext(docs, () => (),
+      (_: Unit, id, payload) => demux(id, payload), (_: Unit) => (),
+      idCol, payloadCol)
 }

@@ -514,6 +514,64 @@ object Similarity {
     } finally graft.Materialize.unpin(assigned)
   }
 
+  /** What one maintenance round did: appended in place, or re-trained. */
+  final case class IvfMaintenance(retrained: Boolean, stats: IvfAppendStats)
+
+  /** The full nightly-maintenance policy in one call: APPEND the new
+    * vectors while they still fit the frozen quantizer, RE-TRAIN when the
+    * corpus distribution has drifted away from it. Drift test: the new
+    * batch's mean assigned-centroid cosine below `retrainBelow` ⇒ the
+    * quantizer no longer describes the data (cells only grow lopsided on
+    * their own — appends never re-balance), so rebuild the whole index
+    * (old rows + the new batch) with `iters` Lloyd rounds into `path`.
+    * The decision probe costs one assignment pass over ONLY the new
+    * batch; the rebuild, when taken, re-reads the stored (q, n2) postings
+    * — vectors are not re-quantized, and the ×1000 quantization is
+    * idempotent by construction, so a rebuild round-trips exactly.
+    * Choose `retrainBelow` from the build-time assignment quality (e.g.
+    * its mean minus a margin); 0.0 disables re-training. */
+  def maintainIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
+      retrainBelow: Double, iters: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfMaintenance = {
+    val assigned = graft.Materialize.pin(
+      assignToIvfIndex(spark, path, vecs, idCol, embCol))
+    try {
+      val r = assigned.agg(count(lit(1)), avg("cos"), min("cos")).head()
+      val stats = IvfAppendStats(r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      if (stats.nAppended > 0 && stats.meanCos < retrainBelow) {
+        // drifted: rebuild from stored postings + the (already-quantized)
+        // new batch, seeded by the current cells so training warm-starts
+        import graft.functions.ArrayDot.dotLong
+        val old = spark.read.parquet(path)
+          .select(col("vec_id"), col("cell").as("label"), col("q"),
+            col("n2"))
+        val fresh = assigned
+          .select(col("vec_id"), col("cell").as("label"), col("q"),
+            col("n2"))
+        val tmp = path + ".retrain"
+        buildIndexFrom(
+          graft.Materialize.pin(old.unionByName(fresh)), tmp, iters)
+        // atomic-ish swap: the rebuilt index replaces the old directory
+        // only after it is fully written
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path))
+        IvfMaintenance(retrained = true, stats)
+      } else {
+        if (stats.nAppended > 0)
+          graft.sources.Sink.writeCurated(
+            assigned.select("vec_id", "cell", "q", "n2"),
+            path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"),
+            mode = "append")
+        IvfMaintenance(retrained = false, stats)
+      }
+    } finally graft.Materialize.unpin(assigned)
+  }
+
   /** Probe a persisted index with a caller-supplied float vector: rank
     * cells by centroid cosine (|cells|-row scan), COLLECT the top-nprobe
     * cell ids (a bounded nprobe-scalar collect — the literal IN list is

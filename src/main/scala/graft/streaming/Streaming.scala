@@ -105,7 +105,7 @@ object Streaming {
     * source floods the batch — the flooding source is exactly the case
     * the quota exists for, and is exactly when `rows.toSeq.sortBy` would
     * have OOM'd the executor. */
-  private def admitSmallest[T](rows: Iterator[T], idOf: T => Long,
+  private[graft] def admitSmallest[T](rows: Iterator[T], idOf: T => Long,
       remaining: Int, onInputDone: Int => Unit): Iterator[(T, Boolean)] = {
     if (remaining <= 0) {
       // quota already spent: nothing to decide, nothing to buffer — the

@@ -63,6 +63,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(hit.getDouble(1) == 1.0)
   }
 
+  test("maintainIvfIndex: appends while the quantizer fits, re-trains on drift") {
+    val all = t(spark, sf, "embeddings")
+    val path = tmpDir("ivf-maint")
+    Similarity.buildIvfIndexOf(all.where(col("vec_id") < 400), path,
+      iters = 1, seedCol = Some("label"))
+    val n0 = spark.read.parquet(path).count()
+
+    // round 1: threshold 0 disables re-training — pure append
+    val batch1 = all.where(col("vec_id") >= 400).select("vec_id", "embedding")
+    val m1 = Similarity.maintainIvfIndex(spark, path, batch1,
+      retrainBelow = 0.0)
+    assert(!m1.retrained && m1.stats.nAppended == batch1.count())
+    assert(spark.read.parquet(path).count() == n0 + m1.stats.nAppended)
+
+    // round 2: threshold above any cosine forces the drift branch — the
+    // index is rebuilt from stored postings + the new batch, Lloyd
+    // warm-started from the current cells, and swapped into place
+    import spark.implicits._
+    val drifted = (0 until 20).map { i =>
+      (10000L + i, Array.tabulate(64)(d => if (d == i % 64) 5.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val m2 = Similarity.maintainIvfIndex(spark, path, drifted,
+      retrainBelow = 2.0)
+    assert(m2.retrained && m2.stats.nAppended == 20)
+    val rebuilt = spark.read.parquet(path)
+    assert(rebuilt.count() == n0 + m1.stats.nAppended + 20)
+    // quantization is idempotent: the rebuild round-trips stored postings
+    // exactly, so a drifted vector's own embedding retrieves it at 1.0
+    val hit = Similarity.probeIvfIndex(spark, path,
+      Array.tabulate(64)(d => if (d == 3) 5.0f else 0.0f),
+      nprobe = 3, k = 1).head()
+    assert(hit.getLong(0) == 10003L && hit.getDouble(1) == 1.0)
+    // the swapped directory is a complete, probe-ready index
+    assert(spark.read.parquet(s"$path/_centroids").count() >= 1)
+  }
+
   test("buildIvfIndexOf: default pmod seeding trains and probes without a label column") {
     val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
     val path = tmpDir("ivf-nolabel")

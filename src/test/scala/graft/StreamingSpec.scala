@@ -429,6 +429,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("property: bounded-heap admission equals sort-then-take, one decision per row") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 30L)) // duplicates on purpose
+      remaining <- Gen.choose(-2, 25)
+    } yield (ids, remaining)
+    (1L to 20L).foreach { seed =>
+      val (ids, remaining) = gen.pureApply(Gen.Parameters.default, Seed(seed))
+      var reported = -1
+      val out = Streaming.admitSmallest[Long](ids.iterator, identity,
+        remaining, n => reported = n).toSeq
+      withClue(s"seed=$seed remaining=$remaining ids=$ids") {
+        // every row decided exactly once (multiset equality on ids)
+        assert(out.map(_._1).sorted == ids.sorted)
+        // admitted multiset == sort-then-take-first(remaining) — the
+        // exact semantics the unbounded sortBy formulation had
+        val expected = ids.sorted.take(math.max(remaining, 0))
+        assert(out.filter(_._2).map(_._1).sorted == expected)
+        // the state callback reports the true admitted count, and fires
+        // before any admitted row is emitted (it ran: reported >= 0)
+        assert(reported == expected.size)
+      }
+    }
+  }
+
   test("event-time tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
