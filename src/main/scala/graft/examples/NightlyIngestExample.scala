@@ -1,0 +1,109 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Sink
+
+/** The third leg of the deployment story: [[CurationExample]] curates the
+  * BACKFILL, [[StreamingCurationExample]] guards the LIVE TAIL, and this
+  * one runs the NIGHTLY BATCH — each night's new documents admitted
+  * against the standing curated store, quality-gated, appended, and the
+  * ANN index maintained, without ever re-processing the historical
+  * corpus:
+  *
+  *  1. `Dedup.incrementalAdmit` — the night's docs against the store's
+  *     standing fingerprint column: only (fp, doc_id) pairs move, text
+  *     stays in place (the dd08 shape);
+  *  2. the shared quality definition gates survivors (same formula as
+  *     batch and streaming — one definition, three on-ramps);
+  *  3. `Sink.writeCurated(mode = "append")` adds the night's files into
+  *     the partitioned store;
+  *  4. `Similarity.maintainIvfIndex` appends the night's embeddings to
+  *     the persistent ANN index while they fit its frozen quantizer, and
+  *     rebuilds (warm-started) when drift crosses the caller's threshold.
+  *
+  * Night 1 (no store yet) degrades gracefully: nothing is "seen", so
+  * admission is first-in-batch only, and the index is built fresh.
+  */
+object NightlyIngestExample {
+
+  final case class NightReport(admitted: Long, rejected: Long,
+      belowQuality: Long, indexRetrained: Boolean)
+
+  def ingestNight(spark: SparkSession, newDocs: DataFrame,
+      newVecs: DataFrame, curatedDir: String, indexDir: String,
+      minQuality: Double = 0.3, retrainBelow: Double = 0.0): NightReport = {
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val incoming = newDocs.select(col("doc_id"), fp.as("fp"))
+    // The fingerprint LEDGER is separate from the curated store: a doc
+    // admitted by dedup but rejected by the quality gate must still be
+    // remembered, or every later night re-processes (and re-rejects) it.
+    // The underscore prefix keeps the ledger invisible to the store's
+    // parquet scan — store and memory travel as one directory, the same
+    // trick as the IVF index's _centroids.
+    val ledgerDir = s"$curatedDir/_fingerprints"
+    val existing =
+      if (new java.io.File(ledgerDir).exists())
+        spark.read.parquet(ledgerDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType))))
+
+    val decisions = Dedup.incrementalAdmit(existing, incoming)
+    val admittedDocs = newDocs
+      .join(decisions.where(col("admitted")).select("doc_id"), "doc_id")
+      .withColumn("quality", TextAnalysis.quality(col("text")))
+      .withColumn("fp", fp)
+    val survivors = admittedDocs.where(col("quality") >= minQuality)
+      .select("doc_id", "lang", "source", "text", "fp", "quality")
+      .transform(graft.Materialize.pin)
+    try {
+      val nSurvive = survivors.count()
+      val nAdmit = decisions.where(col("admitted")).count()
+      val nTotal = decisions.count()
+      Sink.writeCurated(survivors, curatedDir,
+        partitionCols = Seq("lang"), sortCols = Seq("quality"),
+        mode = "append")
+      // remember every fingerprint this night ADMITTED (quality-rejects
+      // included — they were processed and must not return); null fps are
+      // never recorded, matching incrementalAdmit's admit-verbatim rule
+      decisions.where(col("admitted") && col("fp").isNotNull)
+        .select("fp").write.mode("append").parquet(ledgerDir)
+      // index: only the surviving docs' vectors enter
+      val vecs = newVecs
+        .join(survivors.select(col("doc_id").as("vec_id")), "vec_id")
+      val retrained =
+        if (new java.io.File(s"$indexDir/_centroids").exists())
+          Similarity.maintainIvfIndex(spark, indexDir, vecs,
+            retrainBelow).retrained
+        else {
+          Similarity.buildIvfIndexOf(vecs, indexDir, iters = 1)
+          false
+        }
+      NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
+        belowQuality = nAdmit - nSurvive, indexRetrained = retrained)
+    } finally graft.Materialize.unpin(survivors)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: NightlyIngestExample <sf-dir> <curated> <index>")
+    val builder = SparkSession.builder()
+      .appName("graft-nightly-ingest-example")
+      .config("spark.sql.shuffle.partitions", "32")
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master("local[32]")).getOrCreate()
+    try {
+      // demo: the sf dir's documents/embeddings play "tonight's batch"
+      val docs = graft.sources.Tables.t(spark, args(0), "documents")
+      val vecs = graft.sources.Tables.t(spark, args(0), "embeddings")
+        .select("vec_id", "embedding")
+      val r = ingestNight(spark, docs, vecs, args(1), args(2))
+      println(s"nightly ingest: $r")
+    } finally spark.stop()
+  }
+}
