@@ -100,20 +100,26 @@ object Sampling {
   /** Library surface: sequence packing at a caller-chosen token budget
     * (the declared query pins 512 for the oracle). */
   def packSequences(spark: SparkSession, dir: String,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    packSequencesOf(t(spark, dir, "documents"), budget).orderBy("doc_id")
+
+  /** Generic Of-surface: packing over ANY (doc_id, text, partitionCol)
+    * frame; a hot partition value sub-shards by also passing e.g.
+    * `pmod(col("doc_id"), lit(16))` pre-mixed into `partitionCol`. */
+  def packSequencesOf(docs: DataFrame, budget: Long,
+      partitionCol: String = "source"): DataFrame = {
     require(budget >= 1, s"budget: $budget")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
+      .partitionBy(partitionCol).orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col(partitionCol),
         size(split(lower(trim(col("text"))), "\\s+")).cast("long")
           .as("n_tokens"))
       .withColumn("start_offset",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integer division on both engines — no float rounding to straddle
       .withColumn("bin", expr(s"start_offset div $budget"))
-      .select("doc_id", "source", "n_tokens", "start_offset", "bin")
-      .orderBy("doc_id")
+      .select("doc_id", partitionCol, "n_tokens", "start_offset", "bin")
   }
 
   /** sp05 — exact per-stratum k-sample: exactly min(k, |stratum|)
@@ -129,18 +135,23 @@ object Sampling {
 
   /** Library surface: exact stratified k-sample (the declared query pins
     * k=20 for the oracle). */
-  def stratifiedK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def stratifiedK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    stratifiedKOf(t(spark, dir, "documents"), k).orderBy("lang", "rk")
+
+  /** Generic Of-surface: exact k per stratum over ANY frame bearing
+    * doc_id and `stratumCol`. */
+  def stratifiedKOf(docs: DataFrame, k: Int,
+      stratumCol: String = "lang"): DataFrame = {
     require(k >= 1, s"k: $k")
     val ord = graft.functions.Hashing.md5Long(
       concat(lit("strat:"), col("doc_id").cast("string")), 15)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(ord, col("doc_id"))
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"))
+      .partitionBy(stratumCol).orderBy(ord, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(stratumCol))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select("lang", "rk", "doc_id")
-      .orderBy("lang", "rk")
+      .select(stratumCol, "rk", "doc_id")
   }
 
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {

@@ -292,9 +292,12 @@ object TextAnalysis {
 
   /** Library surface: top-k TF-IDF terms per document (the declared query
     * pins k=3 for the oracle). */
-  def tfidfTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    tfidfTopKOf(t(spark, dir, "documents"), k)
+
+  /** Generic Of-surface: TF-IDF over ANY (doc_id, text) frame. */
+  def tfidfTopKOf(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k: $k")
-    val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(toks).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .transform(graft.Materialize.pin)
