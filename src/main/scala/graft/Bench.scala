@@ -68,7 +68,12 @@ object Bench {
     // failure count is explicit, with per-query entries showing which
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
     def line(dec: Int): String = {
-      def fmt(v: Double) = s"%.${dec}f".format(v)
+      // Locale.ROOT: a de_DE/fr_FR default locale renders "12,345" and the
+      // metric line stops being JSON — the exact blindness this formatter
+      // exists to prevent
+      def fmt(v: Double) =
+        String.format(java.util.Locale.ROOT, s"%.${dec}f",
+          java.lang.Double.valueOf(v))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""

@@ -22,14 +22,17 @@ import org.apache.spark.sql.DataFrame
   * write+read round trip to the FS instead of executor-memory blocks.
   */
 object Materialize {
-  /** Test observability: every pin records (caller thread, persisted RDD
-    * id). Pin runs synchronously on the operator's calling thread, so a
-    * concurrently-running suite can audit ITS OWN pins' release precisely
-    * — no cross-suite delta counting with allowance guesses
-    * (PipelinesSpec's unpin-discipline test). Bounded: tests read and
-    * clear; production callers never enable anything — the queue only
-    * costs one tuple append per pin (pins are materializations; the
-    * append is noise). */
+  /** Test observability: while ENABLED, every pin records (caller thread,
+    * persisted RDD id). Pin runs synchronously on the operator's calling
+    * thread, so a concurrently-running suite can audit ITS OWN pins'
+    * release precisely — no cross-suite delta counting with allowance
+    * guesses (PipelinesSpec's unpin-discipline test). OFF by default: a
+    * long-lived production job (a streaming query pinning every
+    * micro-batch, a nightly loop in one JVM) must not accumulate one log
+    * tuple per pin forever — the audit log must not itself reintroduce
+    * the linear growth the pin discipline exists to prevent. */
+  private[graft] val pinLogEnabled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   private[graft] val pinLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
 
@@ -55,11 +58,12 @@ object Materialize {
     // AQE re-plans joins from true runtime sizes, which for a pinned
     // bounded frame are also the more accurate ones.
     val out = org.apache.spark.sql.graft.Bridge.freshLeaf(pinned)
-    out.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        pinLog.add((Thread.currentThread().getId, lr.rdd.id))
-      case _ => ()
-    }
+    if (pinLogEnabled.get())
+      out.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          pinLog.add((Thread.currentThread().getId, lr.rdd.id))
+        case _ => ()
+      }
     out
   }
 

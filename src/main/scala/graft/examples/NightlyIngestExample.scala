@@ -32,9 +32,19 @@ object NightlyIngestExample {
   final case class NightReport(admitted: Long, rejected: Long,
       belowQuality: Long, indexRetrained: Boolean)
 
+  /** Hadoop-FS existence probe — `java.io.File` would always answer
+    * "absent" for hdfs:///s3a:// paths, silently resetting the ledger
+    * (duplicate re-admission every night) and OVERWRITING the grown index
+    * with one night's vectors. */
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def ingestNight(spark: SparkSession, newDocs: DataFrame,
       newVecs: DataFrame, curatedDir: String, indexDir: String,
-      minQuality: Double = 0.3, retrainBelow: Double = 0.0): NightReport = {
+      minQuality: Double = 0.3,
+      retrainBelow: Double = Double.NegativeInfinity): NightReport = {
     val fp = TextAnalysis.fingerprint(col("text"))
     val incoming = newDocs.select(col("doc_id"), fp.as("fp"))
     // The fingerprint LEDGER is separate from the curated store: a doc
@@ -45,7 +55,7 @@ object NightlyIngestExample {
     // trick as the IVF index's _centroids.
     val ledgerDir = s"$curatedDir/_fingerprints"
     val existing =
-      if (new java.io.File(ledgerDir).exists())
+      if (dirExists(spark, ledgerDir))
         spark.read.parquet(ledgerDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -53,7 +63,11 @@ object NightlyIngestExample {
           org.apache.spark.sql.types.StructField("fp",
             org.apache.spark.sql.types.StringType))))
 
-    val decisions = Dedup.incrementalAdmit(existing, incoming)
+    // pinned: the admission join scans the WHOLE historical ledger — the
+    // part that grows with corpus age — and four consumers below (two
+    // counts, the ledger append, the survivors join) must not re-run it
+    val decisions = graft.Materialize.pin(
+      Dedup.incrementalAdmit(existing, incoming))
     val admittedDocs = newDocs
       .join(decisions.where(col("admitted")).select("doc_id"), "doc_id")
       .withColumn("quality", TextAnalysis.quality(col("text")))
@@ -77,7 +91,7 @@ object NightlyIngestExample {
       val vecs = newVecs
         .join(survivors.select(col("doc_id").as("vec_id")), "vec_id")
       val retrained =
-        if (new java.io.File(s"$indexDir/_centroids").exists())
+        if (dirExists(spark, s"$indexDir/_centroids"))
           Similarity.maintainIvfIndex(spark, indexDir, vecs,
             retrainBelow).retrained
         else {
@@ -86,7 +100,10 @@ object NightlyIngestExample {
         }
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
         belowQuality = nAdmit - nSurvive, indexRetrained = retrained)
-    } finally graft.Materialize.unpin(survivors)
+    } finally {
+      graft.Materialize.unpin(survivors)
+      graft.Materialize.unpin(decisions)
+    }
   }
 
   def main(args: Array[String]): Unit = {

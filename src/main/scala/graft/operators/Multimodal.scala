@@ -84,10 +84,14 @@ object Multimodal {
         val ctx = open() // codec context: once per partition batch
         val it = batch.flatMap { case (id, payload) => f(ctx, id, payload) }
         // Iterators are lazy: close only after the last row is consumed
-        // (exactly once — hasNext may be re-asked after exhaustion)
-        new Iterator[O] {
-          private var closed = false
-          private def closeOnce(): Unit =
+        // (exactly once — hasNext may be re-asked after exhaustion). The
+        // task-completion listener covers the consumer-ABANDONS case — a
+        // downstream limit/take stops pulling before exhaustion and would
+        // otherwise leak the native handle; completion fires on success,
+        // failure, AND early task end.
+        final class CloseOnceIterator extends Iterator[O] {
+          @volatile private var closed = false
+          def closeOnce(): Unit =
             if (!closed) { closed = true; close(ctx) }
           def hasNext: Boolean = {
             val h = try it.hasNext catch { case e: Throwable => closeOnce(); throw e }
@@ -97,6 +101,10 @@ object Multimodal {
           def next(): O =
             try it.next() catch { case e: Throwable => closeOnce(); throw e }
         }
+        val wrapped = new CloseOnceIterator
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => wrapped.closeOnce()))
+        wrapped
       }
       .toDF()
   }

@@ -529,9 +529,12 @@ object Similarity {
     * — vectors are not re-quantized, and the ×1000 quantization is
     * idempotent by construction, so a rebuild round-trips exactly.
     * Choose `retrainBelow` from the build-time assignment quality (e.g.
-    * its mean minus a margin); 0.0 disables re-training. */
+    * its mean minus a margin). Cosines range over [−1, 1] (degenerate
+    * vectors score −1), so 0.0 does NOT disable re-training — an
+    * anti-correlated batch has a negative mean; pass
+    * `Double.NegativeInfinity` (the default) to always append. */
   def maintainIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
-      retrainBelow: Double, iters: Int = 1,
+      retrainBelow: Double = Double.NegativeInfinity, iters: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): IvfMaintenance = {
     val assigned = graft.Materialize.pin(
       assignToIvfIndex(spark, path, vecs, idCol, embCol))
@@ -553,13 +556,28 @@ object Similarity {
         val tmp = path + ".retrain"
         buildIndexFrom(
           graft.Materialize.pin(old.unionByName(fresh)), tmp, iters)
-        // atomic-ish swap: the rebuilt index replaces the old directory
-        // only after it is fully written
+        // Swap the fully-written rebuild in WITHOUT a window where no
+        // index exists: old → .old, tmp → live (rolling old back if that
+        // rename fails), then drop .old. Hadoop FileSystem.rename signals
+        // failure by returning FALSE, not throwing — every step checks,
+        // because a silent false after the old delete would destroy the
+        // index while reporting success.
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(path))
+        def mv(a: String, b: String): Boolean =
+          fs.rename(new org.apache.hadoop.fs.Path(a),
+            new org.apache.hadoop.fs.Path(b))
+        val bak = path + ".old"
+        fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+        if (!mv(path, bak))
+          throw new java.io.IOException(
+            s"IVF retrain: cannot stage $path aside; rebuilt index left at $tmp")
+        if (!mv(tmp, path)) {
+          mv(bak, path) // roll back — the old index stays live
+          throw new java.io.IOException(
+            s"IVF retrain: swap failed; old index restored, rebuild left at $tmp")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(bak), true)
         IvfMaintenance(retrained = true, stats)
       } else {
         if (stats.nAppended > 0)

@@ -70,10 +70,11 @@ class IvfIndexSpec extends SparkSpec {
       iters = 1, seedCol = Some("label"))
     val n0 = spark.read.parquet(path).count()
 
-    // round 1: threshold 0 disables re-training — pure append
+    // round 1: the default threshold (−∞) disables re-training — pure
+    // append (0.0 would NOT: cosines are signed, an anti-correlated
+    // batch means retrain)
     val batch1 = all.where(col("vec_id") >= 400).select("vec_id", "embedding")
-    val m1 = Similarity.maintainIvfIndex(spark, path, batch1,
-      retrainBelow = 0.0)
+    val m1 = Similarity.maintainIvfIndex(spark, path, batch1)
     assert(!m1.retrained && m1.stats.nAppended == batch1.count())
     assert(spark.read.parquet(path).count() == n0 + m1.stats.nAppended)
 

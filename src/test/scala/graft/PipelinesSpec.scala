@@ -810,25 +810,33 @@ class PipelinesSpec extends SparkSpec {
       val persisted = spark.sparkContext.getPersistentRDDs.keySet
       ids.filter(persisted)
     }
-    val mark1 = Materialize.pinLog.size()
-    Dedup.dd06NearDupClusters(spark, sf).count()
-    val dd06Live = live(myPinsSince(mark1))
-    // the RESULT legitimately references its final-round frames (label
-    // leaves + edge/sig pins) — bounded by the plan SHAPE (3), never by
-    // round count
-    assert(dd06Live.size <= 3,
-      s"${dd06Live.size} of dd06's own pins survive — unpin regressed")
-    // the real linear-growth invariant, now directly assertable: more
-    // Lloyd rounds must NOT leave more pins behind
-    def kmLive(iters: Int): Int = {
-      val mark = Materialize.pinLog.size()
-      Similarity.kmeansFit(spark, sf, iters).count()
-      live(myPinsSince(mark)).size
+    // the log is OFF in production (it would grow forever in a long-lived
+    // job); enable only for this audit's window
+    Materialize.pinLogEnabled.set(true)
+    try {
+      val mark1 = Materialize.pinLog.size()
+      Dedup.dd06NearDupClusters(spark, sf).count()
+      val dd06Live = live(myPinsSince(mark1))
+      // the RESULT legitimately references its final-round frames (label
+      // leaves + edge/sig pins) — bounded by the plan SHAPE (3), never by
+      // round count
+      assert(dd06Live.size <= 3,
+        s"${dd06Live.size} of dd06's own pins survive — unpin regressed")
+      // the real linear-growth invariant, now directly assertable: more
+      // Lloyd rounds must NOT leave more pins behind
+      def kmLive(iters: Int): Int = {
+        val mark = Materialize.pinLog.size()
+        Similarity.kmeansFit(spark, sf, iters).count()
+        live(myPinsSince(mark)).size
+      }
+      val (lo, hi) = (kmLive(2), kmLive(5))
+      assert(hi <= lo && lo <= 2,
+        s"kmeansFit live pins grew with iteration count: iters=2 → $lo, " +
+          s"iters=5 → $hi")
+    } finally {
+      Materialize.pinLogEnabled.set(false)
+      Materialize.pinLog.clear()
     }
-    val (lo, hi) = (kmLive(2), kmLive(5))
-    assert(hi <= lo && lo <= 2,
-      s"kmeansFit live pins grew with iteration count: iters=2 → $lo, " +
-        s"iters=5 → $hi")
   }
 
   test("q29 time buckets partition the corpus: counts total, users bounded") {

@@ -47,8 +47,8 @@ class StreamingExampleSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
 
     val out1 = spark.read.parquet(curated)
-    // doc 11 deduped (same fingerprint as 10), doc 13 over s1's quota,
-    // doc 31 below the quality gate
+    // doc 13 over s1's quota, doc 31 below the quality gate (dedup is
+    // exercised cross-batch: doc 15 in batch 2 repeats doc 10's text)
     assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(10L, 12L))
     assert(out1.columns.toSeq ==
