@@ -26,6 +26,15 @@ import graft.sources.Sink
   *
   * Night 1 (no store yet) degrades gracefully: nothing is "seen", so
   * admission is first-in-batch only, and the index is built fresh.
+  *
+  * Crash-recovery contract: the store append and the ledger append are
+  * two writes with no cross-FS transaction — ordered store-first so a
+  * crash between them can DUPLICATE (never lose) documents on the
+  * re-run; reconcile by rebuilding `_fingerprints` from the store's fp
+  * column before re-running a failed night. A crash inside the index
+  * retrain swap leaves `indexDir` without `_centroids` — this method
+  * then fails loudly with the restore instructions rather than
+  * rebuilding from one night's vectors.
   */
 object NightlyIngestExample {
 
@@ -65,17 +74,21 @@ object NightlyIngestExample {
 
     // pinned: the admission join scans the WHOLE historical ledger — the
     // part that grows with corpus age — and four consumers below (two
-    // counts, the ledger append, the survivors join) must not re-run it
-    val decisions = graft.Materialize.pin(
-      Dedup.incrementalAdmit(existing, incoming))
-    val admittedDocs = newDocs
-      .join(decisions.where(col("admitted")).select("doc_id"), "doc_id")
-      .withColumn("quality", TextAnalysis.quality(col("text")))
-      .withColumn("fp", fp)
-    val survivors = admittedDocs.where(col("quality") >= minQuality)
-      .select("doc_id", "lang", "source", "text", "fp", "quality")
-      .transform(graft.Materialize.pin)
+    // counts, the ledger append, the survivors join) must not re-run it.
+    // Both pins sit inside the try so a failure between them cannot
+    // strand the first one's materialized blocks.
+    var decisions: DataFrame = null
+    var survivors: DataFrame = null
     try {
+      decisions = graft.Materialize.pin(
+        Dedup.incrementalAdmit(existing, incoming))
+      val admittedDocs = newDocs
+        .join(decisions.where(col("admitted")).select("doc_id"), "doc_id")
+        .withColumn("quality", TextAnalysis.quality(col("text")))
+        .withColumn("fp", fp)
+      survivors = graft.Materialize.pin(
+        admittedDocs.where(col("quality") >= minQuality)
+          .select("doc_id", "lang", "source", "text", "fp", "quality"))
       val nSurvive = survivors.count()
       val nAdmit = decisions.where(col("admitted")).count()
       val nTotal = decisions.count()
@@ -87,13 +100,29 @@ object NightlyIngestExample {
       // never recorded, matching incrementalAdmit's admit-verbatim rule
       decisions.where(col("admitted") && col("fp").isNotNull)
         .select("fp").write.mode("append").parquet(ledgerDir)
-      // index: only the surviving docs' vectors enter
+      // index: only the surviving docs' vectors enter. Guard rails:
+      //  - a night with NO survivors must not touch the index — building
+      //    from an empty frame would write an empty quantizer, and every
+      //    later assignment against zero centroids appends nothing while
+      //    reporting success (the index would stay empty forever);
+      //  - an indexDir WITHOUT _centroids but with content means a
+      //    retrain swap crashed mid-rename — rebuilding fresh here would
+      //    silently replace the historical index with one night's
+      //    vectors; fail loudly and let the operator restore the .old /
+      //    .retrain directory maintainIvfIndex staged.
       val vecs = newVecs
         .join(survivors.select(col("doc_id").as("vec_id")), "vec_id")
       val retrained =
-        if (dirExists(spark, s"$indexDir/_centroids"))
+        if (nSurvive == 0) false
+        else if (dirExists(spark, s"$indexDir/_centroids"))
           Similarity.maintainIvfIndex(spark, indexDir, vecs,
             retrainBelow).retrained
+        else if (dirExists(spark, indexDir) ||
+            dirExists(spark, s"$indexDir.old"))
+          throw new IllegalStateException(
+            s"$indexDir exists without _centroids — a retrain swap may " +
+              s"have crashed; restore $indexDir.old or $indexDir.retrain " +
+              "instead of rebuilding from one night's vectors")
         else {
           Similarity.buildIvfIndexOf(vecs, indexDir, iters = 1)
           false
@@ -101,8 +130,8 @@ object NightlyIngestExample {
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
         belowQuality = nAdmit - nSurvive, indexRetrained = retrained)
     } finally {
-      graft.Materialize.unpin(survivors)
-      graft.Materialize.unpin(decisions)
+      if (survivors != null) graft.Materialize.unpin(survivors)
+      if (decisions != null) graft.Materialize.unpin(decisions)
     }
   }
 

@@ -498,19 +498,28 @@ object Similarity {
     * NOT rewritten — append ≡ rebuild holds exactly while the quantizer is
     * frozen. Caller owns vec_id uniqueness across the base corpus and all
     * appends (same contract as any postings file). */
+  /** Shared by append and maintain so the two paths cannot drift: the
+    * stats extraction and the one-true append layout. */
+  private def appendStats(assigned: DataFrame): IvfAppendStats = {
+    val r = assigned.agg(count(lit(1)), avg("cos"), min("cos")).head()
+    IvfAppendStats(r.getLong(0),
+      if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+      if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+  }
+
+  private def appendAssigned(assigned: DataFrame, path: String): Unit =
+    graft.sources.Sink.writeCurated(
+      assigned.select("vec_id", "cell", "q", "n2"),
+      path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"),
+      mode = "append")
+
   def appendToIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): IvfAppendStats = {
     val assigned = graft.Materialize.pin(
       assignToIvfIndex(spark, path, vecs, idCol, embCol))
     try {
-      graft.sources.Sink.writeCurated(
-        assigned.select("vec_id", "cell", "q", "n2"),
-        path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"),
-        mode = "append")
-      val r = assigned.agg(count(lit(1)), avg("cos"), min("cos")).head()
-      IvfAppendStats(r.getLong(0),
-        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
-        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      appendAssigned(assigned, path)
+      appendStats(assigned)
     } finally graft.Materialize.unpin(assigned)
   }
 
@@ -539,10 +548,7 @@ object Similarity {
     val assigned = graft.Materialize.pin(
       assignToIvfIndex(spark, path, vecs, idCol, embCol))
     try {
-      val r = assigned.agg(count(lit(1)), avg("cos"), min("cos")).head()
-      val stats = IvfAppendStats(r.getLong(0),
-        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
-        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      val stats = appendStats(assigned)
       if (stats.nAppended > 0 && stats.meanCos < retrainBelow) {
         // drifted: rebuild from stored postings + the (already-quantized)
         // new batch, seeded by the current cells so training warm-starts
@@ -556,12 +562,17 @@ object Similarity {
         val tmp = path + ".retrain"
         buildIndexFrom(
           graft.Materialize.pin(old.unionByName(fresh)), tmp, iters)
-        // Swap the fully-written rebuild in WITHOUT a window where no
-        // index exists: old → .old, tmp → live (rolling old back if that
-        // rename fails), then drop .old. Hadoop FileSystem.rename signals
-        // failure by returning FALSE, not throwing — every step checks,
-        // because a silent false after the old delete would destroy the
-        // index while reporting success.
+        // Swap the fully-written rebuild in: old → .old, tmp → live, drop
+        // .old. Two renames, so there IS a brief window where `path` does
+        // not exist (generic filesystems have no atomic directory swap) —
+        // run maintenance while probes are quiesced, and on a crash
+        // mid-swap recover by renaming `.old` (or `.retrain`) back into
+        // place; readers of a missing index must fail loudly, never
+        // rebuild from scratch (NightlyIngestExample checks exactly
+        // this). Hadoop FileSystem.rename signals failure by returning
+        // FALSE, not throwing — every step checks, because a silent false
+        // after staging the old index aside would destroy it while
+        // reporting success.
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def mv(a: String, b: String): Boolean =
@@ -573,18 +584,18 @@ object Similarity {
           throw new java.io.IOException(
             s"IVF retrain: cannot stage $path aside; rebuilt index left at $tmp")
         if (!mv(tmp, path)) {
-          mv(bak, path) // roll back — the old index stays live
+          val restored = mv(bak, path) // roll back — keep the old index live
           throw new java.io.IOException(
-            s"IVF retrain: swap failed; old index restored, rebuild left at $tmp")
+            if (restored)
+              s"IVF retrain: swap failed; old index restored, rebuild left at $tmp"
+            else
+              s"IVF retrain: swap AND rollback failed — no live index at " +
+                s"$path; recover manually from $bak or $tmp")
         }
         fs.delete(new org.apache.hadoop.fs.Path(bak), true)
         IvfMaintenance(retrained = true, stats)
       } else {
-        if (stats.nAppended > 0)
-          graft.sources.Sink.writeCurated(
-            assigned.select("vec_id", "cell", "q", "n2"),
-            path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"),
-            mode = "append")
+        if (stats.nAppended > 0) appendAssigned(assigned, path)
         IvfMaintenance(retrained = false, stats)
       }
     } finally graft.Materialize.unpin(assigned)

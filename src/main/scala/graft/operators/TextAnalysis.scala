@@ -299,11 +299,19 @@ object TextAnalysis {
   def tfidfTopKOf(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k: $k")
     val tok = docs.select(col("doc_id"), explode(toks).as("w"))
+    // tf feeds TWO consumers (the df aggregation and the score join) and
+    // Spark does not reuse the exchange across them — unpinned, the
+    // corpus tokenizes twice (measured +35%). Pin lifecycle: the blocks
+    // free via the ContextCleaner once the result is unreachable (the
+    // default localCheckpoint mode — same contract as the LSH signature
+    // pin); in reliable-checkpoint mode call Materialize.unpin(result)
+    // after consuming, as the index build paths do, or the checkpoint
+    // files outlive the call.
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .transform(graft.Materialize.pin)
     // df derives from tf — one (doc,term) row per containing doc — so the
-    // corpus tokenizes ONCE and the df aggregation shuffles (term, count)
-    // partials instead of re-exploding raw tokens into a count_distinct
+    // df aggregation shuffles (term, count) partials instead of
+    // re-exploding raw tokens into a count_distinct
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "w").crossJoin(broadcast(n))
