@@ -112,9 +112,14 @@ object NightlyIngestExample {
       //    .retrain directory maintainIvfIndex staged.
       val vecs = newVecs
         .join(survivors.select(col("doc_id").as("vec_id")), "vec_id")
+      // resolveIndexDir: a FLAT index resolves to itself, a VERSIONED root
+      // (built with buildIvfIndexVersionedOf — the layout to prefer when
+      // probes can't be quiesced during retrains) to its live version, so
+      // either layout passes the liveness probe here
+      val liveIndex = Similarity.resolveIndexDir(spark, indexDir)
       val retrained =
         if (nSurvive == 0) false
-        else if (dirExists(spark, s"$indexDir/_centroids"))
+        else if (dirExists(spark, s"$liveIndex/_centroids"))
           Similarity.maintainIvfIndex(spark, indexDir, vecs,
             retrainBelow).retrained
         else if (dirExists(spark, indexDir) ||

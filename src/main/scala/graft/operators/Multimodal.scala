@@ -90,9 +90,13 @@ object Multimodal {
         // otherwise leak the native handle; completion fires on success,
         // failure, AND early task end.
         final class CloseOnceIterator extends Iterator[O] {
-          @volatile private var closed = false
+          // compareAndSet, not a volatile check-then-act: the task-completion
+          // listener can fire on another thread (task kill, speculation
+          // interrupt) concurrently with the consumer hitting exhaustion —
+          // a racy double-close would free a JNI codec context twice.
+          private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
           def closeOnce(): Unit =
-            if (!closed) { closed = true; close(ctx) }
+            if (closed.compareAndSet(false, true)) close(ctx)
           def hasNext: Boolean = {
             val h = try it.hasNext catch { case e: Throwable => closeOnce(); throw e }
             if (!h) closeOnce()

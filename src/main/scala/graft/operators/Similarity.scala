@@ -464,6 +464,110 @@ object Similarity {
     graft.Materialize.unpin(emb)
   }
 
+  // ---- versioned index layout (reader-safe retrain swap) ---------------
+  // A flat index directory cannot be atomically replaced on a generic
+  // filesystem: maintainIvfIndex's rename-based retrain swap has a brief
+  // window where `path` does not exist, so concurrent probes must be
+  // quiesced. The VERSIONED layout removes that operational constraint:
+  //
+  //   <root>/_current        one line: the live version's subdir name
+  //   <root>/v<N>/           a complete flat index (cell=…/ + _centroids/)
+  //
+  // Readers resolve through `_current`; a retrain builds v<N+1> COMPLETELY,
+  // then flips the pointer (single-file rename — atomic where the FS gives
+  // atomic rename, and self-healing everywhere else: while the pointer is
+  // momentarily absent, readers fall back to the highest COMPLETE version,
+  // which after the build finishes IS the new one). The superseded version
+  // survives one more round (current + previous are kept) so probes that
+  // resolved just before the flip finish their scan on intact files; only
+  // versions older than the previous are deleted. Every existing surface
+  // (probe/assign/append/maintain) accepts either layout — resolution is
+  // per-call, so long-lived callers pick up a flip on their next call.
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A version dir is COMPLETE once its quantizer exists — `_centroids` is
+    * the LAST artifact [[buildIndexFrom]] writes, so its presence implies
+    * the postings beneath it are fully written. */
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_centroids"))
+
+  private val VersionRe = "v([0-9]+)".r
+
+  /** Complete versions under `root`, ascending by number. */
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(n) if isComplete(fs, st.getPath) =>
+            Some((n.toLong, st.getPath))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+
+  /** Resolve an index path to the directory actually holding postings +
+    * `_centroids`. Flat layouts resolve to themselves; a versioned root
+    * resolves through `_current`, falling back to the highest complete
+    * `v<N>` when the pointer is mid-flip or names an incomplete dir.
+    * Public so operational tooling can log what a probe actually read. */
+  def resolveIndexDir(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val cur = new org.apache.hadoop.fs.Path(root, "_current")
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val dir = new org.apache.hadoop.fs.Path(root, name)
+      if (name.nonEmpty && isComplete(fs, dir)) return dir.toString
+    }
+    versionsOf(fs, root).lastOption match {
+      case Some((_, dir)) => dir.toString
+      case None => path // flat layout
+    }
+  }
+
+  /** Point `root/_current` at `name`. Write-tmp-then-rename: the pointer
+    * file is either the old complete line, absent (readers fall back to
+    * the highest complete version), or the new complete line — never a
+    * partial write. */
+  private def writePointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, "_current.tmp")
+    val cur = new org.apache.hadoop.fs.Path(root, "_current")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(
+        s"IVF versioned layout: cannot publish pointer $cur -> $name " +
+          s"(new version is complete at $root/$name; readers fall back to it)")
+  }
+
+  /** Build a NEW versioned index at `root` (first version `v1`), or add
+    * the next version over an existing root. Same parameters and training
+    * lifecycle as [[buildIvfIndexOf]]; the flat single-directory build
+    * remains available for quiesced deployments. */
+  def buildIvfIndexVersionedOf(vecs: DataFrame, root: String, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      seedCol: Option[String] = None, cells: Int = 10): Unit = {
+    val spark = vecs.sparkSession
+    val fs = fsOf(spark, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val next = versionsOf(fs, rootP).lastOption.map(_._1 + 1).getOrElse(1L)
+    buildIvfIndexOf(vecs, s"$root/v$next", iters, idCol, embCol, seedCol, cells)
+    writePointer(fs, rootP, s"v$next")
+  }
+
   /** Assign caller vectors to a persisted index's FROZEN coarse quantizer:
     * (vec_id, cell, q, n2, cos) — the same broadcast-argmax recipe as the
     * trainer's assignment step (|cells|-row centroid table broadcasts by
@@ -472,7 +576,7 @@ object Similarity {
   def assignToIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import graft.functions.ArrayDot.dotLong
-    val cent = spark.read.parquet(s"$path/_centroids")
+    val cent = spark.read.parquet(s"${resolveIndexDir(spark, path)}/_centroids")
     vecs
       .select(col(idCol).cast("long").as("vec_id"), lit(0L).as("label"),
         quantizedOf(col(embCol)).as("q"))
@@ -515,10 +619,11 @@ object Similarity {
 
   def appendToIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): IvfAppendStats = {
+    val live = resolveIndexDir(spark, path)
     val assigned = graft.Materialize.pin(
-      assignToIvfIndex(spark, path, vecs, idCol, embCol))
+      assignToIvfIndex(spark, live, vecs, idCol, embCol))
     try {
-      appendAssigned(assigned, path)
+      appendAssigned(assigned, live)
       appendStats(assigned)
     } finally graft.Materialize.unpin(assigned)
   }
@@ -545,57 +650,74 @@ object Similarity {
   def maintainIvfIndex(spark: SparkSession, path: String, vecs: DataFrame,
       retrainBelow: Double = Double.NegativeInfinity, iters: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): IvfMaintenance = {
+    val live = resolveIndexDir(spark, path)
+    val versioned = live != path
     val assigned = graft.Materialize.pin(
-      assignToIvfIndex(spark, path, vecs, idCol, embCol))
+      assignToIvfIndex(spark, live, vecs, idCol, embCol))
     try {
       val stats = appendStats(assigned)
       if (stats.nAppended > 0 && stats.meanCos < retrainBelow) {
         // drifted: rebuild from stored postings + the (already-quantized)
         // new batch, seeded by the current cells so training warm-starts
-        import graft.functions.ArrayDot.dotLong
-        val old = spark.read.parquet(path)
+        val old = spark.read.parquet(live)
           .select(col("vec_id"), col("cell").as("label"), col("q"),
             col("n2"))
         val fresh = assigned
           .select(col("vec_id"), col("cell").as("label"), col("q"),
             col("n2"))
-        val tmp = path + ".retrain"
-        buildIndexFrom(
-          graft.Materialize.pin(old.unionByName(fresh)), tmp, iters)
-        // Swap the fully-written rebuild in: old → .old, tmp → live, drop
-        // .old. Two renames, so there IS a brief window where `path` does
-        // not exist (generic filesystems have no atomic directory swap) —
-        // run maintenance while probes are quiesced, and on a crash
-        // mid-swap recover by renaming `.old` (or `.retrain`) back into
-        // place; readers of a missing index must fail loudly, never
-        // rebuild from scratch (NightlyIngestExample checks exactly
-        // this). Hadoop FileSystem.rename signals failure by returning
-        // FALSE, not throwing — every step checks, because a silent false
-        // after staging the old index aside would destroy it while
-        // reporting success.
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def mv(a: String, b: String): Boolean =
-          fs.rename(new org.apache.hadoop.fs.Path(a),
-            new org.apache.hadoop.fs.Path(b))
-        val bak = path + ".old"
-        fs.delete(new org.apache.hadoop.fs.Path(bak), true)
-        if (!mv(path, bak))
-          throw new java.io.IOException(
-            s"IVF retrain: cannot stage $path aside; rebuilt index left at $tmp")
-        if (!mv(tmp, path)) {
-          val restored = mv(bak, path) // roll back — keep the old index live
-          throw new java.io.IOException(
-            if (restored)
-              s"IVF retrain: swap failed; old index restored, rebuild left at $tmp"
-            else
-              s"IVF retrain: swap AND rollback failed — no live index at " +
-                s"$path; recover manually from $bak or $tmp")
+        val grown = graft.Materialize.pin(old.unionByName(fresh))
+        if (versioned) {
+          // reader-safe swap: build the next version COMPLETELY, flip the
+          // `_current` pointer (one-file rename), keep the superseded
+          // version for one grace round (in-flight probes that resolved
+          // the old pointer finish on intact files), drop anything older.
+          val fs = fsOf(spark, path)
+          val rootP = new org.apache.hadoop.fs.Path(path)
+          val next = versionsOf(fs, rootP).lastOption.map(_._1 + 1)
+            .getOrElse(1L)
+          buildIndexFrom(grown, s"$path/v$next", iters)
+          writePointer(fs, rootP, s"v$next")
+          versionsOf(fs, rootP).dropRight(2).foreach { case (_, dir) =>
+            fs.delete(dir, true)
+          }
+        } else {
+          val tmp = path + ".retrain"
+          buildIndexFrom(grown, tmp, iters)
+          // FLAT-layout fallback swap: old → .old, tmp → live, drop .old.
+          // Two renames, so there IS a brief window where `path` does not
+          // exist (generic filesystems have no atomic directory swap) —
+          // run maintenance while probes are quiesced (use the VERSIONED
+          // layout when probes cannot be quiesced), and on a crash
+          // mid-swap recover by renaming `.old` (or `.retrain`) back into
+          // place; readers of a missing index must fail loudly, never
+          // rebuild from scratch (NightlyIngestExample checks exactly
+          // this). Hadoop FileSystem.rename signals failure by returning
+          // FALSE, not throwing — every step checks, because a silent
+          // false after staging the old index aside would destroy it
+          // while reporting success.
+          val fs = fsOf(spark, path)
+          def mv(a: String, b: String): Boolean =
+            fs.rename(new org.apache.hadoop.fs.Path(a),
+              new org.apache.hadoop.fs.Path(b))
+          val bak = path + ".old"
+          fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+          if (!mv(path, bak))
+            throw new java.io.IOException(
+              s"IVF retrain: cannot stage $path aside; rebuilt index left at $tmp")
+          if (!mv(tmp, path)) {
+            val restored = mv(bak, path) // roll back — keep the old index live
+            throw new java.io.IOException(
+              if (restored)
+                s"IVF retrain: swap failed; old index restored, rebuild left at $tmp"
+              else
+                s"IVF retrain: swap AND rollback failed — no live index at " +
+                  s"$path; recover manually from $bak or $tmp")
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(bak), true)
         }
-        fs.delete(new org.apache.hadoop.fs.Path(bak), true)
         IvfMaintenance(retrained = true, stats)
       } else {
-        if (stats.nAppended > 0) appendAssigned(assigned, path)
+        if (stats.nAppended > 0) appendAssigned(assigned, live)
         IvfMaintenance(retrained = false, stats)
       }
     } finally graft.Materialize.unpin(assigned)
@@ -614,20 +736,24 @@ object Similarity {
       excludeIds: Seq[Long] = Seq.empty): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
+    // versioned roots resolve to their live version; flat paths to
+    // themselves. Resolution is per-probe, so a pointer flip between two
+    // probes is picked up without restarting the caller.
+    val path0 = resolveIndexDir(spark, path)
     // HALF_UP to match Spark's round() on negatives (Math.round would
     // differ at -x.5: floor(x+0.5) rounds toward positive infinity)
     val q = query.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
     val qn2 = q.map(x => x * x).sum
     val qlit = typedLit(q)
-    val cells = spark.read.parquet(s"$path/_centroids")
+    val cells = spark.read.parquet(s"$path0/_centroids")
       .withColumn("ccos",
         guardedCos(dotLong(col("cvec"), qlit), col("cn2"), lit(qn2)))
       .orderBy(col("ccos").desc, col("clabel"))
       .limit(nprobe)
       .select("clabel")
       .collect().map(_.get(0))
-    val probed = spark.read.parquet(path)
+    val probed = spark.read.parquet(path0)
       .where(col("cell").isInCollection(cells.toSeq))
     val scoped =
       if (excludeIds.isEmpty) probed

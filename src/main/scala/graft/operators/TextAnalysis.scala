@@ -291,22 +291,26 @@ object TextAnalysis {
     tfidfTopK(spark, dir, k = 3)
 
   /** Library surface: top-k TF-IDF terms per document (the declared query
-    * pins k=3 for the oracle). */
+    * pins k=3 for the oracle). Pin lifecycle contract: see [[tfidfTopKOf]]. */
   def tfidfTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
     tfidfTopKOf(t(spark, dir, "documents"), k)
 
-  /** Generic Of-surface: TF-IDF over ANY (doc_id, text) frame. */
+  /** Generic Of-surface: TF-IDF over ANY (doc_id, text) frame.
+    *
+    * PIN LIFECYCLE (caller contract): the per-(doc, term) count frame is
+    * pinned internally — it feeds two consumers and unpinned the corpus
+    * tokenizes twice (measured +35%). Unlike the index BUILD paths, which
+    * consume their pins internally (artifacts land on disk) and so unpin
+    * before returning, this returns a LAZY plan that still reads the pin —
+    * it cannot be released here. In the default localCheckpoint mode the
+    * blocks free via the ContextCleaner once the returned frame becomes
+    * unreachable; under `spark.graft.reliableCheckpoint=true` checkpoint
+    * FILES back the pin and nothing auto-deletes them — after fully
+    * consuming the result call `Materialize.unpin(result)`, which finds
+    * the pinned leaf inside the result's own plan and deletes its files. */
   def tfidfTopKOf(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k: $k")
     val tok = docs.select(col("doc_id"), explode(toks).as("w"))
-    // tf feeds TWO consumers (the df aggregation and the score join) and
-    // Spark does not reuse the exchange across them — unpinned, the
-    // corpus tokenizes twice (measured +35%). Pin lifecycle: the blocks
-    // free via the ContextCleaner once the result is unreachable (the
-    // default localCheckpoint mode — same contract as the LSH signature
-    // pin); in reliable-checkpoint mode call Materialize.unpin(result)
-    // after consuming, as the index build paths do, or the checkpoint
-    // files outlive the call.
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .transform(graft.Materialize.pin)
     // df derives from tf — one (doc,term) row per containing doc — so the
@@ -344,6 +348,102 @@ object TextAnalysis {
         round(sum(expr("CAST(ROUND(quality * 1000) AS BIGINT)"))
           .cast("double") / 1000.0 / count(lit(1)), 3).as("mean_quality"))
       .orderBy("source", "lang")
+  }
+
+  /** t14 — unigram language-model score (the KenLM-style perplexity-proxy
+    * quality filter, reduced to its distributed essence): train a unigram
+    * LM from the corpus's own token counts, score every document by its
+    * mean token log-probability. Gibberish, rare-token spam, and
+    * wrong-language text score low; fluent in-distribution prose scores
+    * high — the third member of the quality triad next to t02's fixed
+    * heuristics and t07's repetition ratio. Same two-pass template as t10:
+    * pass 1 learns the model (top-v token counts, map-side-combined census,
+    * deterministic (n DESC, w) vocabulary); pass 2 broadcast-attaches the
+    * v-row model and aggregates per document — the model moves to the
+    * data, the corpus never shuffles its text. Laplace smoothing over the
+    * v-word vocabulary gives out-of-vocabulary tokens a defined floor:
+    * p(w) = (count_vocab(w) + 1) / (N + v). Engine portability: each
+    * token's log-prob is quantized to int64 micros BEFORE the per-doc
+    * mean (one division at the end), so the double never depends on
+    * summation order — the t12 mean trick. */
+  def t14UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprob(spark, dir, v = 50)
+
+  /** Library surface: mean token log-probability under the corpus's own
+    * top-v unigram LM (the declared query pins v=50 for the oracle). */
+  def unigramLogprob(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    require(v >= 1, s"v: $v")
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      // the census and the scoring pass both read the token stream —
+      // pinned, the corpus tokenizes once (same contract as t13's tf pin:
+      // localCheckpoint blocks free via the ContextCleaner)
+      .transform(graft.Materialize.pin)
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(v)
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    // log p(w) in int64 micros: exact integer sum, ONE division at the end
+    val lpMicros = expr(s"CAST(ROUND(ln((COALESCE(n, 0) + 1.0) / " +
+      s"(n_total + $v.0)) * 1000000) AS BIGINT)")
+    tok.join(vocab, Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), lpMicros.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / 1e6 / count(lit(1)), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** The t15 demo model: (token, weight-in-millis) — integer-scaled so the
+    * per-document weighted sum is exact int64 arithmetic (engine-portable
+    * regardless of summation order); one division converts to the real
+    * score at the end. A production model is the same shape with 10⁵–10⁶
+    * rows — still megabytes, still broadcast. */
+  private[operators] val classifierWeights: Seq[(String, Long)] = Seq(
+    "data" -> 1200L, "customer" -> 800L, "vector" -> 900L,
+    "supplier" -> 400L, "the" -> 300L, "region" -> -200L,
+    "click" -> -700L, "error" -> -1500L)
+  private[operators] val classifierBiasMillis = -500L
+
+  /** t15 — model-based quality scoring (the fastText-classifier stage of a
+    * curation pipeline, reduced to its distributed essence): a linear
+    * bag-of-words model — weights learned OFFLINE, applied at corpus
+    * scale. The serving shape is the point: the MODEL broadcasts (a weight
+    * table is k rows however big the corpus), tokens inner-join it
+    * map-side, and the only shuffle carries (doc_id, partial-sum) — text
+    * never moves, and docs with zero model hits are restored by a left
+    * join against the documents table, not by scanning twice.
+    * score z = bias + Σ count(w)·weight(w) / n_tokens (length-normalized
+    * dot product), prob = σ(z). Integer-millis weights keep the weighted
+    * sum exact; σ is one exp + one division on that exact ratio. */
+  def t15ClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    classifierScoreOf(t(spark, dir, "documents"),
+      classifierWeights, classifierBiasMillis)
+
+  /** Generic Of-surface: score ANY (doc_id, text) frame with a caller
+    * bag-of-words model (weights in millis, see [[classifierWeights]]). */
+  def classifierScoreOf(docs: DataFrame, weights: Seq[(String, Long)],
+      biasMillis: Long): DataFrame = {
+    require(weights.nonEmpty, "empty model")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = weights.toDF("w", "wm")
+    val hits = docs.select(col("doc_id"), explode(toks).as("w"))
+      .join(broadcast(model), Seq("w")) // inner: only weighted tokens count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("wm")).as("num_millis"))
+    docs.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (lit(biasMillis).cast("double") / 1000.0 +
+          coalesce(col("num_millis"), lit(0L)).cast("double") / 1000.0 /
+            col("n_tokens")).as("z"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("prob"))
+      .withColumn("kept", col("prob") >= 0.5)
+      .orderBy("doc_id")
   }
 
   /** t05 — BPE-ish sub-token counting: letter runs / digit runs / single

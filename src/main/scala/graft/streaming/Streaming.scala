@@ -97,16 +97,24 @@ object Streaming {
   /** Bounded admission core: decide admit/reject for every row of one
     * source's micro-batch group holding at most `remaining` rows in memory
     * — NOT the whole group. The admitted set is the `remaining` smallest
-    * doc_ids (identical to sort-then-take-first, so decisions stay a
-    * deterministic property of (arrival batches, ids)), maintained as a
-    * size-bounded max-heap: a row evicted from the heap is rejectable
+    * (doc_id, tie) keys (identical to sort-then-take-first, so decisions
+    * stay a deterministic property of (arrival batches, ids)), maintained
+    * as a size-bounded max-heap: a row evicted from the heap is rejectable
     * immediately (it is provably not among the smallest), so rejections
     * stream out and memory is O(min(remaining, group)) however hot the
     * source floods the batch — the flooding source is exactly the case
     * the quota exists for, and is exactly when `rows.toSeq.sortBy` would
-    * have OOM'd the executor. */
+    * have OOM'd the executor.
+    *
+    * `tieOf` settles duplicate doc_ids: heap eviction among EQUAL keys is
+    * arbitrary, so when one batch carries the same doc_id with different
+    * payloads, which payload row is admitted at the quota boundary would
+    * otherwise depend on partition iteration order. A payload-derived tie
+    * key restores the determinism claim (rows identical in id AND tie key
+    * remain interchangeable — and then indistinguishable anyway). */
   private[graft] def admitSmallest[T](rows: Iterator[T], idOf: T => Long,
-      remaining: Int, onInputDone: Int => Unit): Iterator[(T, Boolean)] = {
+      remaining: Int, onInputDone: Int => Unit,
+      tieOf: T => Long = (_: T) => 0L): Iterator[(T, Boolean)] = {
     if (remaining <= 0) {
       // quota already spent: nothing to decide, nothing to buffer — the
       // state is untouched and rejections stream straight through
@@ -114,8 +122,9 @@ object Streaming {
       return rows.map(r => (r, false))
     }
     new Iterator[(T, Boolean)] {
-      private val heap = new scala.collection.mutable.PriorityQueue[(Long, T)]()(
-        Ordering.by(_._1)) // max-heap on doc_id: root = current worst candidate
+      private val heap =
+        new scala.collection.mutable.PriorityQueue[((Long, Long), T)]()(
+          Ordering.by(_._1)) // max-heap on (doc_id, tie): root = worst candidate
       private var admittedOut: Iterator[T] = null
       private var item: (T, Boolean) = null
       private def advance(): Unit = {
@@ -125,7 +134,7 @@ object Streaming {
             item = (admittedOut.next(), true)
           } else if (rows.hasNext) {
             val r = rows.next()
-            heap.enqueue((idOf(r), r))
+            heap.enqueue(((idOf(r), tieOf(r)), r))
             if (heap.size > remaining) item = (heap.dequeue()._2, false)
           } else {
             onInputDone(heap.size) // input exhausted: admissions are final
@@ -169,7 +178,10 @@ object Streaming {
   /** [[streamingQuota]] with the document payload carried through —
     * (doc_id, source, text, ts, admitted) — so a curation pipeline can act
     * on the admitted text without a second join against the stream. Same
-    * state (one counter per source), same bounded-memory admission. */
+    * state (one counter per source), same bounded-memory admission.
+    * Duplicate doc_ids within a batch are legal: admission breaks id ties
+    * on a payload hash, so WHICH payload row wins at the quota boundary is
+    * a property of the rows themselves, not of partition order. */
   def streamingQuotaDocs(spark: SparkSession, docs: DataFrame,
       quota: Int): DataFrame = {
     import spark.implicits._
@@ -189,7 +201,14 @@ object Streaming {
           val remaining = math.min(quota - admitted, Int.MaxValue.toLong).toInt
           admitSmallest[(Long, String, String, java.sql.Timestamp)](
             rows, _._1, remaining,
-            n => if (n > 0) state.update(admitted + n))
+            n => if (n > 0) state.update(admitted + n),
+            tieOf = { case (_, _, text, ts) =>
+              // stable payload hash: partition-order-independent id tie-break
+              val h = scala.util.hashing.MurmurHash3.stringHash(
+                if (text == null) "" else text)
+              scala.util.hashing.MurmurHash3.mix(h,
+                if (ts == null) 0 else java.lang.Long.hashCode(ts.getTime)).toLong
+            })
             .map { case ((id, _, text, ts), a) => (id, source, text, ts, a) }
       }
       .toDF("doc_id", "source", "text", "ts", "admitted")

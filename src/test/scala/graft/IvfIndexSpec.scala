@@ -100,6 +100,66 @@ class IvfIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/_centroids").count() >= 1)
   }
 
+  test("versioned layout: pointer flip keeps a complete index live through retrain") {
+    val all = t(spark, sf, "embeddings")
+    val root = tmpDir("ivf-versioned")
+    Similarity.buildIvfIndexVersionedOf(all.where(col("vec_id") < 400), root,
+      iters = 1, seedCol = Some("label"))
+    assert(Similarity.resolveIndexDir(spark, root).endsWith("/v1"))
+    val q0 = all.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    assert(Similarity.probeIvfIndex(spark, root, q0, nprobe = 2, k = 5)
+      .count() == 5)
+
+    // append routes into the live version through the pointer
+    val batch = all.where(col("vec_id") >= 400).select("vec_id", "embedding")
+    val m1 = Similarity.maintainIvfIndex(spark, root, batch)
+    assert(!m1.retrained && m1.stats.nAppended == batch.count())
+    val live1 = Similarity.resolveIndexDir(spark, root)
+    assert(spark.read.parquet(live1).count() == all.count())
+
+    // a reader that resolved BEFORE the swap — the grace round must let
+    // it finish on intact files after the pointer flips
+    val preSwap = spark.read.parquet(live1)
+
+    import spark.implicits._
+    val drifted = (0 until 20).map { i =>
+      (10000L + i, Array.tabulate(64)(d => if (d == i % 64) 5.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val m2 = Similarity.maintainIvfIndex(spark, root, drifted,
+      retrainBelow = 2.0)
+    assert(m2.retrained)
+    assert(Similarity.resolveIndexDir(spark, root).endsWith("/v2"))
+    // superseded v1 survives one grace round: the pre-swap reader works
+    assert(preSwap.count() == all.count())
+    // the new version is probe-ready end-to-end through the root
+    val hit = Similarity.probeIvfIndex(spark, root,
+      Array.tabulate(64)(d => if (d == 3) 5.0f else 0.0f),
+      nprobe = 3, k = 1).head()
+    assert(hit.getLong(0) == 10003L && hit.getDouble(1) == 1.0)
+
+    // pointer lost mid-flip: resolution falls back to the highest
+    // COMPLETE version — readers never see a missing index
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_current"), false)
+    assert(Similarity.resolveIndexDir(spark, root).endsWith("/v2"))
+    assert(Similarity.probeIvfIndex(spark, root, q0, nprobe = 2, k = 5)
+      .count() == 5)
+
+    // a further retrain re-publishes the pointer and reaps versions older
+    // than the previous one (storage bounded at current + previous)
+    val drifted2 = (0 until 20).map { i =>
+      (20000L + i, Array.tabulate(64)(d => if (d == (i + 7) % 64) 4.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val m3 = Similarity.maintainIvfIndex(spark, root, drifted2,
+      retrainBelow = 2.0)
+    assert(m3.retrained)
+    assert(Similarity.resolveIndexDir(spark, root).endsWith("/v3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")))
+  }
+
   test("buildIvfIndexOf: default pmod seeding trains and probes without a label column") {
     val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
     val path = tmpDir("ivf-nolabel")

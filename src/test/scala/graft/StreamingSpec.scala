@@ -456,6 +456,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("admission tie-break: duplicate doc_ids admit a partition-order-independent payload") {
+    // Two rows share doc_id 5 with DIFFERENT payloads and the quota
+    // boundary lands on the duplicate — heap eviction among equal keys is
+    // arbitrary, so without the payload tie key WHICH payload won depended
+    // on arrival order. With it, every arrival order admits the same rows.
+    val dup = Seq((5L, "payload-A"), (5L, "payload-B"))
+    val all = dup ++ Seq((1L, "x"), (9L, "y"))
+    def tie(r: (Long, String)): Long =
+      scala.util.hashing.MurmurHash3.stringHash(r._2).toLong
+    def admitted(rows: Seq[(Long, String)]): Set[(Long, String)] =
+      Streaming.admitSmallest[(Long, String)](rows.iterator, _._1,
+        remaining = 2, _ => (), tieOf = tie).filter(_._2).map(_._1).toSet
+    val results = all.permutations.map(admitted).toSet
+    assert(results.size == 1, s"arrival order changed the admitted set: $results")
+    // and the winner is exactly sort-then-take on (id, tie): id 1, then
+    // the id-5 row whose payload hash is smaller
+    assert(results.head == Set((1L, "x"), dup.minBy(tie)))
+  }
+
   test("event-time tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
