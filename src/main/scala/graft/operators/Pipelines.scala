@@ -20,6 +20,8 @@ object Pipelines {
     "t11_quality_bins" -> TextAnalysis.t11QualityBins _,
     "t12_corpus_profile" -> TextAnalysis.t12CorpusProfile _,
     "t13_tfidf" -> TextAnalysis.t13Tfidf _,
+    "t14_unigram_logprob" -> TextAnalysis.t14UnigramLogprob _,
+    "t15_classifier_score" -> TextAnalysis.t15ClassifierScore _,
     "dd01_exact" -> Dedup.dd01Exact _,
     "dd02_ngram_jaccard" -> Dedup.dd02NgramJaccard _,
     "dd03_minhash_lsh" -> Dedup.dd03MinhashLsh _,
@@ -37,6 +39,9 @@ object Pipelines {
     "ss06_ivf_ann" -> Similarity.ss06IvfAnn _,
     "ss07_kmeans_assign" -> Similarity.ss07KmeansAssign _,
     "ss08_knn_join" -> Similarity.ss08KnnJoin _,
+    "ss09_pq_encode" -> Similarity.ss09PqEncode _,
+    "ss10_pq_adc" -> Similarity.ss10PqAdcTopK _,
+    "ss11_pq_rerank" -> Similarity.ss11PqRerank _,
     "c01_curation" -> Curation.c01Curation _,
     "c02_cluster_curation" -> Curation.c02ClusterCuration _,
     "c03_semantic_curation" -> Curation.c03SemanticCuration _,

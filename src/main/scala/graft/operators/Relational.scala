@@ -503,6 +503,31 @@ object Relational {
       .orderBy("c_mktsegment", "rk", "c_custkey")
   }
 
+  /** Q31 — the distribution-window family (ntile, percent_rank,
+    * cume_dist): each event's quartile, normalized rank, and empirical-CDF
+    * position among its type's values — the per-group calibration /
+    * outlier-score shape (completing the window surface next to q27's
+    * rank family). Scale contract: these functions need their whole
+    * PARTITION in one task, which is exactly right here — the partition
+    * key is a bounded category (event types), so task size is the largest
+    * group, not the corpus. For corpus-wide rank binning use t11's
+    * mergeable-sketch shape instead; a corpus-wide ntile window is the
+    * one-task sort this engine never plans. The window order
+    * (value, event_id) is total, so every rank function is tie-free and
+    * engine-portable; percent_rank/cume_dist are single divisions of
+    * exact integers — deterministic doubles on both engines. */
+  def q31WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cdf", round(cume_dist().over(w), 6))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -571,6 +596,8 @@ object Relational {
       "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
     "q30_region_rollup" ->
       "SELECT r.r_name, COUNT(*) AS n_orders, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name",
+    "q31_window_distribution" ->
+      "SELECT event_type, event_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cdf FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_type, event_id",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,5 +633,6 @@ object Relational {
     "q28_cube" -> q28Cube _,
     "q29_time_buckets" -> q29TimeBuckets _,
     "q30_region_rollup" -> q30RegionRollup _,
+    "q31_window_distribution" -> q31WindowDistribution _,
   )
 }

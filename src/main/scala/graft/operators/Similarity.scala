@@ -321,6 +321,158 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  // ---- product quantization (the ANN MEMORY story) ---------------------
+  // IVF bounds how much of the corpus a probe SCANS; PQ bounds how many
+  // bytes each scanned vector COSTS. A 64-dim float vector (256 B) encodes
+  // to m sub-codebook ids (m bytes at ≤256 codewords) — 64× smaller, so
+  // the candidate set of a 100 TB ANN probe fits in executor memory and
+  // scoring never touches the raw vectors (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011). Spherical
+  // flavor: sub-codeword assignment is argmax COSINE per subspace —
+  // reusing the exact integer dot + guarded-cosine recipe the k-means
+  // family already hash-matches against the oracle.
+
+  /** The shared PQ prefix: per-vector subspace slices and the per-(seed
+    * label, subspace) integer sum-codebooks. `subs` is pinned — the
+    * codebook build and every downstream encode/probe join read it (same
+    * ContextCleaner pin contract as t13's tf frame). */
+  private def pqParts(vecs: DataFrame, m: Int, idCol: String,
+      embCol: String, seedCol: String): (DataFrame, DataFrame) = {
+    import graft.functions.ArrayDot.dotLong
+    require(m >= 1, s"m: $m")
+    val subs = vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(seedCol).cast("long").as("label"),
+        quantizedOf(col(embCol)).as("q"))
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
+      .withColumn("sd", (size(col("q")) / m).cast("int"))
+      .withColumn("qs", slice(col("q"), col("sub") * col("sd") + 1, col("sd")))
+      .withColumn("n2s", dotLong(col("qs"), col("qs")))
+      .select("vec_id", "label", "sub", "qs", "n2s")
+      .transform(graft.Materialize.pin)
+    // sub-codebooks: integer sum-centroids per (label, sub) — the same
+    // scale-invariant cosine trick as centroidsOf, one per subspace
+    val cb = subs
+      .select(col("label"), col("sub"), posexplode(col("qs")).as(Seq("i", "qi")))
+      .groupBy("label", "sub", "i").agg(sum(col("qi")).as("cq"))
+      .groupBy("label", "sub")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+      .select(col("sub"), col("label").as("clabel"), col("cvec"), col("cn2"))
+    (subs, cb)
+  }
+
+  /** Encode against the given (subs, cb): one row per (vec, subspace) with
+    * the argmax-cosine codeword — broadcast codebook, map-side-collapsed
+    * max_by, shuffle carries D·m rows, never D·m·k. */
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("ccos",
+        guardedCos(dotLong(col("qs"), col("cvec")), col("n2s"), col("cn2")))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(
+        struct(col("clabel"), round(col("ccos"), 4).as("rcos")),
+        struct(col("ccos"), -col("clabel"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.clabel").as("code"), col("best.rcos").as("cos"))
+  }
+
+  /** Generic Of-surface: PQ-encode ANY (id, embedding) frame into m
+    * subspace codeword ids (long form: one row per (vec, sub)). Codebooks
+    * seed from `seedCol` exactly as the IVF family does; a production
+    * encoder persists `cb` beside the codes the way `_centroids` rides the
+    * IVF index. */
+  def pqEncodeOf(vecs: DataFrame, m: Int, idCol: String = "vec_id",
+      embCol: String = "embedding", seedCol: String = "label"): DataFrame = {
+    val (subs, cb) = pqParts(vecs, m, idCol, embCol, seedCol)
+    pqEncode(subs, cb)
+  }
+
+  /** ss09 — PQ encoding of the embeddings corpus: m=4 subspaces of 16
+    * dims, codebooks seeded by the label cells. Output (vec_id, sub, code,
+    * cos) — `cos` is the sub-vector's cosine to its codeword, the
+    * per-subspace quantization-quality signal (its corpus mean is the PQ
+    * analogue of the IVF drift probe). */
+  def ss09PqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqEncodeOf(t(spark, dir, "embeddings"), m = 4)
+      .orderBy("vec_id", "sub")
+
+  /** ss10 — asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * EXACT, every corpus vector is scored from its codes alone. Per
+    * subspace, dot(query_sub, codeword) is a k·m-row lookup table
+    * (broadcast by construction — this is the table a real ADC scan keeps
+    * in L1); a vector's approximate cosine is
+    * Σ_sub lut(sub, code) / (|q| · |x̂|), x̂ = concatenated codewords. The
+    * scan reads CODES only — at 100 TB that is m bytes per vector instead
+    * of 256, and the shuffle carries (vec_id, partial) map-side combined.
+    * Recall vs the exact ss01 ranking is measured in PipelinesSpec. */
+  def ss10PqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(spark, dir, queryId = 0L, m = 4, k = 10)
+
+  /** Library surface: ADC top-k at caller parameters (the declared query
+    * pins queryId=0, m=4, k=10 for the oracle). */
+  def pqAdcTopK(spark: SparkSession, dir: String, queryId: Long, m: Int,
+      k: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(k >= 1, s"k: $k")
+    val (subs, cb) = pqParts(t(spark, dir, "embeddings"), m,
+      "vec_id", "embedding", "label")
+    val codes = pqEncode(subs, cb)
+    val qsub = subs.where(col("vec_id") === queryId)
+      .select(col("sub"), col("qs").as("qqs"))
+    val lut = cb.join(qsub, Seq("sub"))
+      .select(col("sub"), col("clabel").as("code"),
+        dotLong(col("qqs"), col("cvec")).as("qdot"), col("cn2"))
+    val qn2 = subs.where(col("vec_id") === queryId)
+      .agg(sum(col("n2s")).as("qn2"))
+    codes.where(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .crossJoin(broadcast(qn2))
+      .select(col("vec_id"),
+        round(guardedCos(col("adot"), col("qn2"), col("an2")), 4).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ss11 — ADC shortlist + exact re-rank: the two-stage retrieval shape a
+    * production PQ deployment actually runs (ss10 alone is the memory
+    * story, not the quality story). Stage 1 scores the WHOLE corpus from
+    * codes (m bytes per vector); stage 2 fetches raw vectors for the
+    * R-candidate shortlist only and re-ranks with the exact integer-dot
+    * cosine. At 100 TB the exact math and the raw-vector reads touch R
+    * rows, not the corpus — the shortlist broadcasts into the vector store
+    * as a stored-side broadcast-hash join, so no corpus shuffle either.
+    * Recall vs exact ss01 is asserted in PipelinesSpec: re-ranking repairs
+    * most of what raw ADC loses at m=4. */
+  def ss11PqRerank(spark: SparkSession, dir: String): DataFrame =
+    pqAdcRerank(spark, dir, queryId = 0L, m = 4, shortlist = 100, k = 10)
+
+  /** Library surface: ADC-shortlist-then-exact-rerank at caller
+    * parameters. `shortlist` is the ADC candidate count R (the recall
+    * knob: raise R to trade candidate I/O for recall, k stays the
+    * result size). Same lazy-pin contract as [[pqEncodeOf]]. */
+  def pqAdcRerank(spark: SparkSession, dir: String, queryId: Long, m: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cands = pqAdcTopK(spark, dir, queryId, m, shortlist).select("vec_id")
+    val qv = corpus(spark, dir)
+    val query = qv.where(col("vec_id") === queryId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    qv.join(broadcast(cands), Seq("vec_id"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(guardedCos(dotLong(col("q"), col("qq")), col("qn2"),
+          col("n2")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ss06 — IVF-style ANN: the label partition acts as the coarse quantizer
     * (what ss05's centroids exist FOR). Centroid = component-wise integer
     * SUM per cell — cosine against a sum-vector ranks identically to the

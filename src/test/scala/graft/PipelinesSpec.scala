@@ -464,6 +464,90 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("ss09 PQ encode: complete, argmax-true, fixture non-degenerate") {
+    import graft.functions.ArrayDot.dotLong
+    val codes = Similarity.ss09PqEncode(spark, sf)
+    // one code per (vector, subspace)
+    assert(codes.count() == 500 * 4)
+    assert(codes.groupBy("vec_id", "sub").count()
+      .where(col("count") =!= 1).isEmpty)
+    // the zero-norm caveat shared with the k-means CTEs is vacuous on this
+    // fixture: every 16-dim subvector and every (label, sub) sum-codebook
+    // has positive norm, so the guardedCos branch never fires and oracle
+    // parity holds
+    val subs = graft.sources.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("q"))
+      .withColumn("qs", slice(col("q"), col("sub") * 16 + 1, lit(16)))
+      .withColumn("n2s", dotLong(col("qs"), col("qs")))
+    assert(subs.where(col("n2s") === 0).isEmpty, "zero-norm subvector")
+    val cb = subs
+      .select(col("label"), col("sub"), posexplode(col("qs")).as(Seq("i", "qi")))
+      .groupBy("label", "sub", "i").agg(sum("qi").as("cq"))
+      .groupBy("label", "sub").agg(sum(col("cq") * col("cq")).as("cn2"))
+    assert(cb.where(col("cn2") === 0).isEmpty, "zero-norm sub-codebook")
+    // brute-force argmax check on full precision, mirroring the ss07 test:
+    // for every (vec, sub) no codeword may beat the assigned one under the
+    // (cos DESC, label ASC) tie-break
+    val cent = subs
+      .select(col("label"), col("sub"), posexplode(col("qs")).as(Seq("i", "qi")))
+      .groupBy("label", "sub", "i").agg(sum("qi").as("cq"))
+      .groupBy("label", "sub")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+      .select(col("sub"), col("label").as("clabel"), col("cvec"), col("cn2"))
+    val expected = subs.join(cent, Seq("sub"))
+      .withColumn("c", dotLong(col("qs"), col("cvec")).cast("double") /
+        sqrt(col("cn2").cast("double") * col("n2s").cast("double")))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("clabel"), struct(col("c"), -col("clabel")))
+        .as("expected"))
+    assert(codes.join(expected, Seq("vec_id", "sub"))
+      .where(col("code") =!= col("expected")).isEmpty,
+      "PQ code is not the true per-subspace argmax")
+  }
+
+  test("ss10 ADC top-k recall vs the exact ss01 ranking") {
+    // ADC scores every corpus vector from its 4 codeword ids alone (the
+    // query stays exact) — the memory story of the PQ family. Recall vs the
+    // exact brute-force top-10 is the quality gate; the floor is fixture-
+    // calibrated, the info line tracks drift.
+    val exact = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val adc = Similarity.ss10PqAdcTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(adc.size == 10 && !adc.contains(0L))
+    val recall = (exact & adc).size.toDouble / exact.size
+    info(s"PQ-ADC m=4 recall vs exact top-10: $recall")
+    // raw ADC at m=4 with 10 codewords/subspace IS coarse (measured 0.2
+    // on this fixture) — that is the honest memory/quality trade, and why
+    // ss11 re-ranks. The floor only guards against total collapse.
+    assert(recall >= 0.15, s"ADC recall $recall collapsed")
+  }
+
+  test("ss11 shortlist + exact re-rank repairs raw-ADC recall") {
+    val exact = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val rr = Similarity.ss11PqRerank(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(rr.size == 10 && !rr.contains(0L))
+    val recall = (exact & rr).size.toDouble / exact.size
+    val raw = Similarity.ss10PqAdcTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val rawRecall = (exact & raw).size.toDouble / exact.size
+    info(s"PQ rerank R=100 recall: $recall (raw ADC: $rawRecall)")
+    // the point of the second stage: at least as good as raw ADC and
+    // clearing a real floor. The fixture's vectors are weakly clustered
+    // (10 random-ish label cells), so 10-codeword PQ is coarse by nature
+    // — calibrated 0.5 here, 0.6 at sf0.01; R is the recall knob.
+    assert(recall >= rawRecall, "re-rank made recall WORSE")
+    assert(recall >= 0.5, s"re-rank recall $recall below floor")
+  }
+
   test("c03 semantic survivors: no same-cell pair at or above the cosine cut") {
     import graft.functions.ArrayDot.dotLong
     val kept = graft.operators.Curation.c03SemanticCuration(spark, sf)
@@ -807,8 +891,23 @@ class PipelinesSpec extends SparkSpec {
         .collect { case (t, id) if t == me => id }
     }
     def live(ids: Seq[Int]): Seq[Int] = {
-      val persisted = spark.sparkContext.getPersistentRDDs.keySet
-      ids.filter(persisted)
+      // operator-internal unpins are deliberately non-blocking (the
+      // operator must not stall on block eviction), so under concurrent
+      // suite load a superseded pin can linger a moment — poll until the
+      // live set stops shrinking (1s quiet period, 10s cap) before
+      // reporting. The invariant is "eventually bounded", not
+      // "instantaneously bounded".
+      val deadline = System.nanoTime() + 10000000000L
+      def snap() = ids.filter(spark.sparkContext.getPersistentRDDs.keySet)
+      var out = snap()
+      var quietUntil = System.nanoTime() + 1000000000L
+      while (System.nanoTime() < math.min(quietUntil, deadline)) {
+        Thread.sleep(100)
+        val next = snap()
+        if (next.size < out.size) quietUntil = System.nanoTime() + 1000000000L
+        out = next
+      }
+      out
     }
     // the log is OFF in production (it would grow forever in a long-lived
     // job); enable only for this audit's window

@@ -26,9 +26,13 @@ class PlanAuditSpec extends SparkSpec {
     "ss08_knn_join",
     // t11's broadcast side is the ONE-row quantile-cutoff frame
     "t11_quality_bins",
-    // t13's broadcast side is the ONE-row corpus-count frame (the df
-    // table itself joins by key, no hint)
-    "t13_tfidf")
+    // t13/t14's broadcast side is the ONE-row corpus-count frame (df /
+    // vocabulary tables join by key, no hint)
+    "t13_tfidf", "t14_unigram_logprob",
+    // the PQ probes attach the ONE-row query-norm frame (and ss11 the
+    // query vector itself — 1 row); codebook and LUT attaches are keyed
+    // equi-joins, not BNLJ
+    "ss10_pq_adc", "ss11_pq_rerank")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
