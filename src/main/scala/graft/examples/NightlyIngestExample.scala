@@ -117,6 +117,9 @@ object NightlyIngestExample {
       // probes can't be quiesced during retrains) to its live version, so
       // either layout passes the liveness probe here
       val liveIndex = Similarity.resolveIndexDir(spark, indexDir)
+      // deployments probing through probeIvfPqIndex re-derive the codes
+      // after tonight's append/retrain (addPqToIvfIndex — PQ codes are a
+      // derived artifact; appended rows are ADC-invisible until encoded)
       val retrained =
         if (nSurvive == 0) false
         else if (dirExists(spark, s"$liveIndex/_centroids"))

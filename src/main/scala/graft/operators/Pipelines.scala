@@ -55,6 +55,7 @@ object Pipelines {
     "sp03_temperature_mix" -> Sampling.sp03TemperatureMix _,
     "sp04_pack_sequences" -> Sampling.sp04PackSequences _,
     "sp05_stratified_k" -> Sampling.sp05StratifiedK _,
+    "sp06_shuffle_shard" -> Sampling.sp06ShuffleShard _,
   )
 
   val oracle: Map[String, String] = PipelineOracle.sql

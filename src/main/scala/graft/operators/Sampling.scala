@@ -154,6 +154,45 @@ object Sampling {
       .select(stratumCol, "rk", "doc_id")
   }
 
+  /** sp06 — deterministic corpus shuffle into training shards: every
+    * document gets a shard in [0, nShards) and a position within its
+    * shard, BOTH hash-derived. This is the last step of a training
+    * pipeline — the "global shuffle" that breaks source/time locality
+    * before sequence packing — done without `rand()` (row-order
+    * dependent, unrepeatable) and without a corpus-wide total sort (one
+    * task at any scale). Two independent salts decorrelate placement
+    * and order: a document's shard must not predict its position.
+    * Scale contract: the within-shard sort is a per-shard window —
+    * parallel across shards, one task per shard — so nShards is the
+    * task-size knob: size it so a shard's documents fit a task
+    * (100 TB / 10 GB-shards → ~10k shards), exactly how training shards
+    * are sized anyway. Writing `writeCurated(out, path,
+    * partitionCols=Seq("shard"), sortCols=Seq("pos"))` materializes the
+    * shuffle as one ordered file set per shard. The (shard, pos) pair is
+    * a pure document property: reruns, retries, cluster resizes, and the
+    * DuckDB oracle all derive the identical global permutation. */
+  def sp06ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShardOf(t(spark, dir, "documents"), nShards = 8)
+      .orderBy("shard", "pos")
+
+  /** Generic Of-surface: deterministic shuffle-shard over ANY frame with
+    * an id column (the declared query pins nShards=8 for the oracle). */
+  def shuffleShardOf(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards: $nShards")
+    val shard = pmod(graft.functions.Hashing.md5Long(
+      concat(lit("shard:"), col(idCol).cast("string")), 15),
+      lit(nShards.toLong)).cast("int")
+    val ord = graft.functions.Hashing.md5Long(
+      concat(lit("shuffle:"), col(idCol).cast("string")), 15)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("ord"), col(idCol))
+    docs
+      .select(col(idCol), shard.as("shard"), ord.as("ord"))
+      .withColumn("pos", row_number().over(w))
+      .select(idCol, "shard", "pos")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

@@ -337,13 +337,25 @@ object Similarity {
     * codebook build and every downstream encode/probe join read it (same
     * ContextCleaner pin contract as t13's tf frame). */
   private def pqParts(vecs: DataFrame, m: Int, idCol: String,
-      embCol: String, seedCol: String): (DataFrame, DataFrame) = {
+      embCol: String, seedCol: String): (DataFrame, DataFrame) =
+    pqPartsQ(vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(seedCol).cast("long").as("label"),
+      quantizedOf(col(embCol)).as("q")), m)
+
+  /** [[pqParts]] over an ALREADY-quantized (vec_id, label, q) frame — the
+    * persistent-index paths start here, since postings store `q`. */
+  private def pqPartsQ(quant: DataFrame, m: Int): (DataFrame, DataFrame) = {
     import graft.functions.ArrayDot.dotLong
     require(m >= 1, s"m: $m")
-    val subs = vecs
-      .select(col(idCol).cast("long").as("vec_id"),
-        col(seedCol).cast("long").as("label"),
-        quantizedOf(col(embCol)).as("q"))
+    val subs = quant
+      // m must divide the dimension (the FAISS precondition): integer
+      // sd = dim/m would otherwise silently DROP the last dim%m
+      // components from every subspace — codes and norms would describe
+      // a truncated vector. Checked in-plan (codegen'd, free) because
+      // the frame's dim isn't knowable on the driver.
+      .withColumn("q", when(size(col("q")) % m === 0, col("q"))
+        .otherwise(raise_error(concat(
+          lit(s"pq: m=$m does not divide dim="), size(col("q"))))))
       .select(col("vec_id"), col("label"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
       .withColumn("sd", (size(col("q")) / m).cast("int"))
@@ -916,6 +928,120 @@ object Similarity {
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ---- IVF+PQ: codes beside the postings (the FAISS IVFPQ shape) -------
+  // IVF bounds what a probe SCANS (nprobe cells of the corpus); PQ bounds
+  // what each scanned row COSTS (m code bytes instead of the raw vector).
+  // Composed, a 100 TB probe reads nprobe/cells of the CODES table —
+  // partition-pruned, m bytes a row — and touches raw vectors only for
+  // the final rerank shortlist. Layout (both flat and versioned roots):
+  //
+  //   <dir>/cell=<c>/          postings (vec_id, q, n2)   [existing]
+  //   <dir>/_centroids/        coarse quantizer            [existing]
+  //   <dir>/_pq_codebooks/     (sub, code, cvec, cn2)      [addPqToIvfIndex]
+  //   <dir>/_pq_codes/cell=<c>/ (vec_id, sub, code)        [addPqToIvfIndex]
+  //
+  // Underscore names keep the PQ artifacts invisible to the existing
+  // postings reads (Spark's file index skips _-prefixed paths), so every
+  // pre-PQ surface works unchanged on a PQ-augmented index.
+
+  /** Encode an existing IVF index's postings into PQ codes, writing
+    * `_pq_codebooks` + cell-partitioned `_pq_codes` beside the postings.
+    * Codebooks are seeded by the stored cell (the coarse quantizer doubles
+    * as the sub-codebook seeding, so codeword count per subspace =
+    * |cells|). Idempotent full re-encode: run it again after
+    * [[appendToIvfIndex]] or a [[maintainIvfIndex]] retrain — appended
+    * rows are invisible to ADC probes until encoded (the probe scores
+    * CODES, and re-encoding is one bounded pass over the postings). */
+  def addPqToIvfIndex(spark: SparkSession, path: String, m: Int): Unit = {
+    val path0 = resolveIndexDir(spark, path)
+    val postings = spark.read.parquet(path0)
+      .select(col("vec_id"), col("cell").cast("long").as("label"), col("q"),
+        col("cell"))
+    val (subs, cb) = pqPartsQ(postings.select("vec_id", "label", "q"), m)
+    val codes = pqEncode(subs, cb)
+      .join(postings.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+    graft.sources.Sink.writeCurated(codes, s"$path0/_pq_codes",
+      partitionCols = Seq("cell"), sortCols = Seq("vec_id", "sub"))
+    cb.write.mode("overwrite").parquet(s"$path0/_pq_codebooks")
+    // artifacts are on disk — release the build's pinned subspace frame
+    // (same library-caller contract as buildIndexFrom)
+    graft.Materialize.unpin(subs)
+  }
+
+  /** Probe a PQ-augmented IVF index: pick `nprobe` cells by centroid
+    * cosine, ADC-score ONLY those cells' codes (the scan reads
+    * `_pq_codes/cell=…` — partition-pruned, no raw vectors), then
+    * exact-rerank the top-`rerank` shortlist from the postings of the same
+    * cells. `rerank <= 0` returns the raw ADC ranking (vec_id, acos);
+    * otherwise (vec_id, cos) with exact cosines. The LUT —
+    * dot(query_sub, codeword) per (sub, code) — is built on the driver
+    * from the collected codebook table (|subs|·|cells| rows, the table a
+    * CPU ADC scan keeps in L1) and broadcast into the codes join. */
+  def probeIvfPqIndex(spark: SparkSession, path: String,
+      query: Array[Float], nprobe: Int, k: Int, rerank: Int = 0,
+      excludeIds: Seq[Long] = Seq.empty): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
+    require(rerank <= 0 || rerank >= k, s"rerank $rerank < k $k")
+    val path0 = resolveIndexDir(spark, path)
+    val q = query.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
+    val qn2 = q.map(x => x * x).sum
+    val cells = spark.read.parquet(s"$path0/_centroids")
+      .withColumn("ccos",
+        guardedCos(dotLong(col("cvec"), typedLit(q)), col("cn2"), lit(qn2)))
+      .orderBy(col("ccos").desc, col("clabel"))
+      .limit(nprobe)
+      .select("clabel")
+      .collect().map(_.get(0))
+    // driver-side LUT: qdot = dot(query's sub-slice, codeword). The
+    // codebook table is small by construction (coarse-quantizer-seeded),
+    // and the query must be sliced exactly as pqPartsQ slices postings.
+    require(fsOf(spark, path0).exists(
+      new org.apache.hadoop.fs.Path(path0, "_pq_codebooks")),
+      s"no _pq_codebooks at $path0 — run addPqToIvfIndex first")
+    val cbRows = spark.read.parquet(s"$path0/_pq_codebooks")
+      .select(col("sub").cast("int"), col("clabel").cast("long"),
+        col("cvec"), col("cn2").cast("long"))
+      .collect()
+    require(cbRows.nonEmpty, s"no _pq_codebooks at $path0 — run addPqToIvfIndex")
+    val lutRows = cbRows.toSeq.map { r =>
+      val sub = r.getInt(0)
+      val cvec = r.getSeq[Long](2)
+      val sd = cvec.size
+      val qs = q.slice(sub * sd, sub * sd + sd)
+      val qdot = qs.zip(cvec).map { case (a, b) => a * b }.sum
+      (sub, r.getLong(1), qdot, r.getLong(3))
+    }
+    import spark.implicits._
+    val lut = lutRows.toDF("sub", "code", "qdot", "cn2")
+    val codes = spark.read.parquet(s"$path0/_pq_codes")
+      .where(col("cell").isInCollection(cells.toSeq))
+    val scopedCodes =
+      if (excludeIds.isEmpty) codes
+      else codes.where(!col("vec_id").isInCollection(excludeIds))
+    val adc = scopedCodes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .select(col("vec_id"),
+        round(guardedCos(col("adot"), lit(qn2), col("an2")), 4).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    if (rerank <= 0) adc.limit(k)
+    else {
+      val shortlist = adc.limit(rerank).select("vec_id")
+      spark.read.parquet(path0)
+        .where(col("cell").isInCollection(cells.toSeq))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .select(col("vec_id"),
+          round(guardedCos(dotLong(col("q"), typedLit(q)), lit(qn2),
+            col("n2")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    }
   }
 
   /** Pinned quantized corpus with the seed cell column (the given label):

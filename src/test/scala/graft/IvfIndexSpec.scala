@@ -160,6 +160,97 @@ class IvfIndexSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")))
   }
 
+  test("IVF+PQ: codes-beside-postings probe; full probe + full rerank ≡ exact") {
+    val all = t(spark, sf, "embeddings")
+    val path = tmpDir("ivfpq")
+    Similarity.buildIvfIndexOf(all, path, iters = 1, seedCol = Some("label"))
+    Similarity.addPqToIvfIndex(spark, path, m = 4)
+    // PQ artifacts exist and the postings read still sees only postings
+    // (underscore dirs are invisible to the file index)
+    assert(spark.read.parquet(s"$path/_pq_codebooks").count() >= 1)
+    assert(spark.read.parquet(path).columns.toSet
+      == Set("vec_id", "cell", "q", "n2"))
+    val nCells = spark.read.parquet(s"$path/_centroids").count().toInt
+    val q0 = all.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+
+    // ADC-only probe: k rows from codes alone, query excluded, and the
+    // codes scan is partition-pruned to the probed cells (the layout IS
+    // the index, same proof as the raw-postings probe)
+    val adc = Similarity.probeIvfPqIndex(spark, path, q0, nprobe = 2,
+      k = 10, excludeIds = Seq(0L))
+    assert(adc.count() == 10)
+    val plan = adc.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell.* IN \\(".r
+      .findFirstIn(plan).isDefined, s"codes scan not pruned:\n$plan")
+
+    // degenerate-parameter identity: probing EVERY cell with a
+    // corpus-sized rerank must reproduce the exact brute-force ranking
+    // (probeIvfIndex at nprobe=all, proven exact in PipelinesSpec)
+    val exact = Similarity.probeIvfIndex(spark, path, q0, nprobe = nCells,
+      k = 10, excludeIds = Seq(0L)).collect().toSeq
+    val full = Similarity.probeIvfPqIndex(spark, path, q0, nprobe = nCells,
+      k = 10, rerank = 500, excludeIds = Seq(0L)).collect().toSeq
+    assert(full == exact, "full probe + full rerank diverges from exact")
+
+    // the operating point: pruned cells, ADC shortlist, exact rerank —
+    // recall floor vs the global exact top-10
+    val ex = exact.map(_.getLong(0)).toSet
+    val got = Similarity.probeIvfPqIndex(spark, path, q0, nprobe = 2,
+      k = 10, rerank = 100, excludeIds = Seq(0L)).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (ex & got).size / 10.0
+    info(s"IVFPQ nprobe=2 R=100 recall vs exact top-10: $recall")
+    assert(recall > 0.0, "pruned IVFPQ probe recalls nothing")
+  }
+
+  test("IVF+PQ: appends are ADC-invisible until re-encoded; re-encode restores") {
+    val all = t(spark, sf, "embeddings")
+    val base = all.where(col("vec_id") % 5 =!= 0)
+    val fresh = all.where(col("vec_id") % 5 === 0)
+    val path = tmpDir("ivfpq-append")
+    Similarity.buildIvfIndexOf(base, path, iters = 1, seedCol = Some("label"))
+    Similarity.addPqToIvfIndex(spark, path, m = 4)
+    Similarity.appendToIvfIndex(spark, path, fresh)
+    val someFresh = fresh.orderBy("vec_id").limit(1)
+      .select("vec_id", "embedding").head()
+    val fid = someFresh.getLong(0)
+    val fq = someFresh.getSeq[Float](1).toArray
+    val nCells = spark.read.parquet(s"$path/_centroids").count().toInt
+    // the documented staleness contract: the appended row has no codes
+    // yet, so an all-cells ADC scan cannot see it
+    val adcAll = Similarity.probeIvfPqIndex(spark, path, fq,
+      nprobe = nCells, k = all.count().toInt).collect()
+      .map(_.getLong(0)).toSet
+    assert(!adcAll.contains(fid), "un-encoded append leaked into ADC scan")
+    // idempotent re-encode picks it up; its own embedding retrieves it at
+    // exact cosine 1.0 through the rerank path
+    Similarity.addPqToIvfIndex(spark, path, m = 4)
+    val hit = Similarity.probeIvfPqIndex(spark, path, fq, nprobe = 1,
+      k = 1, rerank = 10).head()
+    assert(hit.getLong(0) == fid && hit.getDouble(1) == 1.0)
+  }
+
+  test("IVF+PQ rides versioned roots; probing without codes is a clear error") {
+    val all = t(spark, sf, "embeddings")
+    val root = tmpDir("ivfpq-versioned")
+    Similarity.buildIvfIndexVersionedOf(all, root, iters = 1,
+      seedCol = Some("label"))
+    val q0 = all.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeIvfPqIndex(spark, root, q0, nprobe = 2, k = 5)
+    }
+    assert(e.getMessage.contains("addPqToIvfIndex"))
+    // the add-on resolves through _current into the live version
+    Similarity.addPqToIvfIndex(spark, root, m = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/_pq_codebooks")))
+    assert(Similarity.probeIvfPqIndex(spark, root, q0, nprobe = 2, k = 5,
+      rerank = 20, excludeIds = Seq(0L)).count() == 5)
+  }
+
   test("buildIvfIndexOf: default pmod seeding trains and probes without a label column") {
     val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
     val path = tmpDir("ivf-nolabel")

@@ -511,6 +511,19 @@ class PipelinesSpec extends SparkSpec {
       "PQ code is not the true per-subspace argmax")
   }
 
+  test("pq: m must divide the dimension — no silent tail truncation") {
+    // sd = dim/m in integer math would drop the last dim%m components
+    // from every subspace; the in-plan guard turns that into an error
+    val e = intercept[Exception] {
+      Similarity.pqEncodeOf(
+        graft.sources.Tables.t(spark, sf, "embeddings"), m = 5).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("does not divide"), msgs.take(500))
+  }
+
   test("ss10 ADC top-k recall vs the exact ss01 ranking") {
     // ADC scores every corpus vector from its 4 codeword ids alone (the
     // query stays exact) — the memory story of the PQ family. Recall vs the
@@ -591,6 +604,32 @@ class PipelinesSpec extends SparkSpec {
     val again = graft.operators.Sampling.sp01SplitSample(spark, sf)
       .repartition(7)
     assert(s.except(again).isEmpty && again.except(s).isEmpty)
+  }
+
+  test("sp06 shuffle-shard is a deterministic permutation into shards") {
+    val out = graft.operators.Sampling.sp06ShuffleShard(spark, sf)
+    val n = graft.sources.Tables.t(spark, sf, "documents").count()
+    // a PERMUTATION: every document exactly once, positions contiguous
+    // 1..|shard| within each shard (no gaps, no collisions)
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    assert(out.groupBy("shard")
+      .agg(count(lit(1)).as("cnt"), max("pos").as("mx"), min("pos").as("mn"))
+      .where(col("mx") =!= col("cnt") || col("mn") =!= 1).isEmpty,
+      "positions are not contiguous 1..n per shard")
+    // placement is hash-derived, not run-derived: a reshuffled
+    // re-evaluation agrees row-for-row
+    val again = graft.operators.Sampling.sp06ShuffleShard(spark, sf)
+      .repartition(7)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // the shuffle actually breaks id-order locality: consecutive ids
+    // land apart (the whole point vs reading the corpus in id order)
+    val sameShardAdjacent = out.as("a")
+      .join(out.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .where(col("a.shard") === col("b.shard"))
+      .count()
+    assert(sameShardAdjacent < n / 2,
+      s"$sameShardAdjacent of $n consecutive-id pairs share a shard")
   }
 
   test("m01 oracle bytes-vs-chars equivalence holds: fixtures ASCII, non-empty, every SF") {
