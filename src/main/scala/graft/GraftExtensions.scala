@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.Bridge
-import graft.functions.{ArrayDotLong, ArrayIntersectCountLong}
+import graft.functions.{ArrayDotLong, ArrayIntersectCountLong, NfcNormalizeExpr}
 
 /** SQL-surface registration of graft's native expressions, so
   * `spark.sql("... array_dot_long(a, b) ...")` works like a built-in.
@@ -33,10 +33,24 @@ object GraftExtensions {
       mk(children.head, children(1))
     })
 
+  private def unary(name: String, clazz: Class[_],
+      mk: Expression => Expression): FunctionDescription = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"$name takes 1 argument, got ${children.length}")
+      mk(children.head)
+    })
+
   private val all: Seq[FunctionDescription] = Seq(
     binary("array_dot_long", classOf[ArrayDotLong], ArrayDotLong.apply),
     binary("array_intersect_count_long", classOf[ArrayIntersectCountLong],
-      ArrayIntersectCountLong.apply))
+      ArrayIntersectCountLong.apply),
+    // nfc_normalize: SQL surface for the canonicalization expression.
+    // (bloom_might_contain_long is deliberately NOT here: its filter
+    // argument is a driver-built object, not expressible in SQL text.)
+    unary("nfc_normalize", classOf[NfcNormalizeExpr], NfcNormalizeExpr.apply))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -13,9 +13,11 @@ import graft.sources.Sink
   * ANN index maintained, without ever re-processing the historical
   * corpus:
   *
-  *  1. `Dedup.incrementalAdmit` — the night's docs against the store's
-  *     standing fingerprint column: only (fp, doc_id) pairs move, text
-  *     stays in place (the dd08 shape);
+  *  1. `Dedup.bloomAdmit` — the night's docs against the store's
+  *     standing fingerprint ledger: only (fp, doc_id) pairs move, text
+  *     stays in place (the dd08 shape), and the ledger scan is
+  *     Bloom-pre-filtered by tonight's keys (the dd10 shape) so the
+  *     part that grows with corpus age never joins its misses;
   *  2. the shared quality definition gates survivors (same formula as
   *     batch and streaming — one definition, three on-ramps);
   *  3. `Sink.writeCurated(mode = "append")` adds the night's files into
@@ -80,8 +82,12 @@ object NightlyIngestExample {
     var decisions: DataFrame = null
     var survivors: DataFrame = null
     try {
+      // bloomAdmit ≡ incrementalAdmit row-for-row (proven in
+      // PipelinesSpec), but the ledger side — the part that grows with
+      // corpus age — is pre-filtered by a Bloom probe over tonight's
+      // keys, so ledger rows that can't match never reach the join
       decisions = graft.Materialize.pin(
-        Dedup.incrementalAdmit(existing, incoming))
+        Dedup.bloomAdmit(existing, incoming))
       val admittedDocs = newDocs
         .join(decisions.where(col("admitted")).select("doc_id"), "doc_id")
         .withColumn("quality", TextAnalysis.quality(col("text")))

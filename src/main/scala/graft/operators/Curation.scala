@@ -140,6 +140,33 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c06 — EMBEDDING-level decontamination: where c04 removes training
+    * documents that share literal n-grams with a benchmark, c06 removes
+    * documents whose EMBEDDING is close to any benchmark vector —
+    * catching the paraphrased/translated/reformatted contamination that
+    * defeats lexical matching (the same lexical→semantic escalation as
+    * c01/c02 → c03). The declared query flags vec_id % 97 == 0 as the
+    * benchmark set (c04's predicate shape) and marks cosine ≥ 0.4 as
+    * contaminated. Exact, not ANN: a benchmark is small by definition, so
+    * the right 100 TB plan is the broadcast scan in
+    * [[Similarity.benchmarkMaxCos]] — one corpus pass, map-side-combined
+    * max, no candidate-recall trade on a correctness-critical filter. */
+  def c06EmbeddingDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    embeddingDecontaminate(spark, dir, col("vec_id") % 97 === 0,
+      minCos = 0.4)
+
+  /** Library surface: embedding decontamination at a caller-chosen
+    * benchmark predicate (over the full embeddings row) and cosine
+    * threshold. Emits every non-benchmark vector with its max benchmark
+    * cosine; with an empty benchmark set, max_cos is null and nothing is
+    * contaminated. */
+  def embeddingDecontaminate(spark: SparkSession, dir: String,
+      isBenchmark: Column, minCos: Double): DataFrame =
+    Similarity.benchmarkMaxCos(spark, dir, isBenchmark)
+      .select(col("vec_id"), col("max_cos"),
+        coalesce(col("max_cos") >= minCos, lit(false)).as("contaminated"))
+      .orderBy("vec_id")
+
   /** c05 — cluster-balanced (diversity) sampling: the best-quality k
     * documents of EVERY embedding cluster — the coverage-balanced mix
     * step (a quality-only cut over-samples whatever content type scores

@@ -409,6 +409,53 @@ object Dedup {
           .as("admitted"))
   }
 
+  /** dd10 — BLOOM-accelerated incremental admission: same semantics as
+    * dd08 (admitted = unseen-in-ledger ∧ first-in-batch), different ledger
+    * cost model. dd08's join touches every ledger (fp, id) row; at 100 TB
+    * the ledger side is billions of rows shuffled (or bucket-joined) for a
+    * nightly batch of millions. Here the NIGHTLY BATCH's fingerprint keys
+    * are folded into a Bloom filter (a few MB for millions of keys at 1%
+    * fpp — the SMALL side, by nightly construction), the filter rides the
+    * ledger scan as a codegen'd predicate, and only ledger rows that might
+    * collide with tonight's keys survive to the exact join — the ledger
+    * contribution drops from |ledger| joined rows to |batch ∩ ledger| +
+    * fpp·|ledger| scanned-and-dropped rows, with no shuffle of the misses.
+    * False positives are killed by the exact join; no false negatives
+    * exist, so the result is IDENTICAL to [[incrementalAdmit]] — asserted
+    * row-for-row in PipelinesSpec, and the declared query shares dd08's
+    * oracle. */
+  def dd10BloomAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val fps = t(spark, dir, "documents")
+      .select(col("doc_id"), leadFingerprint(10).as("fp"))
+    bloomAdmit(fps.where(col("doc_id") % 2 === 0),
+      fps.where(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+  }
+
+  /** Library surface: [[incrementalAdmit]] with a Bloom pre-filter on the
+    * `existing` ledger. The filter is built over `incoming`'s 60-bit md5
+    * fingerprint keys with one distributed fold (`treeAggregate` — bit
+    * sets OR together, so the filter is order- and partition-independent);
+    * `expectedItems < 0` sizes it from a count of the incoming side (one
+    * cheap extra job on the small side — pass the known batch size to skip
+    * it). Null-fp rows keep dd08's contract: admitted verbatim, never
+    * recorded as seen, and never consulted against the filter. */
+  def bloomAdmit(existing: DataFrame, incoming: DataFrame,
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val key = graft.functions.Hashing.md5Long(col("fp"), 15)
+    val keys = incoming.where(col("fp").isNotNull).select(key.as("k"))
+    val n = if (expectedItems >= 0) expectedItems else keys.count()
+    val bf = keys.as[Long].rdd.treeAggregate(
+      BloomFilter.create(math.max(n, 1L), fpp))(
+      (f, v) => { f.putLong(v); f }, (a, b) => { a.mergeInPlace(b); a })
+    val pruned = existing.where(col("fp").isNotNull &&
+      graft.functions.BloomMightContain.mightContainLong(key, bf))
+    incrementalAdmit(pruned, incoming)
+  }
+
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
     * int64 in every engine; production-strength discrimination (a 32-bit

@@ -193,6 +193,43 @@ object Sampling {
       .select(idCol, "shard", "pos")
   }
 
+  /** sp07 — context-window chunking: split every document's token stream
+    * into windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride), the step that turns curated documents into
+    * training-context rows (and RAG passages). Map-only: one explode per
+    * document of ⌈len/stride⌉ rows — no shuffle, no state, so at 100 TB it
+    * runs at scan speed and the output partitioning inherits the input's.
+    * Window starts are 1, 1+stride, 2·stride+1, … while the start lands
+    * inside the document, so every token is covered (stride ≤ window) and
+    * the final window may be short — the standard pack-then-pad shape.
+    * Chunk identity (doc_id, chunk) is position-derived, not run-derived:
+    * reruns and the oracle enumerate identical windows. */
+  def sp07ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    chunkWindowsOf(t(spark, dir, "documents"), window = 40, stride = 30)
+      .orderBy("doc_id", "chunk")
+
+  /** Generic Of-surface: token-window chunking over ANY frame with an id
+    * and a text column (the declared query pins 40/30 for the oracle). */
+  def chunkWindowsOf(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window: $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window] or tokens are skipped: $stride")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    docs
+      .select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        // `div`, not `/`: Spark's / is always double division
+        explode(sequence(lit(0),
+          expr(s"(size(__ws) - 1) div $stride"))).as("__i"),
+        col("__ws"))
+      .withColumn("__start", col("__i") * stride + 1)
+      .select(col(idCol), (col("__i") + 1).as("chunk"),
+        size(slice(col("__ws"), col("__start"), lit(window))).as("n_tokens"),
+        array_join(slice(col("__ws"), col("__start"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

@@ -321,6 +321,34 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Max cosine of every corpus vector against a BENCHMARK set (rows where
+    * `isBenchmark` holds — evaluated over the full embeddings row, null ⇒
+    * not-benchmark): the embedding-level decontamination primitive (c06).
+    * Exact form: the benchmark set broadcasts (an eval suite is small by
+    * definition), the corpus is scanned once map-only, and the per-vector
+    * max is a map-side-combined aggregate — the shuffle carries one row
+    * per corpus vector, never the |corpus|·|bench| products. Corpus
+    * vectors are LEFT-joined back, so with an empty benchmark set every
+    * vector surfaces with a null max_cos (nothing is contaminated) rather
+    * than vanishing. For benchmark sets that outgrow a broadcast, route
+    * through [[ivfKnnJoin]] and keep rank-1 instead. */
+  def benchmarkMaxCos(spark: SparkSession, dir: String,
+      isBenchmark: Column): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val c = flaggedCorpus(spark, dir, isBenchmark)
+    val corpus = c.where(!col("__isq"))
+    val bench = c.where(col("__isq"))
+      .select(col("q").as("bq"), col("n2").as("bn2"))
+    val scored = corpus
+      .crossJoin(broadcast(bench))
+      .withColumn("c",
+        guardedCos(dotLong(col("q"), col("bq")), col("bn2"), col("n2")))
+      .groupBy("vec_id")
+      .agg(round(max(col("c")), 4).as("max_cos"))
+    corpus.select("vec_id", "label")
+      .join(scored, Seq("vec_id"), "left")
+  }
+
   // ---- product quantization (the ANN MEMORY story) ---------------------
   // IVF bounds how much of the corpus a probe SCANS; PQ bounds how many
   // bytes each scanned vector COSTS. A 64-dim float vector (256 B) encodes

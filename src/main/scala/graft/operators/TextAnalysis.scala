@@ -461,4 +461,28 @@ object TextAnalysis {
         round(col("n_subtokens").cast("double") / col("n_words"), 3))
       .orderBy("doc_id")
   }
+
+  /** THE text-canonicalization column — Unicode NFC (custom codegen
+    * expression, [[graft.functions.NfcNormalize]]; Spark has no built-in
+    * normalizer), lowercase, trim, whitespace collapse — applied BEFORE
+    * fingerprinting in any pipeline where "the same text" must mean the
+    * same bytes: composed vs decomposed accents, tabs vs spaces, and case
+    * differences otherwise all defeat hash-keyed dedup silently. Exposed
+    * as a Column so callers canonicalize their own frames with the one
+    * shared definition. */
+  def normalized(text: Column): Column =
+    graft.functions.NfcNormalize.nfc(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** t16 — canonicalization audit: the normalized text plus whether
+    * normalization changed anything (the fraction of changed documents is
+    * the "how dirty is this corpus" metric that decides whether upstream
+    * fingerprints must be recomputed). Map-only, scan-speed at any scale.
+    * DuckDB's `nfc_normalize` implements the same Unicode-spec NFC as
+    * `java.text.Normalizer`, so the oracle agrees byte-for-byte. */
+  def t16Normalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), normalized(col("text")).as("norm_text"),
+        (normalized(col("text")) =!= col("text")).as("changed"))
+      .orderBy("doc_id")
 }

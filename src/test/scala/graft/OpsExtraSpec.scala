@@ -150,4 +150,12 @@ class OpsExtraSpec extends SparkSpec {
       .head().getLong(0)
     assert(r == 32L)
   }
+
+  test("nfc_normalize is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // 'e' + U+0301 combining acute must compose to U+00E9
+    val r = spark.sql("SELECT nfc_normalize('cafe\\u0301') AS s")
+      .head().getString(0)
+    assert(r == "caf\u00e9")
+  }
 }

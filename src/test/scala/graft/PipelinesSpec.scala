@@ -984,4 +984,97 @@ class PipelinesSpec extends SparkSpec {
     // per-bucket distinct users can never exceed the bucket's event count
     assert(out.where(col("users") > col("n")).isEmpty)
   }
+
+  test("dd10 bloom-admit is row-identical to the exact incremental admit") {
+    // the whole point of the shared oracle: the Bloom filter has no false
+    // negatives and the exact join kills its false positives, so the two
+    // paths must agree row-for-row, not just on counts
+    val exact = Dedup.dd08IncrementalDedup(spark, sf).collect().toSeq
+    val bloom = Dedup.dd10BloomAdmit(spark, sf).collect().toSeq
+    assert(bloom == exact && exact.nonEmpty)
+    // and the probe is really in the plan as the codegen'd predicate (not
+    // a silently-dropped filter): the ledger scan carries it
+    val plan = Dedup.dd10BloomAdmit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_long"), plan.take(1500))
+  }
+
+  test("bloomAdmit: partition-independent build; null fps admitted verbatim") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "fp")
+    val incoming = Seq((10L, Some("a")), (11L, Some("c")),
+      (12L, Option.empty[String]), (13L, Some("c"))).toDF("doc_id", "fp")
+    def run(ex: org.apache.spark.sql.DataFrame,
+        in: org.apache.spark.sql.DataFrame) =
+      Dedup.bloomAdmit(ex, in).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    val out = run(existing, incoming)
+    // 10 clashes with the ledger; 11 is first-of-batch for c; 12 has no
+    // key (admitted verbatim); 13 loses first-in-batch to 11
+    assert(out == Seq((10L, false), (11L, true), (12L, true), (13L, false)))
+    // a Bloom bit set is an OR of per-item bit sets — rebuilding from any
+    // partitioning admits the identical set
+    assert(run(existing.repartition(5), incoming.repartition(3)) == out)
+  }
+
+  test("sp07 chunk windows: coverage, bounds, and the stride arithmetic") {
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val out = graft.operators.Sampling.chunkWindowsOf(docs,
+      window = 40, stride = 30)
+    val toks = docs.select(col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+    val agg = out.groupBy("doc_id").agg(
+      count(lit(1)).as("chunks"),
+      // chunk c starts at (c-1)·stride+1 and holds n_tokens tokens, so
+      // its last covered token is (c-1)·stride+n_tokens
+      max((col("chunk") - 1) * 30 + col("n_tokens")).as("last_covered"),
+      max("n_tokens").as("mx"), min("n_tokens").as("mn"))
+      .join(toks, "doc_id")
+    // every document chunked; chunk count is the stride formula; the final
+    // window reaches the last token (full coverage, stride ≤ window);
+    // no window exceeds `window` tokens or is empty
+    assert(agg.count() == docs.count())
+    assert(agg.where(col("chunks") =!= expr("(n - 1) div 30 + 1")).isEmpty)
+    assert(agg.where(col("last_covered") =!= col("n")).isEmpty)
+    assert(agg.where(col("mx") > 40 || col("mn") < 1).isEmpty)
+  }
+
+  test("c06 embedding decontamination max_cos agrees with ss01's exact cosines") {
+    // benchmark = {vec 0} makes max_cos(w) ≡ cos(w, v0): the ss01 top-10
+    // values must reappear identically through the c06 path
+    val top = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dec = graft.operators.Curation.embeddingDecontaminate(
+        spark, sf, col("vec_id") === 0, minCos = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top.nonEmpty)
+    top.foreach { case (id, c) =>
+      assert(dec(id) == c, s"vec $id: c06=${dec(id)} ss01=$c") }
+  }
+
+  test("c06 with an empty benchmark set contaminates nothing and keeps every row") {
+    val out = graft.operators.Curation.embeddingDecontaminate(
+      spark, sf, lit(false), minCos = 0.4)
+    assert(out.count() ==
+      graft.sources.Tables.t(spark, sf, "embeddings").count())
+    assert(out.where(col("contaminated")).isEmpty)
+    assert(out.where(col("max_cos").isNotNull).isEmpty)
+  }
+
+  test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
+    import spark.implicits._
+    // repartition forces real execution (a Project over a LocalRelation
+    // would constant-fold at optimization time and never exercise codegen;
+    // SparkSpec pins codegen.fallback=false so a janino failure surfaces)
+    val df = Seq(
+      ("caf\u00e9", "cafe\u0301"),  // composed é vs e + combining acute
+      ("A  B\tC", "a b c"),                        // case + whitespace
+      ("  x  ", "x")                               // trim
+    ).toDF("a", "b").repartition(2)
+    val n = df.select(TextAnalysis.normalized(col("a")).as("na"),
+      TextAnalysis.normalized(col("b")).as("nb"))
+    assert(n.where(col("na") =!= col("nb")).isEmpty)
+    assert(n.where(
+      TextAnalysis.normalized(col("na")) =!= col("na")).isEmpty)
+  }
 }

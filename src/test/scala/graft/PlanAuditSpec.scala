@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     // the PQ probes attach the ONE-row query-norm frame (and ss11 the
     // query vector itself — 1 row); codebook and LUT attaches are keyed
     // equi-joins, not BNLJ
-    "ss10_pq_adc", "ss11_pq_rerank")
+    "ss10_pq_adc", "ss11_pq_rerank",
+    // c06's broadcast side is the BENCHMARK embedding set — bounded by
+    // definition of an eval suite (ivfKnnJoin is the escape hatch)
+    "c06_embedding_decontaminate")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -49,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     * presentation sort — hold that as a plan invariant, not prose. */
   private val mapOnly = Seq("t01_token_count", "t02_quality", "t03_langid",
     "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
-    "m01_decode", "m02_frames", "m03_resize", "sp01_split_sample")
+    "t16_normalize", "m01_decode", "m02_frames", "m03_resize",
+    "sp01_split_sample", "sp07_chunk_windows")
 
   test("map-only operators shuffle at most once (the presentation sort)") {
     for (name <- mapOnly) {
