@@ -123,9 +123,6 @@ object NightlyIngestExample {
       // probes can't be quiesced during retrains) to its live version, so
       // either layout passes the liveness probe here
       val liveIndex = Similarity.resolveIndexDir(spark, indexDir)
-      // deployments probing through probeIvfPqIndex re-derive the codes
-      // after tonight's append/retrain (addPqToIvfIndex — PQ codes are a
-      // derived artifact; appended rows are ADC-invisible until encoded)
       val retrained =
         if (nSurvive == 0) false
         else if (dirExists(spark, s"$liveIndex/_centroids"))
@@ -141,6 +138,11 @@ object NightlyIngestExample {
           Similarity.buildIvfIndexOf(vecs, indexDir, iters = 1)
           false
         }
+      // PQ codes are a DERIVED artifact: tonight's appended (or
+      // retrained) postings are ADC-invisible until re-encoded. No-op on
+      // an index that was never PQ-augmented, so the call is
+      // unconditional rather than an operator runbook step.
+      if (nSurvive > 0) Similarity.refreshPqCodes(spark, indexDir)
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
         belowQuality = nAdmit - nSurvive, indexRetrained = retrained)
     } finally {

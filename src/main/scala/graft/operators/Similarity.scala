@@ -999,6 +999,24 @@ object Similarity {
     graft.Materialize.unpin(subs)
   }
 
+  /** Re-derive the PQ codes of a PQ-augmented index after an append or a
+    * retrain, inferring `m` from the stored codebooks — the maintenance
+    * half of the staleness contract (appended rows are ADC-invisible
+    * until encoded). No-op on an index that was never PQ-augmented, so a
+    * nightly job calls it unconditionally after [[maintainIvfIndex]].
+    * Returns whether codes were refreshed. */
+  def refreshPqCodes(spark: SparkSession, path: String): Boolean = {
+    val path0 = resolveIndexDir(spark, path)
+    val cbPath = new org.apache.hadoop.fs.Path(path0, "_pq_codebooks")
+    if (!fsOf(spark, path0).exists(cbPath)) false
+    else {
+      val m = spark.read.parquet(s"$path0/_pq_codebooks")
+        .agg(max(col("sub"))).head().getInt(0) + 1
+      addPqToIvfIndex(spark, path0, m)
+      true
+    }
+  }
+
   /** Probe a PQ-augmented IVF index: pick `nprobe` cells by centroid
     * cosine, ADC-score ONLY those cells' codes (the scan reads
     * `_pq_codes/cell=…` — partition-pruned, no raw vectors), then

@@ -231,6 +231,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(hit.getLong(0) == fid && hit.getDouble(1) == 1.0)
   }
 
+  test("refreshPqCodes infers m, re-encodes after append; no-op without PQ") {
+    val all = t(spark, sf, "embeddings")
+    val base = all.where(col("vec_id") % 5 =!= 0)
+    val fresh = all.where(col("vec_id") % 5 === 0)
+    val path = tmpDir("ivfpq-refresh")
+    Similarity.buildIvfIndexOf(base, path, iters = 1, seedCol = Some("label"))
+    // never PQ-augmented → refresh declines (the unconditional nightly
+    // call must not conjure codes on a plain IVF index)
+    assert(!Similarity.refreshPqCodes(spark, path))
+    Similarity.addPqToIvfIndex(spark, path, m = 4)
+    Similarity.appendToIvfIndex(spark, path, fresh)
+    val someFresh = fresh.orderBy("vec_id").limit(1)
+      .select("vec_id", "embedding").head()
+    val fid = someFresh.getLong(0)
+    val fq = someFresh.getSeq[Float](1).toArray
+    // the nightly-shape call: no m argument — inferred from the stored
+    // codebooks — and the appended row becomes ADC-visible
+    assert(Similarity.refreshPqCodes(spark, path))
+    val hit = Similarity.probeIvfPqIndex(spark, path, fq, nprobe = 1,
+      k = 1, rerank = 10).head()
+    assert(hit.getLong(0) == fid && hit.getDouble(1) == 1.0)
+  }
+
   test("IVF+PQ rides versioned roots; probing without codes is a clear error") {
     val all = t(spark, sf, "embeddings")
     val root = tmpDir("ivfpq-versioned")
