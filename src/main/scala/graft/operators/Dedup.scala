@@ -456,6 +456,62 @@ object Dedup {
     incrementalAdmit(pruned, incoming)
   }
 
+  /** dd11 — WINNOWING fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-token gram positionally,
+    * slide a w-hash window over the stream, keep each window's MINIMUM,
+    * and the distinct kept hashes are the document's sketch. The
+    * winnowing GUARANTEE — the reason this beats sampling every j-th
+    * gram — is that ANY shared token run of ≥ w+k−1 tokens between two
+    * documents yields ≥ 1 shared fingerprint, at a sketch density of
+    * ~2/(w+1) of the gram stream. In the dedup family this is the
+    * CONTAINMENT detector: t04 (one hash) catches identical documents,
+    * dd03 (MinHash) catches high whole-document set similarity, dd09
+    * catches spans at full w× gram cost — winnowing catches a copied
+    * paragraph inside an otherwise-different document at a fraction of
+    * dd09's emission volume, with a provable no-miss floor.
+    *
+    * Scale shape: map-only — two per-row array transforms, no explode of
+    * the gram stream, no shuffle at all before the final (doc_id, fp)
+    * emission, which is dd01's 16 B-row join economics thinned to
+    * ~2/(w+1) density. The lambda pipeline evaluates interpretively
+    * (outside codegen) — the honest price of zero shuffle; work is a few
+    * hash+min ops per token, scan-bound in practice. Docs shorter than k
+    * tokens have no grams and emit nothing; docs with 1..w−1 grams emit
+    * the minimum of what they have (one truncated window), so every doc
+    * with ≥ k tokens stays sketchable. */
+  def dd11Winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowOf(t(spark, dir, "documents"), k = 3, w = 4)
+      .orderBy("doc_id", "fp")
+
+  /** Generic Of-surface: winnowing sketch over ANY (id, text) frame (the
+    * declared query pins k=3/w=4 for the oracle). Emits one row per
+    * distinct kept fingerprint: (id, fp). */
+  def winnowOf(docs: DataFrame, k: Int, w: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(w >= 1, s"w: $w")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    docs
+      .select(col(idCol), ws.as("__ws"))
+      .withColumn("__hs",
+        when(size(col("__ws")) >= k,
+          transform(sequence(lit(1), size(col("__ws")) - (k - 1)),
+            i => md5Long(
+              array_join(slice(col("__ws"), i, lit(k)), " "), 15)))
+          .otherwise(array().cast("array<bigint>")))
+      // one window per position; fewer than w hashes → ONE truncated
+      // window (slice clamps at the end); greatest(…, 1) keeps the
+      // sequence ascending for the m < w case
+      .withColumn("__fps",
+        when(size(col("__hs")) >= 1,
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
+            j => array_min(slice(col("__hs"), j, lit(w))))))
+          .otherwise(col("__hs")))
+      .select(col(idCol), explode(col("__fps")).as("fp"))
+  }
+
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
     * int64 in every engine; production-strength discrimination (a 32-bit

@@ -1061,6 +1061,35 @@ class PipelinesSpec extends SparkSpec {
     assert(out.where(col("max_cos").isNotNull).isEmpty)
   }
 
+  test("dd11 winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // k=3, w=4 ⇒ guarantee floor w+k−1 = 6 tokens: a shared 6-token run
+    // gives 4 consecutive shared gram hashes, both documents slide a
+    // window over exactly those 4, and that window's min is emitted by
+    // both. Doc 3 shares no vocabulary — zero shared fingerprints.
+    val planted = "the quick brown fox jumps high"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $planted delta epsilon"),
+      (2L, s"one two three four $planted five six seven"),
+      (3L, "completely different words with nothing in common at all"))
+      .toDF("doc_id", "text")
+    def sketch(id: Long) = Dedup.winnowOf(docs, k = 3, w = 4)
+      .where(col("doc_id") === id).collect().map(_.getLong(1)).toSet
+    val (a, b, c) = (sketch(1), sketch(2), sketch(3))
+    assert((a & b).nonEmpty, "shared 6-token run lost by winnowing")
+    assert((a & c).isEmpty && (b & c).isEmpty)
+    // density: the sketch thins the gram stream (strict subset of gram
+    // hashes; ~2/(w+1) expected) and every ≥k-token doc is sketchable
+    assert(a.size <= 11 - 2 && a.nonEmpty) // doc 1 has 11 tokens, 9 grams
+    // short docs: fewer grams than w still emit their (single) min; and
+    // sub-k docs vanish rather than erroring
+    val tiny = Seq((7L, "just four little words"), (8L, "too short"))
+      .toDF("doc_id", "text")
+    val t = Dedup.winnowOf(tiny, k = 3, w = 4)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(t == Seq(7L), s"short-doc handling: $t")
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation

@@ -53,7 +53,7 @@ class PlanAuditSpec extends SparkSpec {
   private val mapOnly = Seq("t01_token_count", "t02_quality", "t03_langid",
     "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
     "t16_normalize", "m01_decode", "m02_frames", "m03_resize",
-    "sp01_split_sample", "sp07_chunk_windows")
+    "sp01_split_sample", "sp07_chunk_windows", "dd11_winnow")
 
   test("map-only operators shuffle at most once (the presentation sort)") {
     for (name <- mapOnly) {
