@@ -512,6 +512,40 @@ object Dedup {
       .select(col(idCol), explode(col("__fps")).as("fp"))
   }
 
+  /** dd12 — winnowing CONTAINMENT pairs: documents sharing ≥ `minShared`
+    * winnow fingerprints (dd11's sketch, joined with itself). By the
+    * winnowing guarantee, any two documents sharing a token run of
+    * ≥ w+k−1 tokens appear here — the copied-paragraph / quote-chain /
+    * syndication detector, where whole-document similarity (dd03) is low
+    * and exact fingerprints (dd01) are blind. `n_shared` grades the
+    * overlap: boilerplate pairs score low, substantial containment high.
+    *
+    * Scale shape: the sketch build is dd11's map-only pass; the pair
+    * generation is a fingerprint-bucket self-join routed through
+    * [[Skew.selfPairs]] — a boilerplate fingerprint shared by a million
+    * documents is a hot KEY whose n² pair volume would otherwise land in
+    * one task; salting bounds per-task groups with a provably identical
+    * pair set. Shared-count aggregation is map-side combined on (ida,
+    * idb). Nothing quadratic in the corpus exists: pair volume is
+    * Σ_fp n_fp², the same Σ n_b² economics as every banded candidate
+    * generator here. */
+  def dd12WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(t(spark, dir, "documents"), k = 3, w = 4, minShared = 2)
+      .orderBy("ida", "idb")
+
+  /** Generic Of-surface: winnow-containment pairs over ANY (id, text)
+    * frame (the declared query pins k=3/w=4/minShared=2). Emits
+    * (ida, idb, n_shared) with ida < idb. */
+  def winnowPairsOf(docs: DataFrame, k: Int, w: Int, minShared: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    val fps = winnowOf(docs, k, w, idCol, textCol)
+    Skew.selfPairs(fps, Seq("fp"), idCol, maxGroup = 4096)
+      .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
     * int64 in every engine; production-strength discrimination (a 32-bit

@@ -1090,6 +1090,23 @@ class PipelinesSpec extends SparkSpec {
     assert(t == Seq(7L), s"short-doc handling: $t")
   }
 
+  test("dd12 winnow pairs equal driver-side sketch intersections") {
+    // the salted self-join + count must reproduce exactly |Sa ∩ Sb| ≥ 2
+    // over the dd11 sketches — pair-set AND count equality, the
+    // Skew.selfPairs no-dup/no-loss contract applied to real sketches
+    val sk = Dedup.winnowOf(
+        graft.sources.Tables.t(spark, sf, "documents"), k = 3, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val want = (for {
+      (a, sa) <- sk.toSeq; (b, sb) <- sk.toSeq if a < b
+      n = (sa & sb).size if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    val got = Dedup.dd12WinnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation
