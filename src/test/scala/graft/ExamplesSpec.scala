@@ -23,6 +23,36 @@ class ExamplesSpec extends SparkSpec {
     assert(out.where(col("doc_id") % 97 === 0).isEmpty)
   }
 
+  test("RagIndexExample: build versioned IVF+PQ passage index, retrieve exactly") {
+    import graft.examples.RagIndexExample
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val root = tmpDir("ragidx")
+    val n = RagIndexExample.buildRagIndex(spark, docs, root)
+    assert(n > 0)
+    // versioned layout + PQ artifacts landed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/_pq_codebooks")))
+    // retrieving with a chunk's OWN text at the EXHAUSTIVE setting
+    // (all cells probed, corpus-sized rerank — exact by the IVFPQ
+    // identity proof) must return that chunk at cosine 1.0: the query
+    // embeds through the identical column, so vectors are bit-equal
+    val probe = RagIndexExample.passages(docs)
+      .where(col("n_tokens") >= 5).orderBy("chunk_id").limit(1)
+      .select("chunk_id", "chunk_text").head()
+    val exact = RagIndexExample.retrieve(spark, root, probe.getString(1),
+      k = 3, nprobe = 10, rerank = n.toInt).collect()
+    assert(exact.length == 3)
+    assert(exact.head.getLong(0) == probe.getLong(0),
+      s"top hit ${exact.head} is not the probed chunk ${probe.getLong(0)}")
+    assert(exact.head.getDouble(1) == 1.0)
+    // the pruned operating point returns k passages (recall, not
+    // exactness, is its contract — asserted on the operator's own spec)
+    assert(RagIndexExample.retrieve(spark, root, probe.getString(1),
+      k = 3).count() == 3)
+  }
+
   test("CurationExample write path emits lang-partitioned parquet") {
     val dir = tmpDir("curated-out")
     graft.sources.Sink.writeCurated(
