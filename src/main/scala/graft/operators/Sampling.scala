@@ -230,6 +230,64 @@ object Sampling {
           .as("chunk_text"))
   }
 
+  /** sp08 — EXACT weighted mixture: fill a document budget at declared
+    * per-mille source proportions (the DoReMi-style static-weights mixing
+    * knob). Where sp02 CAPS a source and sp03 FLATTENS the distribution,
+    * sp08 hits stated targets: k_src = budget·w_src/1000 documents per
+    * source, chosen best-salted-hash-first so the selection is a corpus
+    * property (reruns, retries, and the oracle pick identical documents).
+    * A source with fewer than k_src documents under-fills — capped at
+    * what exists, never upsampled; re-normalize weights upstream if exact
+    * totals matter more than exact proportions. All arithmetic is int64
+    * (per-mille weights, integer division both engines) — no float
+    * rounding to straddle an engine boundary.
+    *
+    * Scale shape: one per-source window (parallel across sources) + a
+    * broadcast weights table (bounded by the source vocabulary) + a
+    * 1-row corpus count. The declared query pins budget = |corpus|/10
+    * and weights 400/300/200/100 over src0–src3 (unlisted sources drop —
+    * weight zero). */
+  def sp08WeightedMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val total = docs.agg(count(lit(1)).as("__n"))
+    mixToWeightsOf(docs,
+      Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100),
+      budget = expr("__n div 10"), budgetFrame = Some(total))
+      .orderBy("source", "rk")
+  }
+
+  /** Library surface: exact weighted mixture over ANY frame with an id
+    * and a source column. `weights` are per-mille; `budget` is the target
+    * output size (a literal for the common call, or an expression over
+    * `budgetFrame` — a 1-row frame cross-joined in, the declared query's
+    * in-plan |corpus|/10). Emits (source, rk, id) with rk ≤ k_source. */
+  def mixToWeightsOf(docs: DataFrame, weights: Seq[(String, Int)],
+      budget: Column, budgetFrame: Option[DataFrame] = None,
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 1),
+      s"per-mille weights must be >= 1: $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wts = weights.toDF(srcCol, "__wm")
+    val ranked = docs
+      .withColumn("__ord", graft.functions.Hashing.md5Long(
+        concat(lit("mix:"), col(idCol).cast("string")), 15))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(srcCol).orderBy(col("__ord"), col(idCol))))
+    val budgeted = budgetFrame match {
+      case Some(f) => ranked.crossJoin(broadcast(f))
+      case None => ranked
+    }
+    budgeted
+      .join(broadcast(wts), srcCol)
+      .withColumn("__budget", budget.cast("long"))
+      .withColumn("__k", expr("(__budget * __wm) div 1000"))
+      .where(col("rk") <= col("__k"))
+      .select(col(srcCol), col("rk"), col(idCol))
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

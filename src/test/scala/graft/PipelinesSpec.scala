@@ -1107,6 +1107,28 @@ class PipelinesSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sp08 weighted mix hits exact per-mille proportions, capped at supply") {
+    // fixture: 20 sources × 25 docs; budget = 500/10 = 50 → targets
+    // 20/15/10/5 for src0..src3, all under the 25-doc supply → EXACT
+    val out = graft.operators.Sampling.sp08WeightedMix(spark, sf)
+    val counts = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      "src0" -> 20L, "src1" -> 15L, "src2" -> 10L, "src3" -> 5L))
+    // the selection is a corpus property: identical under repartition
+    val again = graft.operators.Sampling.sp08WeightedMix(spark, sf)
+      .repartition(7)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // supply cap: a budget demanding more than a source holds under-fills
+    // at what exists (25), never upsamples
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val big = graft.operators.Sampling.mixToWeightsOf(docs,
+      Seq("src0" -> 500, "src1" -> 500), budget = lit(10000L))
+    val bigCounts = big.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigCounts == Map("src0" -> 25L, "src1" -> 25L))
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation

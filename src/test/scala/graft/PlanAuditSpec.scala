@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
     "ss10_pq_adc", "ss11_pq_rerank",
     // c06's broadcast side is the BENCHMARK embedding set — bounded by
     // definition of an eval suite (ivfKnnJoin is the escape hatch)
-    "c06_embedding_decontaminate")
+    "c06_embedding_decontaminate",
+    // sp08's broadcast sides are the ONE-row corpus count and the
+    // weights table (bounded by the source vocabulary)
+    "sp08_weighted_mix")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
