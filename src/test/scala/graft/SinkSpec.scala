@@ -81,4 +81,38 @@ class SinkSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("TextCorpus jsonl: gz round-trip lossless; corrupt lines counted, kept") {
+    import graft.sources.TextCorpus
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+    val dir = tmpDir("jsonl")
+    TextCorpus.writeJsonl(docs, dir)
+    // gzip shards on disk (gz = one task per shard; size is the knob)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    val (back, bad) = TextCorpus.readJsonlClean(spark, dir, docs.schema)
+    assert(bad == 0)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // a shard with a truncation seam: the bad line is COUNTED and the
+    // good lines around it survive — nothing silently dropped
+    val dir2 = tmpDir("jsonl-bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "part-00000.json"),
+      """{"doc_id":1,"text":"ok","lang":"en"}
+        |{"doc_id":2,"text":"truncat
+        |{"doc_id":3,"text":"fine","lang":"de"}
+        |""".stripMargin)
+    val (clean, nBad) = TextCorpus.readJsonlClean(spark, dir2, docs.schema)
+    assert(nBad == 1)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // declaring the reserved corrupt column is an error, not a surprise
+    val e = intercept[IllegalArgumentException] {
+      TextCorpus.readJsonl(spark, dir2, docs.schema
+        .add(TextCorpus.CorruptCol, "string"))
+    }
+    assert(e.getMessage.contains(TextCorpus.CorruptCol))
+  }
 }
