@@ -495,4 +495,33 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("map-only operators compose into a streaming pipeline unchanged") {
+    // the stateless Of-surfaces (t16 normalize, sp07 chunking — and by
+    // the same construction winnowOf/quality) are plain select+explode
+    // plans, so the SAME call works under readStream: the live tail of
+    // an ingest pipeline reuses the batch operators verbatim
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val pipeline = graft.operators.Sampling.chunkWindowsOf(
+      docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.normalized(col("text")).as("text")),
+      window = 5, stride = 3)
+    val q = pipeline.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_chunks")
+      .start()
+    try {
+      in.addData((1L, "Café  ONE two three four five six"),
+        (2L, "short text"))
+      q.processAllAvailable()
+      val out = spark.table("stream_chunks").collect()
+      // doc 1: 7 normalized tokens → 3 windows; doc 2: 2 tokens → 1
+      assert(out.length == 4)
+      val first = out.filter(r => r.getLong(0) == 1 && r.getLong(1) == 1L).head
+      // NFC + lowercase + whitespace collapse happened INSIDE the stream
+      assert(first.getString(3) == "café one two three four")
+    } finally q.stop()
+  }
 }
