@@ -474,6 +474,61 @@ object TextAnalysis {
     graft.functions.NfcNormalize.nfc(
       regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** t17 — BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N−df+0.5)/(df+0.5))` idf form): top-k documents for a fixed
+    * query-term set — the lexical-retrieval baseline beside the RAG
+    * example's vector path, and the second instantiation of t13's
+    * corpus-statistic template. Engine parity holds because every
+    * floating-point step is written identically in both engines (`ln` and
+    * IEEE double arithmetic agree — the t13 precedent) and the oracle
+    * casts its literals to DOUBLE so DuckDB's decimal literals never
+    * change the numeric tower. */
+  def t17Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(spark, dir, Seq("hash", "join", "vector"), k = 20)
+
+  /** Library surface: BM25 top-k for caller query terms (declared query
+    * pins hash/join/vector, k=20, k1=1.2, b=0.75).
+    *
+    * Scale shape: per-term tf counts are MAP-ONLY array ops (the query is
+    * bounded, so "tf of each query term" is |terms| columns, not a
+    * (doc, term) shuffle); corpus stats (N, Σlen, per-term df) are ONE
+    * map-side-combined aggregate producing a 1-row broadcast; the global
+    * top-k plans as TakeOrderedAndProject. Nothing shuffles but the
+    * 1-row stats and k winners — a 100 TB BM25 query is one scan. */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct: $terms")
+    require(k >= 1, s"k: $k")
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("__ws"))
+      .withColumn("__len", size(col("__ws")))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (term, i)) =>
+      d.withColumn(s"__tf$i",
+        size(filter(col("__ws"), x => x === lit(term))))
+    }.drop("__ws")
+      // consumed twice (stats aggregate + scoring pass); tokenize once
+      .transform(graft.Materialize.pin)
+    val statAggs = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")) ++
+      Seq(count(lit(1)).as("__n"), sum(col("__len")).as("__sl"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__sl").cast("double") / col("__n"))
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - col(s"__df$i") + lit(0.5)) /
+          (col(s"__df$i") + lit(0.5)))
+      idf * (col(s"__tf$i").cast("double") * lit(k1 + 1)) /
+        (col(s"__tf$i") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("__len") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** t16 — canonicalization audit: the normalized text plus whether
     * normalization changed anything (the fraction of changed documents is
     * the "how dirty is this corpus" metric that decides whether upstream

@@ -1107,6 +1107,37 @@ class PipelinesSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("t17 BM25: k results, positive descending scores, top-k plan") {
+    val out = TextAnalysis.t17Bm25(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // saturation sanity: a doc scoring top must actually contain a query
+    // term more often than the corpus floor — tf of 'hash'+'join'+'vector'
+    // in the top doc is positive by construction of a positive score
+    val plan = TextAnalysis.t17Bm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k did not plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("bm25TopK: more occurrences of a query term outrank fewer, same length") {
+    import spark.implicits._
+    val dir = tmpDir("bm25")
+    Seq(
+      (1L, "vector vector vector pad pad pad"),
+      (2L, "vector vector pad pad pad pad"),
+      (3L, "vector pad pad pad pad pad"),
+      (4L, "pad pad pad pad pad pad"))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val got = TextAnalysis.bm25TopK(spark, dir, Seq("vector"), k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    // tf monotone at equal length; the zero-tf doc scores 0 and ranks last
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("sp08 weighted mix hits exact per-mille proportions, capped at supply") {
     // fixture: 20 sources × 25 docs; budget = 500/10 = 50 → targets
     // 20/15/10/5 for src0..src3, all under the 25-doc supply → EXACT

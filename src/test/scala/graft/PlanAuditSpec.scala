@@ -38,7 +38,9 @@ class PlanAuditSpec extends SparkSpec {
     "c06_embedding_decontaminate",
     // sp08's broadcast sides are the ONE-row corpus count and the
     // weights table (bounded by the source vocabulary)
-    "sp08_weighted_mix")
+    "sp08_weighted_mix",
+    // t17's broadcast side is the ONE-row BM25 corpus-stats frame
+    "t17_bm25")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
