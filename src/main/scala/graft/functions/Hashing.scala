@@ -15,6 +15,10 @@ object Hashing {
   def md5Long(s: Column, hexChars: Int): Column = {
     require(hexChars >= 1 && hexChars <= 15,
       s"md5Long needs 1..15 hex chars to stay positive in int64: $hexChars")
-    conv(substring(md5(s), 1, hexChars), 16, 10).cast("long")
+    // full width rides the native expression ([[Md5Long60]] — same value,
+    // no hex-string round-trip; the interpreted-lambda hot paths need it);
+    // narrower widths keep the composed chain
+    if (hexChars == 15) Md5Long60.md5Long60(s)
+    else conv(substring(md5(s), 1, hexChars), 16, 10).cast("long")
   }
 }

@@ -140,6 +140,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c07 — per-source CONTAMINATION REPORT: c04's per-document flags
+    * rolled up by source — documents checked, documents contaminated,
+    * worst shared-gram count, and an integer per-mille rate. This is the
+    * triage view a pipeline owner actually reads: "which vendor/crawl is
+    * leaking the benchmark" decides whether to drop documents (c04) or an
+    * entire source. Declared query pins c04's exact parameters, so the
+    * two queries are one gram pass apart by construction. */
+  def c07ContaminationReport(spark: SparkSession, dir: String): DataFrame =
+    contaminationReport(spark, dir, col("doc_id") % 97 === 0,
+      ngramTokens = 3, minShared = 2)
+
+  /** Library surface: the c04 rollup at caller-chosen benchmark predicate
+    * and gram parameters. All ratio arithmetic is int64 (per-mille,
+    * integer division) — engine-portable. Scale shape: everything heavy
+    * is [[decontaminate]]'s plan; the rollup adds one map-side-combined
+    * aggregate over (source) — output rows = |source vocabulary|. */
+  def contaminationReport(spark: SparkSession, dir: String,
+      isBenchmark: Column, ngramTokens: Int, minShared: Int): DataFrame = {
+    val flags = decontaminate(spark, dir, isBenchmark, ngramTokens,
+      minShared)
+    val src = graft.sources.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source")
+    flags.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max("n_shared").as("max_shared"))
+      .withColumn("contaminated_permille",
+        expr("(n_contaminated * 1000) div n_docs"))
+      .orderBy("source")
+  }
+
   /** c06 — EMBEDDING-level decontamination: where c04 removes training
     * documents that share literal n-grams with a benchmark, c06 removes
     * documents whose EMBEDDING is close to any benchmark vector —

@@ -492,24 +492,29 @@ object Dedup {
     require(k >= 1, s"k: $k")
     require(w >= 1, s"w: $w")
     val ws = split(lower(trim(col(textCol))), "\\s+")
-    docs
-      .select(col(idCol), ws.as("__ws"))
-      .withColumn("__hs",
-        when(size(col("__ws")) >= k,
-          transform(sequence(lit(1), size(col("__ws")) - (k - 1)),
-            i => md5Long(
-              array_join(slice(col("__ws"), i, lit(k)), " "), 15)))
-          .otherwise(array().cast("array<bigint>")))
+    // The token and gram-hash arrays are BOUND AS LAMBDA VARIABLES via
+    // single-element transform(array(…)) instead of withColumn aliases:
+    // CollapseProject inlines an aliased expression into every use site,
+    // so the window-min lambda (which reads the gram array per window)
+    // would re-evaluate the whole O(tokens) md5 pass per WINDOW —
+    // O(tokens²) md5s per row, measured 270 s at sf0.1. A lambda variable
+    // is evaluated once and referenced cheaply: same plan shape, ~2 s.
+    val fps = element_at(transform(array(ws), tok => {
+      val grams = when(size(tok) >= k,
+        transform(sequence(lit(1), size(tok) - (k - 1)),
+          i => md5Long(array_join(slice(tok, i, lit(k)), " "), 15)))
+        .otherwise(array().cast("array<bigint>"))
       // one window per position; fewer than w hashes → ONE truncated
       // window (slice clamps at the end); greatest(…, 1) keeps the
       // sequence ascending for the m < w case
-      .withColumn("__fps",
-        when(size(col("__hs")) >= 1,
+      element_at(transform(array(grams), hs =>
+        when(size(hs) >= 1,
           array_distinct(transform(
-            sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
-            j => array_min(slice(col("__hs"), j, lit(w))))))
-          .otherwise(col("__hs")))
-      .select(col(idCol), explode(col("__fps")).as("fp"))
+            sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+            j => array_min(slice(hs, j, lit(w))))))
+          .otherwise(hs)), 1)
+    }), 1)
+    docs.select(col(idCol), explode(fps).as("fp"))
   }
 
   /** dd12 — winnowing CONTAINMENT pairs: documents sharing ≥ `minShared`

@@ -528,6 +528,36 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** Q32 — the moving-frame window family (trailing-interval RANGE
+    * aggregate): each event's count, value-sum, and mean over its user's
+    * TRAILING HOUR — the velocity/rate feature shape (fraud counters,
+    * throttling, burst detection) and the event-time complement of q21's
+    * gap-sessions. The frame is RANGE, not ROWS: membership is defined by
+    * timestamps, so the result is a property of the data, never of row
+    * order — and an engine swap or reshuffle cannot move a row across a
+    * frame boundary. Money rides the ×100→int64 quantization, so the
+    * windowed sums are exact integers; the mean is one double division of
+    * those exact integers (engine-portable, q29/q30 precedent). Scale
+    * contract: one shuffle on user_id, then an ordered sweep per user —
+    * task memory is bounded by a single user's busiest hour, not the
+    * corpus; both aggregates share one window node (one sort, one pass). */
+  def q32MovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("__cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("__cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_1h"),
+        col("cents_1h"),
+        round(col("cents_1h").cast("double") / col("n_1h") / 100.0, 3)
+          .as("avg_value_1h"))
+      .orderBy("event_id")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -598,6 +628,8 @@ object Relational {
       "SELECT r.r_name, COUNT(*) AS n_orders, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name",
     "q31_window_distribution" ->
       "SELECT event_type, event_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cdf FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_type, event_id",
+    "q32_moving_window" ->
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_us, COUNT(*) OVER w AS n_1h, CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h, ROUND(CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE) / (COUNT(*) OVER w) / 100.0, 3) AS avg_value_1h FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -634,5 +666,6 @@ object Relational {
     "q29_time_buckets" -> q29TimeBuckets _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
+    "q32_moving_window" -> q32MovingWindow _,
   )
 }

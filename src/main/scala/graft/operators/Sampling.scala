@@ -288,6 +288,49 @@ object Sampling {
       .select(col(srcCol), col("rk"), col(idCol))
   }
 
+  /** sp09 — EPOCH-weighted repetition (upsampling): where sp08 selects a
+    * weighted SUBSET, sp09 materializes the doc→training-sequence map when
+    * per-source epoch factors exceed 1 (the "2.5 epochs of curated, 0.3
+    * epochs of crawl" mix every LLM data recipe publishes). A factor of
+    * 2.5 means every doc appears twice and a deterministic 50% of docs a
+    * third time — which docs get the extra copy is the salted-md5
+    * per-mille bucket, a DOCUMENT property: retries, reshuffles, or a
+    * different engine reproduce the identical replicated corpus. */
+  def sp09EpochMix(spark: SparkSession, dir: String): DataFrame =
+    epochMixOf(t(spark, dir, "documents"),
+      Seq("src0" -> 2500, "src1" -> 1000, "src2" -> 300, "src3" -> 1500))
+      .orderBy("doc_id", "copy")
+
+  /** Library surface: epoch repetition over any (id, source) frame.
+    * `epochsPermille` maps source → repetition factor in per-mille
+    * (2500 = 2.5 epochs; 300 = keep 30% once; unlisted sources drop).
+    * Emits (source, id, copy) with copy ∈ [1, n_copies].
+    *
+    * Scale shape: MAP-ONLY — broadcast weights join + per-row explode;
+    * no shuffle at any corpus size. Output rows = Σ_s w_s·|s| by
+    * construction, so the blow-up is declared, not emergent; n_copies is
+    * bounded by max(w)/1000 + 1. Everything is int64 (per-mille weights,
+    * integer division, md5 bucket) — bit-identical across engines. */
+  def epochMixOf(docs: DataFrame, epochsPermille: Seq[(String, Int)],
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(epochsPermille.nonEmpty, "epochsPermille must be non-empty")
+    require(epochsPermille.forall(_._2 >= 0),
+      s"per-mille epoch factors must be >= 0: $epochsPermille")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wts = epochsPermille.toDF(srcCol, "__wm")
+    docs.join(broadcast(wts), srcCol)
+      .withColumn("__pm", graft.functions.Hashing.md5Long(
+        concat(lit("epoch:"), col(idCol).cast("string")), 15) % 1000)
+      .withColumn("n_copies", expr(
+        "__wm div 1000 + (CASE WHEN __pm < __wm % 1000 THEN 1 ELSE 0 END)"))
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — the zero-copy
+      // filter must run before the explode, not after
+      .where(col("n_copies") > 0)
+      .select(col(srcCol), col(idCol),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

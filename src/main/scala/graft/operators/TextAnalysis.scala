@@ -529,6 +529,76 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** t18 — composite quality-RULE filter (the Gopher/C4 rule-list shape:
+    * hard per-document gates, not a scored ranking like t02): word-count
+    * bounds, mean-word-length bounds, distinct-token ratio (repetition
+    * guard), minimum distinct-stopword evidence (natural-language guard),
+    * and a max single-token frequency share (keyword-stuffing guard).
+    * Every gate plus the measured statistic is emitted so a pipeline can
+    * audit WHICH rule rejected a document — the rule-attrition report is
+    * how these filters get tuned in practice. */
+  def t18QualityRules(spark: SparkSession, dir: String): DataFrame =
+    qualityRulesOf(t(spark, dir, "documents"))
+
+  /** Library surface: the rule filter over any (doc_id, text) frame with
+    * caller-tunable thresholds (declared query pins the defaults). Ratio
+    * thresholds are PER-MILLE INTEGERS and every gate compares in exact
+    * int64 arithmetic (`nd·1000 ≥ n·minDistinctPermille`, never
+    * `nd/n ≥ 0.5`) — rule decisions cannot drift between engines or
+    * hardware; the emitted statistics are integer centi/per-mille for the
+    * same reason (a ROUND(·, 2) halfway case like 189/40 = 4.725 rounds
+    * differently across engines; integer division cannot).
+    *
+    * Scale shape: map-only — every statistic (token count, summed token
+    * length via one array_join, distinct count, stopword intersection,
+    * max token multiplicity) is a per-row array expression inside
+    * whole-stage codegen; no shuffle but the presentation sort. The
+    * top-token scan is O(distinct·n) per row — bounded by document
+    * length, not corpus size. Empty-text rows: every ratio gate compares
+    * against n=0 (false), so `pass` is deterministically false. */
+  def qualityRulesOf(docs: DataFrame, minWords: Int = 30,
+      maxWords: Int = 120, minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minDistinctPermille: Int = 500, minStopHits: Int = 2,
+      maxTopPermille: Int = 150): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"word bounds: [$minWords, $maxWords]")
+    require(minMeanLen >= 0 && maxMeanLen >= minMeanLen,
+      s"mean-length bounds: [$minMeanLen, $maxMeanLen]")
+    val ws = col("__ws")
+    val stats = docs.select(col("doc_id"), toks.as("__ws"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("__n"),
+        // Σ token length = length of the separator-free concatenation —
+        // one codegen'd string op instead of a per-token fold
+        length(array_join(ws, "")).cast("long").as("__tl"),
+        size(array_distinct(ws)).cast("long").as("__nd"),
+        size(array_intersect(array_distinct(ws),
+          array(stopwords.map(lit): _*))).cast("long").as("stop_hits"),
+        coalesce(array_max(transform(array_distinct(ws),
+          x => size(filter(ws, y => y === x)))).cast("long"), lit(0L))
+          .as("__tc"))
+    // presentation stats are INTEGER centi/per-mille, not rounded doubles:
+    // ROUND(189/40.0, 2) is a halfway case (4.725) that IEEE doubles round
+    // differently across engines — exact integer division cannot
+    stats.select(
+      col("doc_id"),
+      col("__n").as("n_tokens"),
+      expr("(__tl * 100) div __n").as("mean_len_centi"),
+      expr("(__nd * 1000) div __n").as("distinct_permille"),
+      col("stop_hits"),
+      expr("(__tc * 1000) div __n").as("top_permille"),
+      col("__n").between(minWords, maxWords).as("r_words"),
+      (col("__tl") >= col("__n") * minMeanLen &&
+        col("__tl") <= col("__n") * maxMeanLen).as("r_mean_len"),
+      (col("__nd") * 1000 >= col("__n") * minDistinctPermille)
+        .as("r_distinct"),
+      (col("stop_hits") >= minStopHits).as("r_stop"),
+      (col("__tc") * 1000 <= col("__n") * maxTopPermille).as("r_top"))
+      .withColumn("pass", col("r_words") && col("r_mean_len") &&
+        col("r_distinct") && col("r_stop") && col("r_top"))
+      .orderBy("doc_id")
+  }
+
   /** t16 — canonicalization audit: the normalized text plus whether
     * normalization changed anything (the fraction of changed documents is
     * the "how dirty is this corpus" metric that decides whether upstream

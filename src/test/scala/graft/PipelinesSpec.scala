@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Sanity + algebraic properties of the training-data pipeline operators.
   * (Exact value-level correctness is covered by the DuckDB oracle gate —
@@ -985,6 +985,24 @@ class PipelinesSpec extends SparkSpec {
     assert(out.where(col("users") > col("n")).isEmpty)
   }
 
+  test("q32 trailing-hour frame: row per event, bounds, brute-force agreement") {
+    val out = graft.operators.Relational.q32MovingWindow(spark, sf)
+    val rows = out.collect()
+    val events = graft.sources.Tables.t(spark, sf, "events")
+    assert(rows.length == events.count())
+    // every frame contains at least its own row; count × min-cent bound
+    assert(rows.forall(_.getLong(3) >= 1))
+    // brute-force the frame per event on the driver: rows with same user,
+    // ts' in [ts - 1h, ts]
+    val evs = rows.map(r => (r.getLong(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    for (r <- rows.take(200)) {
+      val (u, ts, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = byUser(u).count(e => e._2 >= ts - 3600000000L && e._2 <= ts)
+      assert(n == want, s"user $u ts $ts: frame $n vs brute $want")
+    }
+  }
+
   test("dd10 bloom-admit is row-identical to the exact incremental admit") {
     // the whole point of the shared oracle: the Bloom filter has no false
     // negatives and the exact join kills its false positives, so the two
@@ -1037,6 +1055,25 @@ class PipelinesSpec extends SparkSpec {
     assert(agg.where(col("chunks") =!= expr("(n - 1) div 30 + 1")).isEmpty)
     assert(agg.where(col("last_covered") =!= col("n")).isEmpty)
     assert(agg.where(col("mx") > 40 || col("mn") < 1).isEmpty)
+  }
+
+  test("c07 report is exactly c04's flags rolled up by source") {
+    import spark.implicits._
+    val flags = graft.operators.Curation.c04Decontaminate(spark, sf)
+    val report = graft.operators.Curation.c07ContaminationReport(spark, sf)
+      .collect()
+    assert(report.nonEmpty)
+    val nDocs = report.map(_.getLong(1)).sum
+    val nCont = report.map(_.getLong(2)).sum
+    assert(nDocs == flags.count())
+    assert(nCont ==
+      flags.where(col("contaminated")).count())
+    val maxShared = report.map(_.getLong(3)).max
+    assert(maxShared ==
+      flags.agg(max("n_shared")).collect()(0).getLong(0))
+    // per-mille is the exact integer division of the row's own counts
+    for (r <- report)
+      assert(r.getLong(4) == r.getLong(2) * 1000 / r.getLong(1))
   }
 
   test("c06 embedding decontamination max_cos agrees with ss01's exact cosines") {
@@ -1136,6 +1173,75 @@ class PipelinesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     // tf monotone at equal length; the zero-tf doc scores 0 and ranks last
     assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("t18 rules: stats consistent, pass == conjunction, filter discriminates") {
+    val rows = TextAnalysis.t18QualityRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // pass is exactly the conjunction of its five gates, row by row
+    for (r <- rows) {
+      val gates = Seq("r_words", "r_mean_len", "r_distinct", "r_stop",
+        "r_top").map(c => r.getBoolean(r.fieldIndex(c)))
+      assert(r.getBoolean(r.fieldIndex("pass")) == gates.forall(identity))
+    }
+    // the composite gate must actually split the corpus (a rule list that
+    // keeps or drops everything is mis-thresholded)
+    val kept = rows.count(_.getBoolean(rows.head.fieldIndex("pass")))
+    assert(kept > 0 && kept < rows.length, s"kept $kept of ${rows.length}")
+  }
+
+  test("qualityRulesOf: each gate rejects exactly its designed violation") {
+    import spark.implicits._
+    val dir = tmpDir("t18")
+    Seq(
+      // 0: passes every default gate: 30+ distinct-ish words, stopwords,
+      //    no dominant token
+      (0L, (1 to 30).map(i => if (i % 15 == 0) "the" else if (i % 15 == 1) "a"
+        else s"word$i").mkString(" ")),
+      (1L, "too short"), // r_words
+      (2L, (1 to 30).map(i => if (i % 2 == 0) "the" else "a")
+        .mkString(" ")), // r_mean_len low (all 1–3 char), r_distinct
+      (3L, (1 to 30).map(i => s"word$i").mkString(" ")), // r_stop only
+      (4L, ("the a " + "spam " * 28).trim)) // r_top: 'spam' is 28/30
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val out = TextAnalysis.qualityRulesOf(
+      spark.read.parquet(dir + "/documents.parquet")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def g(id: Long, c: String) = out(id).getBoolean(out(id).fieldIndex(c))
+    assert(g(0L, "pass"), s"doc 0 should pass: ${out(0L)}")
+    assert(!g(1L, "r_words") && !g(1L, "pass"))
+    assert(!g(2L, "r_mean_len") && !g(2L, "r_distinct") && !g(2L, "pass"))
+    assert(!g(3L, "r_stop") && !g(3L, "pass"))
+    assert(!g(4L, "r_top") && !g(4L, "pass"))
+  }
+
+  test("sp09 epoch mix: integer epochs exact, fractional bounded, deterministic") {
+    import spark.implicits._
+    val out = Sampling.sp09EpochMix(spark, sf)
+    val perDoc = out.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    for (r <- perDoc) {
+      val (src, n, mx) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val w = Map("src0" -> 2500, "src1" -> 1000, "src2" -> 300,
+        "src3" -> 1500)(src)
+      // copies ∈ {⌊w/1000⌋, ⌊w/1000⌋+1} and copy numbering is 1..n
+      assert(n == w / 1000 || n == w / 1000 + 1, s"$src: $n copies")
+      assert(mx == n)
+    }
+    // integer epoch factor ⇒ exactly that many copies for EVERY doc
+    assert(perDoc.filter(_.getString(0) == "src1").forall(_.getLong(2) == 1L))
+    // whole-epoch floor: src0 at 2.5 epochs gives every doc >= 2 copies
+    assert(perDoc.filter(_.getString(0) == "src0").forall(_.getLong(2) >= 2L))
+    // repetition decisions are document properties: a reshuffled input
+    // produces the identical replicated corpus
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val a = Sampling.epochMixOf(docs, Seq("src2" -> 300))
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.epochMixOf(docs.repartition(7), Seq("src2" -> 300))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("sp08 weighted mix hits exact per-mille proportions, capped at supply") {

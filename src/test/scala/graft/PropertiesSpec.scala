@@ -32,6 +32,28 @@ class PropertiesSpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  test("Md5Long60 == conv(substring(md5, 1, 15), 16, 10) on arbitrary strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial inputs: empty, ascii, unicode (multi-byte UTF-8),
+    // whitespace, long, and 500 random alphanumerics
+    val fixed = Seq("", "a", "the quick brown fox", "é é́ composed",
+      "日本語テキスト", " \t padded ", "x" * 10000)
+    val rnd = new scala.util.Random(42)
+    val strs = fixed ++ (1 to 500).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s").select(
+      graft.functions.Md5Long60.md5Long60(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+    assert(df.where(col("fast") =!= col("ref")).isEmpty)
+    // and the interpreted path (inside a higher-order lambda) agrees too
+    val lam = strs.toDF("s").select(
+      element_at(transform(array(col("s")),
+        x => graft.functions.Md5Long60.md5Long60(x)), 1).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+    assert(lam.where(col("fast") =!= col("ref")).isEmpty)
+  }
+
   test("canonical key/value JSON is deterministic under column reordering") {
     (1L to 8L).foreach { seed =>
       val rows = sample(rowsGen, seed)
