@@ -610,4 +610,141 @@ object TextAnalysis {
       .select(col("doc_id"), normalized(col("text")).as("norm_text"),
         (normalized(col("text")) =!= col("text")).as("changed"))
       .orderBy("doc_id")
+
+  /** t19 — DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, reduced to its distributed essence):
+    * score every raw-pool document by how target-like its hashed bigram
+    * distribution is. Features are bigrams hashed into a FIXED bucket
+    * space; two bucket histograms are learned (target = the benchmark
+    * slice, raw = everything else) and each raw document's weight is the
+    * mean log importance ratio Σ log(p̂_target(b)/p̂_raw(b)) / n over its
+    * bigram stream — the standard n-gram importance-resampling weight.
+    * High weight = "looks like the target distribution"; the downstream
+    * resample is a deterministic keep-top-fraction or sp08-style budget
+    * fill over this column.
+    *
+    * Scale shape: the MODEL is 2·`buckets` int64 rows however big the
+    * corpus — both histograms broadcast back; the corpus tokenizes once
+    * (pinned gram stream feeds both censuses and the scoring pass), the
+    * only shuffles carry (bucket) and (doc_id, int64 partial). Per-gram
+    * log-ratios are quantized to int64 micros BEFORE the per-doc sum
+    * (t12/t14 trick) so the mean never depends on summation order. */
+  def t19DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(t(spark, dir, "documents"),
+      isTarget = col("doc_id") % 97 === 0, buckets = 256)
+
+  /** Library surface: DSIR importance weights over ANY (id, text) frame
+    * with a caller-chosen target predicate and bucket count (the declared
+    * query pins the c04 benchmark slice `doc_id % 97 = 0` and 256
+    * buckets). Documents with < 2 tokens carry n_grams = 0 and a NULL
+    * weight. The returned frame derives from an internal pin of the gram
+    * stream; in reliable-checkpoint mode call `Materialize.unpin` on it
+    * when done (localCheckpoint blocks are freed by the ContextCleaner). */
+  def dsirWeightsOf(docs: DataFrame, isTarget: Column, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets: $buckets")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val grams = docs
+      .select(col(idCol), isTarget.as("__t"), ws.as("__ws"))
+      .where(size(col("__ws")) >= 2)
+      .select(col(idCol), col("__t"),
+        explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => graft.functions.Hashing.md5Long(
+            concat_ws(" ", element_at(col("__ws"), i),
+              element_at(col("__ws"), i + 1)), 15) % buckets)).as("b"))
+      .transform(graft.Materialize.pin)
+    val tgt = grams.where(col("__t")).groupBy("b")
+      .agg(count(lit(1)).as("nt"))
+    val raw = grams.where(!col("__t")).groupBy("b")
+      .agg(count(lit(1)).as("nr"))
+    val totals = grams.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("n_r"))
+    // per-gram log importance ratio in int64 micros: Laplace-smoothed over
+    // the bucket space on both sides, ONE double division at the end
+    val lr = expr(s"CAST(ROUND((ln((COALESCE(nt, 0) + 1.0) / " +
+      s"(n_t + $buckets.0)) - ln((COALESCE(nr, 0) + 1.0) / " +
+      s"(n_r + $buckets.0))) * 1000000) AS BIGINT)")
+    val scored = grams.where(!col("__t"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), lr.as("lr"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr")).cast("double") / 1e6 / count(lit(1)), 4)
+          .as("avg_log_ratio"))
+    docs.where(!isTarget).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("avg_log_ratio"))
+      .orderBy(idCol)
+  }
+
+  /** t20 — interpolated BIGRAM language-model scoring (the KenLM-style
+    * fluency filter one order above t14): score = mean over bigram
+    * positions of ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·p̂₁(w₂)), the Jelinek-Mercer
+    * interpolation of a bigram ML estimate with t14's Laplace-smoothed
+    * unigram backoff. Word salad whose unigrams are individually common
+    * scores low (its bigrams never co-occur); fluent prose scores high —
+    * the discriminator t14 is structurally blind to.
+    *
+    * Scale shape: both model tables are BOUNDED — the vocabulary is the
+    * top-v census (t14's) and bigram counts are kept only for vocab×vocab
+    * pairs, ≤ v² rows however big the corpus — so the model broadcasts.
+    * The corpus tokenizes ONCE (the pinned per-doc token array feeds the
+    * unigram census, the bigram census, and the scoring pass); shuffles
+    * carry (w) / (w₁,w₂) counts and (doc_id, int64 partial) only.
+    * Per-position log-probs ride int64 micros before the per-doc mean. */
+  def t20BigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprob(spark, dir, v = 50)
+
+  /** Library surface: interpolated bigram LM score at caller vocabulary
+    * size (declared query pins v = 50; λ is fixed at 0.7 so the oracle
+    * and the plan share one literal). Documents with < 2 tokens carry
+    * n_bigrams = 0 and a NULL score. Same pin contract as
+    * [[dsirWeightsOf]]: the token-array frame is pinned internally. */
+  def bigramLogprob(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    require(v >= 1, s"v: $v")
+    val arr = t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("__ws"))
+      .transform(graft.Materialize.pin)
+    val tok = arr.select(explode(col("__ws")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(v)
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val bg = arr.where(size(col("__ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bgc = bg
+      .join(broadcast(vocab.select(col("w").as("w1"))), "w1")
+      .join(broadcast(vocab.select(col("w").as("w2"))), "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c12 non-null implies both words in vocab, so c1 is non-null there;
+    // the backoff term alone covers every other position
+    val lp = expr(s"CAST(ROUND(ln(CASE WHEN c12 IS NOT NULL THEN " +
+      s"0.7 * c12 / c1 ELSE 0.0 END + 0.3 * (COALESCE(c2, 0) + 1.0) / " +
+      s"(n_total + $v.0)) * 1000000) AS BIGINT)")
+    val scored = bg
+      .join(broadcast(bgc), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab.select(col("w").as("w1"), col("n").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("w").as("w2"), col("n").as("c2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / 1e6 / count(lit(1)), 4)
+          .as("avg_logprob"))
+    arr.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+      .orderBy("doc_id")
+  }
 }
