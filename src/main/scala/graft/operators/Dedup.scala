@@ -810,4 +810,57 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming").distinct()
   }
+
+  /** dd13 — CONTENT-DEFINED chunking dedup (the FastCDC/rsync idea at
+    * token granularity): chunk boundaries fall AFTER any token whose hash
+    * is ≡ 0 (mod `divisor`) — a property of the CONTENT, not the offset —
+    * so one inserted token shifts every later dd07 fixed-window passage
+    * but here desynchronizes only the chunk it lands in; the stream
+    * re-synchronizes at the next gate token. Expected chunk length =
+    * `divisor` tokens. The cheap middle of the dedup dial: fixed windows
+    * (dd07) miss shifted duplicates, stride-1 spans (dd09) pay w× row
+    * blow-up, CDC chunks catch shifted duplication at ~1× cost.
+    *
+    * Scale shape: chunking is MAP-ONLY array work per row (boundary
+    * positions, then slices, bound as lambda variables — the dd11 lesson:
+    * aliased arrays re-inline per use under CollapseProject); the only
+    * shuffle carries (chunk-hash, doc_id) 16 B rows for the occurrence
+    * count + join back, exactly dd07's plan. Output counts ride the
+    * engine-internal xxhash64 (counting by hash ≡ counting by string,
+    * |chunks|²/2⁶⁴ collision odds — dd07's stance). */
+  def dd13CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedupOf(t(spark, dir, "documents"), divisor = 8)
+
+  /** Library surface: content-defined chunk dedup over ANY (doc_id, text)
+    * frame at caller-chosen expected chunk length. */
+  def cdcChunkDedupOf(docs: DataFrame, divisor: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(divisor >= 2, s"divisor: $divisor")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val chunks = element_at(transform(array(ws), tok => {
+      // gate positions: token i closes a chunk when md5(w_i) % divisor = 0
+      val bps = filter(sequence(lit(1), size(tok)),
+        i => graft.functions.Hashing.md5Long(element_at(tok, i), 15)
+          % divisor === 0)
+      element_at(transform(array(bps), bp => {
+        val starts = concat(array(lit(1)), transform(bp, x => x + 1))
+        val ends = concat(bp, array(size(tok)))
+        // chunk c spans [starts(c), ends(c)]; a trailing gate token makes
+        // an empty phantom tail (start = n+1 > end = n) — filtered out
+        filter(transform(sequence(lit(1), size(bp) + 1), c =>
+          when(element_at(starts, c) <= element_at(ends, c),
+            array_join(slice(tok, element_at(starts, c),
+              element_at(ends, c) - element_at(starts, c) + 1), " "))
+            .otherwise(lit(null).cast("string"))), x => x.isNotNull)
+      }), 1)
+    }), 1)
+    val ch = docs.select(col(idCol), explode(chunks).as("chunk"))
+      .select(col(idCol), xxhash64(col("chunk")).as("ch"))
+    val counts = ch.groupBy("ch").agg(count(lit(1)).as("occ"))
+    ch.join(counts, "ch")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy(idCol)
+  }
 }

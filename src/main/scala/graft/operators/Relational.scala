@@ -558,6 +558,62 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q33 — INTERVAL (overlap) join, the range-predicate join Spark has no
+    * native operator for: every click event matched to every same-user
+    * purchase whose one-hour window contains it (attribution joins, ad
+    * conversion windows, outage-blame joins all share this shape). A naive
+    * formulation (`ON p.user = i.user AND p.ts BETWEEN i.s AND i.e`)
+    * planfalls into BroadcastNestedLoopJoin — quadratic per user. This
+    * implementation BUCKETS time at the interval length: an interval
+    * covers ≤ 2 buckets (exploded), a point lives in exactly 1, and the
+    * join becomes an EQUI-join on (user_id, bucket) + an exact residual
+    * filter — SortMergeJoin/shuffle-hash eligible, candidates bounded by
+    * per-(user, hour) density, never |clicks|×|purchases|. */
+  def q33IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsu"), col("event_type"))
+    val pts = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("tsu").as("pt"))
+    val ivs = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tsu").as("s"), (col("tsu") + 3600000000L).as("en"))
+    intervalJoinOf(pts, ivs, Seq("user_id"), "pt", "s", "en",
+      bucketWidth = 3600000000L)
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        (col("pt") - col("s")).as("delta_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Library surface: bucketed interval join of a point frame against an
+    * interval frame on shared key columns — rows where
+    * `start <= point < end` (half-open). `bucketWidth` is the time-bucket
+    * size in the timestamp's own unit; pick it near the TYPICAL interval
+    * length: an interval explodes into (len/width + 2) bucket rows, a
+    * point into one, so width too small multiplies the interval side and
+    * width too large widens each bucket's candidate cross-product. Both
+    * inputs only shuffle on (keys, bucket) — no nested-loop fallback at
+    * any scale; skewed hot buckets can ride [[Skew]] salting like any
+    * equi-join. */
+  def intervalJoinOf(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth: $bucketWidth")
+    require(keys.nonEmpty, "interval join needs at least one key column")
+    val w = bucketWidth
+    val pb = points.withColumn("__b", expr(s"$ptCol div $w"))
+    // half-open [s, e): last covered bucket is (e - 1) div w; empty or
+    // inverted intervals (e <= s) yield an empty sequence and drop out
+    val ib = intervals.withColumn("__b", explode(
+      when(col(endCol) > col(startCol),
+        sequence(expr(s"$startCol div $w"), expr(s"($endCol - 1) div $w")))
+        .otherwise(array().cast("array<bigint>"))))
+    pb.join(ib, keys :+ "__b")
+      .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__b")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -630,6 +686,8 @@ object Relational {
       "SELECT event_type, event_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cdf FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_type, event_id",
     "q32_moving_window" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_us, COUNT(*) OVER w AS n_1h, CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h, ROUND(CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE) / (COUNT(*) OVER w) / 100.0, 3) AS avg_value_1h FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
+    "q33_interval_join" ->
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), p AS (SELECT event_id AS click_id, user_id, tsu AS pt FROM e WHERE event_type = 'click'), iv AS (SELECT event_id AS purchase_id, user_id, tsu AS s FROM e WHERE event_type = 'purchase') SELECT p.click_id, p.user_id, iv.purchase_id, p.pt - iv.s AS delta_us FROM p JOIN iv ON iv.user_id = p.user_id AND p.pt >= iv.s AND p.pt < iv.s + 3600000000 ORDER BY p.click_id, iv.purchase_id",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -667,5 +725,6 @@ object Relational {
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,
+    "q33_interval_join" -> q33IntervalJoin _,
   )
 }

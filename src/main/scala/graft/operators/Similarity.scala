@@ -513,6 +513,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** ss12 — SCALAR (int8) quantization ADC top-k: the simpler, higher-
+    * fidelity sibling of PQ (ss10) — each DIMENSION is affine-quantized to
+    * an 8-bit code against per-dimension corpus min/max, so a vector is
+    * d bytes instead of d floats (8× smaller; PQ at m=4 is 16× smaller but
+    * lossier — the two ends of the compression/recall dial, same query
+    * API). The query stays exact; candidates are scored against their
+    * RECONSTRUCTION — asymmetric distance, like ss10.
+    *
+    * Scale shape: the quantizer is the 64-row per-dimension (lo, hi)
+    * table — learned in one map-side-combined min/max pass, broadcast
+    * back; encode + score is one more scan with two broadcast joins (the
+    * 64-row stats and the 64-row query) and a (vec_id, int64) aggregate.
+    * Nothing corpus-sized shuffles or broadcasts.
+    *
+    * Engine portability: codes and reconstructions are defined on the
+    * int64-quantized corpus (round(x·1000), family convention), so both
+    * are single double divisions of EXACT integers rounded back to int64
+    * — dots and norms are then exact integer sums, bit-identical across
+    * engines regardless of summation order. */
+  def ss12SqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    sqAdcTopKOf(t(spark, dir, "embeddings"), queryId = 0L, k = 10)
+
+  /** Library surface: scalar-quantization ADC top-k over ANY (id, vector)
+    * frame. Flat dimensions (hi == lo) encode as code 0 and reconstruct
+    * exactly to `lo` — a constant dimension costs zero quantization
+    * error. Degenerate reconstructed norms ride [[guardedCos]] (−1.0,
+    * never NaN-first) — fixture-absent, oracle parity unaffected. */
+  def sqAdcTopKOf(vecs: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val el = vecs.select(col(idCol).as("vec_id"),
+      posexplode(quantizedOf(col(vecCol))).as(Seq("i", "q")))
+    val st = el.groupBy("i").agg(min("q").as("lo"), max("q").as("hi"))
+    val q0 = el.where(col("vec_id") === queryId)
+      .select(col("i"), col("q").as("q0"))
+    val qn2 = el.where(col("vec_id") === queryId)
+      .agg(sum(expr("q * q")).as("qn2"))
+    // code ∈ [0, 255]: one double division of exact ints, rounded back
+    val code = expr("CASE WHEN hi > lo THEN CAST(ROUND(CAST((q - lo) * " +
+      "255 AS DOUBLE) / (hi - lo)) AS BIGINT) ELSE 0 END")
+    val recon = expr("CASE WHEN hi > lo THEN CAST(ROUND(lo + " +
+      "CAST(c * (hi - lo) AS DOUBLE) / 255.0) AS BIGINT) ELSE lo END")
+    el.where(col("vec_id") =!= queryId)
+      .join(broadcast(st), "i")
+      .withColumn("c", code)
+      .withColumn("r", recon)
+      .join(broadcast(q0), "i")
+      .groupBy("vec_id")
+      .agg(sum(expr("r * q0")).as("dot"), sum(expr("r * r")).as("n2"))
+      .crossJoin(broadcast(qn2))
+      .select(col("vec_id"),
+        round(guardedCos(col("dot"), col("qn2"), col("n2")), 4).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ss06 — IVF-style ANN: the label partition acts as the coarse quantizer
     * (what ss05's centroids exist FOR). Centroid = component-wise integer
     * SUM per cell — cosine against a sum-vector ranks identically to the

@@ -26,13 +26,15 @@ class PlanAuditSpec extends SparkSpec {
     "ss08_knn_join",
     // t11's broadcast side is the ONE-row quantile-cutoff frame
     "t11_quality_bins",
-    // t13/t14's broadcast side is the ONE-row corpus-count frame (df /
-    // vocabulary tables join by key, no hint)
-    "t13_tfidf", "t14_unigram_logprob",
-    // the PQ probes attach the ONE-row query-norm frame (and ss11 the
-    // query vector itself — 1 row); codebook and LUT attaches are keyed
-    // equi-joins, not BNLJ
-    "ss10_pq_adc", "ss11_pq_rerank",
+    // t13/t14/t19/t20's broadcast side is the ONE-row corpus-count /
+    // census-totals frame (df / vocabulary / bucket tables join by key,
+    // no hint)
+    "t13_tfidf", "t14_unigram_logprob", "t19_dsir_weights",
+    "t20_bigram_logprob",
+    // the PQ/SQ probes attach the ONE-row query-norm frame (and ss11 the
+    // query vector itself — 1 row); codebook, LUT, and per-dimension
+    // stats attaches are keyed equi-joins, not BNLJ
+    "ss10_pq_adc", "ss11_pq_rerank", "ss12_sq_adc",
     // c06's broadcast side is the BENCHMARK embedding set — bounded by
     // definition of an eval suite (ivfKnnJoin is the escape hatch)
     "c06_embedding_decontaminate",
