@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop subset: SPARK_GRAFT_ONLY=q01_scan,t21_token_entropy runs
+    // (and dumps oracles for) just those queries. Unset = full surface —
+    // the driver's invocation is unaffected.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
@@ -39,13 +45,12 @@ object Verify {
     // 42 queries — the oracle lookup never matched our bare "<name>" keys.
     // Emit BOTH key forms (harmless duplicates), plus a per-query <name>.sql
     // sidecar, so any plausible driver contract finds the SQL.
-    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
-      Seq(k -> v, s"$k.parquet" -> v)
-    }
+    val entries = SparkEntry.oracleSql.toSeq.filter(kv => selected(kv._1))
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
     val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.oracleSql.foreach { case (k, v) =>
+    SparkEntry.oracleSql.filter(kv => selected(kv._1)).foreach { case (k, v) =>
       Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
     }
     spark.stop()

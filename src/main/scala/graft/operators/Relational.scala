@@ -614,6 +614,44 @@ object Relational {
       .drop("__b")
   }
 
+  /** Q34 — ordered conversion FUNNEL (view → click → purchase): per user,
+    * the first view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click — the sequential-pattern shape every
+    * product-analytics stack computes (and the reason "funnel" engines
+    * exist). Stage = how deep the ordered chain got (0–3).
+    *
+    * Scale shape: three stacked unordered aggregates over ONE
+    * `partitionBy(user_id)` window — each stage's conditional min can
+    * reference the previous stage's column, and all three share a single
+    * hash exchange (Spark plans one Window operator run, no re-shuffle);
+    * the closing per-user groupBy reuses the same partitioning
+    * (ENSURE_REQUIREMENTS is already satisfied). Per-user state is three
+    * longs — no event list ever materializes, unlike sessionize-then-scan
+    * formulations. */
+  def q34Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("tsu"),
+        col("event_type"))
+      .withColumn("v", min(when(col("event_type") === "view",
+        col("tsu"))).over(w))
+      .withColumn("c", min(when(col("event_type") === "click" &&
+        col("tsu") >= col("v"), col("tsu"))).over(w))
+      .withColumn("p", min(when(col("event_type") === "purchase" &&
+        col("tsu") >= col("c"), col("tsu"))).over(w))
+      .groupBy("user_id")
+      .agg(min("v").as("t_view_us"), min("c").as("t_click_us"),
+        min("p").as("t_purchase_us"))
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"),
+        when(col("t_purchase_us").isNotNull, 3)
+          .when(col("t_click_us").isNotNull, 2)
+          .when(col("t_view_us").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"))
+      .orderBy("user_id")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -688,6 +726,8 @@ object Relational {
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_us, COUNT(*) OVER w AS n_1h, CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h, ROUND(CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE) / (COUNT(*) OVER w) / 100.0, 3) AS avg_value_1h FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
     "q33_interval_join" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), p AS (SELECT event_id AS click_id, user_id, tsu AS pt FROM e WHERE event_type = 'click'), iv AS (SELECT event_id AS purchase_id, user_id, tsu AS s FROM e WHERE event_type = 'purchase') SELECT p.click_id, p.user_id, iv.purchase_id, p.pt - iv.s AS delta_us FROM p JOIN iv ON iv.user_id = p.user_id AND p.pt >= iv.s AND p.pt < iv.s + 3600000000 ORDER BY p.click_id, iv.purchase_id",
+    "q34_funnel" ->
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events), w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (PARTITION BY user_id) AS v FROM e), w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tsu >= v THEN tsu END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tsu >= c THEN tsu END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, MIN(v) AS t_view_us, MIN(c) AS t_click_us, MIN(p) AS t_purchase_us, CAST(CASE WHEN MIN(p) IS NOT NULL THEN 3 WHEN MIN(c) IS NOT NULL THEN 2 WHEN MIN(v) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage FROM w3 GROUP BY user_id ORDER BY user_id",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -726,5 +766,6 @@ object Relational {
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,
     "q33_interval_join" -> q33IntervalJoin _,
+    "q34_funnel" -> q34Funnel _,
   )
 }

@@ -569,6 +569,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** ss13 — maximum-inner-product (MIPS) top-k: the retrieval objective of
+    * recommendation / learned-sparse models, where magnitude IS signal —
+    * cosine's normalization (ss01) deliberately erases it. Score = raw
+    * integer dot of the int64-quantized vectors, so results are EXACT
+    * (no rounding step at all — the only fully integer ranking in the
+    * family).
+    *
+    * Scale shape: identical to ss01 — one-row query broadcast, one
+    * embarrassingly-parallel corpus scan through the codegen'd
+    * [[graft.functions.ArrayDot]] primitive, TakeOrderedAndProject keeps
+    * k per partition. For a bucketed scale path, the standard reduction
+    * [Bachrach et al., RecSys'14] appends the norm-completion dimension
+    * √(M²−|x|²) to make MIPS a cosine problem — then ss03/ss06 buckets
+    * apply unchanged; the exact scan here is the verifier of that path. */
+  def ss13MipsTopK(spark: SparkSession, dir: String): DataFrame =
+    mipsTopKOf(t(spark, dir, "embeddings"), queryId = 0L, k = 10)
+
+  /** Library surface: exact MIPS top-k over ANY (id, vector) frame. */
+  def mipsTopKOf(vecs: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(k >= 1, s"k: $k")
+    val qv = vecs.select(col(idCol).as("vec_id"), quantizedOf(col(vecCol)).as("q"))
+    val query = qv.where(col("vec_id") === queryId).select(col("q").as("qq"))
+    qv.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), dotLong(col("q"), col("qq")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ss06 — IVF-style ANN: the label partition acts as the coarse quantizer
     * (what ss05's centroids exist FOR). Centroid = component-wise integer
     * SUM per cell — cosine against a sum-vector ranks identically to the

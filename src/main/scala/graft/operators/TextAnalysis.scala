@@ -747,4 +747,48 @@ object TextAnalysis {
         col("avg_logprob"))
       .orderBy("doc_id")
   }
+
+  /** t21 — per-document token Shannon entropy, the repetition/diversity
+    * signal t07's fixed-window ratio can't express: a doc cycling two
+    * tokens scores ln 2 however it interleaves them; uniform word salad
+    * scores ln n_distinct. Low entropy at normal length = boilerplate or
+    * degenerate generation — a standard pre-training filter axis.
+    *
+    * Scale shape: MAP-ONLY — the per-doc token histogram never leaves the
+    * row. The sorted token array's run boundaries (positions where
+    * srt[i] ≠ srt[i−1]) give run lengths = per-token counts, so
+    * H = ln n − (Σ c·ln c)/n needs no (doc, token) shuffle at all; the
+    * only exchange is the presentation sort. The entropy sum rides int64
+    * micros (ROUND(c·ln c·10⁶) per RUN, then integer sum) — deterministic
+    * across engines and partition orders, the t14 convention. */
+  def t21TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(t(spark, dir, "documents"))
+
+  /** Library surface: token entropy over ANY (id, text) frame. */
+  def tokenEntropyOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val out = docs
+      .select(col(idCol), array_sort(ws).as("__srt"))
+      // run starts: position 1, and every i where srt[i] ≠ srt[i-1]
+      .withColumn("__st", concat(
+        filter(sequence(lit(1), size(col("__srt"))), i =>
+          i === 1 || element_at(col("__srt"), i) =!=
+            element_at(col("__srt"), i - 1)),
+        array(size(col("__srt")) + 1)))
+      .select(col(idCol), size(col("__srt")).as("n_tokens"),
+        (size(col("__st")) - 1).as("n_distinct"),
+        aggregate(
+          transform(sequence(lit(1), size(col("__st")) - 1), j => {
+            val c = (element_at(col("__st"), j + 1) -
+              element_at(col("__st"), j)).cast("double")
+            round(log(c) * c * 1e6).cast("long")
+          }),
+          lit(0L), (acc, x) => acc + x).as("__s"))
+    out.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+      col("n_distinct").cast("long").as("n_distinct"),
+      round(log(col("n_tokens").cast("double")) -
+        col("__s").cast("double") / 1e6 / col("n_tokens"), 4).as("entropy"))
+      .orderBy(idCol)
+  }
 }

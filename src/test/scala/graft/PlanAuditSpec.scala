@@ -16,7 +16,7 @@ class PlanAuditSpec extends SparkSpec {
     * definition or it isn't a coarse quantizer). */
   private val bnljAllowed = Set(
     "dd02_ngram_jaccard", "ss02_neardup",
-    "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann",
+    "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann", "ss13_mips",
     "ss07_kmeans_assign", "c03_semantic_curation",
     // c05 rides ss07's assignment — same bounded |cells| centroid
     // broadcast
@@ -59,8 +59,8 @@ class PlanAuditSpec extends SparkSpec {
     * presentation sort — hold that as a plan invariant, not prose. */
   private val mapOnly = Seq("t01_token_count", "t02_quality", "t03_langid",
     "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
-    "t16_normalize", "m01_decode", "m02_frames", "m03_resize",
-    "sp01_split_sample", "sp07_chunk_windows", "dd11_winnow")
+    "t16_normalize", "t21_token_entropy", "m01_decode", "m02_frames",
+    "m03_resize", "sp01_split_sample", "sp07_chunk_windows", "dd11_winnow")
 
   test("map-only operators shuffle at most once (the presentation sort)") {
     for (name <- mapOnly) {
