@@ -228,4 +228,37 @@ object Curation {
       .select("assigned", "rk", "doc_id", "quality")
       .orderBy("assigned", "rk")
   }
+
+  /** c08 — LEAKAGE-SAFE train/val split: the split decision is hashed on
+    * the document's near-dup CLUSTER (dd06), not the document — so a
+    * near-duplicate pair can never straddle the boundary. Per-document
+    * hashing (sp01) leaks: with 90/10 odds a duplicated document's twin
+    * lands in the other split ~18% of the time, and eval rows the model
+    * effectively trained on inflate every metric. Cluster-keyed hashing
+    * makes "same content → same split" a structural property.
+    *
+    * Scale shape: dd06's cluster labels are the expensive part and are
+    * already the curation pipeline's intermediate; the split itself is one
+    * md5 expression on the label — map-only after the labels exist, and
+    * the assignment is a pure property of (cluster id), stable across
+    * reruns, engines, and corpus growth that doesn't touch the cluster. */
+  def c08ClusterSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSafeSplitOf(Dedup.dd06NearDupClusters(spark, dir),
+      trainPermille = 900)
+
+  /** Library surface: cluster-keyed split over ANY (id, cluster) frame at
+    * a caller-chosen train rate (the declared query pins 900‰). */
+  def clusterSafeSplitOf(clusters: DataFrame, trainPermille: Int,
+      idCol: String = "doc_id", clusterCol: String = "cluster"): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille: $trainPermille")
+    val b = pmod(graft.functions.Hashing.md5Long(
+      concat(lit("csplit:"), col(clusterCol).cast("string")), 15),
+      lit(1000L)).cast("int")
+    clusters
+      .withColumn("split",
+        when(b < trainPermille, "train").otherwise("val"))
+      .select(col(idCol), col(clusterCol), col("split"))
+      .orderBy(idCol)
+  }
 }

@@ -795,17 +795,30 @@ object Dedup {
     * ordering, but a pinned frame materializes it, so the sort must not be
     * in this shared core). */
   private def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 4): DataFrame = {
-    val sig = simhashSig(spark, dir)
-    val bands = sig
-      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(4))).as("band"))
-      .withColumn("bk", expr("shiftright(simhash, band * 12) & 4095"))
+      maxHamming: Int = 4): DataFrame =
+    hammingPairsOf(simhashSig(spark, dir), maxHamming,
+      idCol = "doc_id", sigCol = "simhash")
+
+  /** Library surface: banded Hamming-radius pairs over ANY (id, 60-bit
+    * signature) frame — the blocking core shared by SimHash text near-dup
+    * (dd05/dd06) and perceptual-hash media near-dup
+    * ([[Multimodal.phashWith]] signatures ride this unchanged). 5×12-bit
+    * bands: exact (pigeonhole) for radius ≤ 4; the band self-join is
+    * salted ([[Skew.selfPairs]]) so one hot 12-bit bucket cannot pin a
+    * task. Output: (ida, idb, hamming), ida < idb, distinct. */
+  def hammingPairsOf(sigs: DataFrame, maxHamming: Int = 4,
+      idCol: String = "doc_id", sigCol: String = "sig"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 60, s"radius: $maxHamming")
+    val bands = sigs
+      .select(col(idCol), col(sigCol),
+        explode(sequence(lit(0), lit(4))).as("band"))
+      .withColumn("bk", expr(s"shiftright($sigCol, band * 12) & 4095"))
     // hamming filter BEFORE distinct: it depends only on (ha, hb), so
     // filtering the (duplicated) band-collision rows first shrinks the
     // distinct's input by the filter selectivity
-    Skew.selfPairs(bands, Seq("band", "bk"), "doc_id", maxGroup = 4096)
-      .select(col("a.doc_id").as("ida"), col("a.simhash").as("ha"),
-        col("b.doc_id").as("idb"), col("b.simhash").as("hb"))
+    Skew.selfPairs(bands, Seq("band", "bk"), idCol, maxGroup = 4096)
+      .select(col(s"a.$idCol").as("ida"), col(s"a.$sigCol").as("ha"),
+        col(s"b.$idCol").as("idb"), col(s"b.$sigCol").as("hb"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .where(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming").distinct()

@@ -217,4 +217,69 @@ object Multimodal {
     framesInContext(docs, () => (),
       (_: Unit, id, payload) => demux(id, payload), (_: Unit) => (),
       idCol, payloadCol)
+
+  /** One 60-bit perceptual signature of a media payload. */
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** m04 — PERCEPTUAL hashing: the media analogue of dd04's text SimHash —
+    * a 60-bit signature designed so near-identical media (re-encode, crop,
+    * brightness shift) land at small Hamming distance, which keyword/exact
+    * hashes can't do for binary columns. STUB: an average-hash over 60
+    * positional buckets (bit b = bucket-b mean above the payload mean,
+    * held in exact integer cross-multiplication — no division, no FP); a
+    * real deployment injects a DCT pHash over decoded pixels through
+    * [[phashWith]] and the downstream pairing is unchanged.
+    *
+    * Near-dup pairing composes with [[Dedup.hammingPairsOf]] — the SAME
+    * salted 5×12-band blocking dd05 uses (exact for radius ≤ 4), so media
+    * near-dup costs one map-only signature pass plus the banded join; no
+    * new join machinery. MultimodalSpec plants byte-level near-dup
+    * payloads and asserts the planted pair survives hashing + banding. */
+  def m04Phash(spark: SparkSession, dir: String): DataFrame =
+    phashWith(binaryDocs(spark, dir), phashStub(60)).orderBy("doc_id")
+
+  /** Default perceptual hasher: positional-bucket average hash. Bucket of
+    * byte i is i·bits/len (0-based); bit b set iff
+    * sum_b · len > total · count_b — integer-exact at any payload size
+    * (255 · len² < 2⁶³ up to ~190 MB payloads). */
+  private[graft] def phashStub(bits: Int)(id: Long,
+      payload: Array[Byte]): PHash = {
+    val n = payload.length
+    if (n == 0) return PHash(id, 0L)
+    val sums = new Array[Long](bits)
+    val cnts = new Array[Long](bits)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * bits) / n).toInt
+      val v = payload(i) & 0xff
+      sums(b) += v; cnts(b) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) * n > total * cnts(b)) h |= 1L << b
+      b += 1
+    }
+    PHash(id, h)
+  }
+
+  /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
+    * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).
+    * Same typed-mapPartitions plan as [[decodeWith]]. */
+  def phashWith(docs: DataFrame, hasher: (Long, Array[Byte]) => PHash,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    phashInContext(docs, () => (),
+      (_: Unit, id, payload) => hasher(id, payload), (_: Unit) => (),
+      idCol, payloadCol)
+
+  /** [[phashWith]] with a per-partition codec context (decode-then-hash
+    * needs the same JNI lifecycle as [[decodeInContext]]). */
+  def phashInContext[C](docs: DataFrame, open: () => C,
+      hash: (C, Long, Array[Byte]) => PHash, close: C => Unit,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[C, PHash](docs, open,
+      (c, id, p) => Iterator.single(hash(c, id, p)), close, idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[PHash])
 }

@@ -331,6 +331,46 @@ object Sampling {
         explode(sequence(lit(1), col("n_copies"))).as("copy"))
   }
 
+  /** sp10 — CURRICULUM ordering: a single contiguous training-order index
+    * 1..N over the whole corpus by (quality DESC, doc_id) — easy examples
+    * first, the schedule curriculum-learning trainers consume. The naive
+    * formulation (`row_number() OVER (ORDER BY ...)`) is a one-task global
+    * window — the exact anti-pattern at 100 TB. This computes the SAME
+    * total order distributed: per-score-bucket ranks (a window PARTITIONED
+    * by the rounded score — parallel) plus broadcast cumulative offsets
+    * from the per-bucket counts. Only the offsets frame is single-task,
+    * and it has one row per DISTINCT score (≤ 1001 at 3-decimal rounding)
+    * at any corpus size. */
+  def sp10Curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(
+      t(spark, dir, "documents").select(col("doc_id"),
+        TextAnalysis.quality(col("text")).as("quality")),
+      scoreCol = "quality")
+      .orderBy("seq")
+
+  /** Library surface: exact global row number over (score DESC, id ASC)
+    * for ANY scored frame, without a corpus-sized single-partition window.
+    * Contract: `scoreCol` must be LOW-CARDINALITY (a rounded/bucketed
+    * score) — the offsets side is one row per distinct value; a raw
+    * unrounded double degrades it toward corpus size. Ties inside a score
+    * rank by `idCol`, so the order is a pure data property (rerun- and
+    * engine-stable, like every split/shuffle decision in this file). */
+  def curriculumOrderOf(scored: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = scored.groupBy(scoreCol).agg(count(lit(1)).as("__n"))
+    // tiny frame (distinct scores): the unpartitioned window is bounded
+    // by the score's cardinality, not the corpus
+    val off = cnt.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.orderBy(col(scoreCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(scoreCol), col("__off"))
+    val w = Window.partitionBy(scoreCol).orderBy(idCol)
+    scored.join(broadcast(off), Seq(scoreCol))
+      .withColumn("seq", col("__off") + row_number().over(w))
+      .select(col(idCol), col(scoreCol), col("seq"))
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

@@ -83,4 +83,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.framesWith(docs, Multimodal.framesStub(100))
       .exceptAll(Multimodal.m02Frames(spark, sf)).isEmpty)
   }
+
+  test("m04 phash: perturbed payload stays within radius, pairing finds it") {
+    import spark.implicits._
+    // A: a smooth gradient payload; B: A with a tiny local perturbation
+    // (a re-encode artifact) — phash must stay within Hamming ≤ 4 so the
+    // banded pairing (dd05's machinery, unchanged) recovers the pair;
+    // C: the reversed gradient — far from both, must NOT pair
+    val a = Array.tabulate(2048)(i => (i % 251).toByte)
+    val b = a.clone(); for (i <- 100 to 104) b(i) = (b(i) + 1).toByte
+    val c = a.reverse
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "payload")
+    val sigs = Multimodal.phashWith(docs, Multimodal.phashStub(60))
+    val pairs = graft.operators.Dedup
+      .hammingPairsOf(sigs, maxHamming = 4, sigCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"expected exactly the planted pair: $pairs")
+    // signatures are 60-bit values, like every signature in the family
+    assert(sigs.where(col("phash") < 0 ||
+      col("phash") > (1L << 60) - 1).isEmpty)
+    // stub-through-seam ≡ the declared query
+    assert(Multimodal.phashWith(Multimodal.binaryDocs(spark, sf),
+        Multimodal.phashStub(60))
+      .exceptAll(Multimodal.m04Phash(spark, sf)).isEmpty)
+  }
 }

@@ -1266,6 +1266,125 @@ class PipelinesSpec extends SparkSpec {
     assert(bigCounts == Map("src0" -> 25L, "src1" -> 25L))
   }
 
+  test("dd13 CDC chunks re-synchronize after an insertion; dd07 alignment doesn't") {
+    import spark.implicits._
+    // doc B = doc A with ONE token inserted at the front. Every aligned
+    // fixed window of A is shifted in B — dd07 sees zero duplication —
+    // but content-defined boundaries re-synchronize at the next gate
+    // token, so dd13 flags most of both docs as duplicated chunks.
+    val base = (1 to 400).map(i => s"w${i}x").mkString(" ")
+    val docs = Seq((0L, base), (1L, s"inserted $base"))
+      .toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedupOf(docs, divisor = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, (n, dup)) <- cdc)
+      assert(dup.toDouble / n >= 0.8,
+        s"doc $id: only $dup of $n chunks re-synchronized")
+    val fixed = Dedup.passageDedupOf(docs, passageTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(0L) == 0 && fixed(1L) == 0,
+      s"fixture broken — the insertion must desync dd07 windows: $fixed")
+  }
+
+  test("ss12 int8 SQ is the fidelity end of the dial: recall beats PQ m=4") {
+    val exact = Similarity.ss01CosineTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val sq = Similarity.ss12SqAdcTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.ss10PqAdcTopK(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val (rSq, rPq) = ((sq & exact).size, (pq & exact).size)
+    assert(rSq >= 8, s"SQ recall@10 floor broken: $rSq")
+    assert(rSq >= rPq, s"8-bit/dim SQ ($rSq) must not lose to 4-byte PQ ($rPq)")
+  }
+
+  test("ss13 MIPS ranks by magnitude; cosine deliberately does not") {
+    import spark.implicits._
+    // a: long but slightly misaligned — wins on inner product;
+    // b: short but perfectly aligned — wins on cosine
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(10f, 1f)), (2L, Array(0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.mipsTopKOf(vecs, queryId = 0L, k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.head.getLong(1) == 10000000L) // 10000·1000 + 1000·0, exact
+  }
+
+  test("sp10 curriculum seq is the exact global (quality DESC, id) rank") {
+    val out = Sampling.sp10Curriculum(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // contiguous 1..N
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length).toSeq)
+    // and identical to the one-task window formulation, computed naively
+    val naive = out.sortBy { case (id, q, _) => (-q, id) }
+      .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    for ((id, _, seq) <- out)
+      assert(naive(id) == seq, s"doc $id: seq $seq != naive ${naive(id)}")
+  }
+
+  test("c08 split is leakage-safe: no near-dup edge straddles the boundary") {
+    val split = graft.operators.Curation.c08ClusterSafeSplit(spark, sf)
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.dd05SimhashPairs(spark, sf).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup edges to test with")
+    for ((a, b) <- pairs)
+      assert(byDoc(a) == byDoc(b), s"pair ($a, $b) straddles the split")
+    assert(byDoc.values.toSet.contains("train"))
+  }
+
+  test("t21 entropy: 0 for constant docs, ln k for uniform, order-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x x x x"),             // constant → 0
+      (1L, "a b c d"),                 // uniform over 4 → ln 4
+      (2L, "d b a c"),                 // same multiset, other order
+      (3L, "a a a b")                  // skewed: between 0 and ln 2... ln 4
+    ).toDF("doc_id", "text")
+    val h = TextAnalysis.tokenEntropyOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(h(0L) == 0.0)
+    assert(math.abs(h(1L) - math.log(4)) < 1e-3)
+    assert(h(1L) == h(2L), "entropy must be order-invariant")
+    assert(h(3L) > 0.0 && h(3L) < math.log(4))
+  }
+
+  test("q33 bucketed interval join equals the naive range predicate") {
+    import graft.operators.Relational
+    val out = Relational.q33IntervalJoin(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val e = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsu"), col("event_type"))
+    val naive = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tsu").as("pt"))
+      .join(e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("u2"), col("tsu").as("s")),
+        col("user_id") === col("u2") && col("pt") >= col("s") &&
+          col("pt") < col("s") + 3600000000L)
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        (col("pt") - col("s")).as("delta_us"))
+      .collect().map(_.toSeq).toSet
+    assert(out == naive && out.nonEmpty)
+  }
+
+  test("q34 funnel stages are ordered and consistent with their timestamps") {
+    val out = graft.operators.Relational.q34Funnel(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (v, c, p, stage) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))
+      // stage == chain depth, and each stage's timestamp is ≥ the previous
+      assert(stage == Seq(v, c, p).takeWhile(_.isDefined).length)
+      if (c.isDefined) assert(v.isDefined && c.get >= v.get)
+      if (p.isDefined) assert(c.isDefined && p.get >= c.get)
+    }
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation

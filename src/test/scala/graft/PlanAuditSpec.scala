@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
   private val mapOnly = Seq("t01_token_count", "t02_quality", "t03_langid",
     "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
     "t16_normalize", "t21_token_entropy", "m01_decode", "m02_frames",
-    "m03_resize", "sp01_split_sample", "sp07_chunk_windows", "dd11_winnow")
+    "m03_resize", "m04_phash", "sp01_split_sample", "sp07_chunk_windows",
+    "dd11_winnow")
 
   test("map-only operators shuffle at most once (the presentation sort)") {
     for (name <- mapOnly) {
