@@ -652,6 +652,31 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q35 — COHORT RETENTION: users grouped by first-activity day, counted
+    * again at each later active day — the triangular retention matrix
+    * behind every "day-N retention" product metric (and the growth-
+    * accounting shape analytics warehouses run daily at billions of
+    * events). Day arithmetic is integer µs division, engine-portable.
+    *
+    * Scale shape: the cohort table and the (user, day) activity set both
+    * aggregate ON user_id, and their join is user_id-keyed too — one hash
+    * partitioning serves all three (Catalyst reuses the exchange; no
+    * re-shuffle between dedup, cohort, and join). The final (cohort, offset)
+    * rollup is map-side combined into a frame bounded by days², not events.
+    * Since a user's rows co-locate, `count(*)` after the per-user dedup is
+    * an exact distinct-user count — no count_distinct shuffle. */
+  def q35CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT) DIV 86400000000").as("day"))
+    val active = e.distinct()
+    val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -726,6 +751,8 @@ object Relational {
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_us, COUNT(*) OVER w AS n_1h, CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h, ROUND(CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE) / (COUNT(*) OVER w) / 100.0, 3) AS avg_value_1h FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
     "q33_interval_join" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), p AS (SELECT event_id AS click_id, user_id, tsu AS pt FROM e WHERE event_type = 'click'), iv AS (SELECT event_id AS purchase_id, user_id, tsu AS s FROM e WHERE event_type = 'purchase') SELECT p.click_id, p.user_id, iv.purchase_id, p.pt - iv.s AS delta_us FROM p JOIN iv ON iv.user_id = p.user_id AND p.pt >= iv.s AND p.pt < iv.s + 3600000000 ORDER BY p.click_id, iv.purchase_id",
+    "q35_cohort_retention" ->
+      "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id) SELECT c.cohort_day, e.day - c.cohort_day AS day_offset, COUNT(*) AS n_users FROM e JOIN c ON c.user_id = e.user_id GROUP BY c.cohort_day, e.day - c.cohort_day ORDER BY cohort_day, day_offset",
     "q34_funnel" ->
       "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events), w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (PARTITION BY user_id) AS v FROM e), w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tsu >= v THEN tsu END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tsu >= c THEN tsu END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, MIN(v) AS t_view_us, MIN(c) AS t_click_us, MIN(p) AS t_purchase_us, CAST(CASE WHEN MIN(p) IS NOT NULL THEN 3 WHEN MIN(c) IS NOT NULL THEN 2 WHEN MIN(v) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage FROM w3 GROUP BY user_id ORDER BY user_id",
   )
@@ -767,5 +794,6 @@ object Relational {
     "q32_moving_window" -> q32MovingWindow _,
     "q33_interval_join" -> q33IntervalJoin _,
     "q34_funnel" -> q34Funnel _,
+    "q35_cohort_retention" -> q35CohortRetention _,
   )
 }

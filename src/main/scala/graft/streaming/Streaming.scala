@@ -398,4 +398,75 @@ object Streaming {
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) => upsert(batch) }
       .start()
+
+  /** Per-user funnel progress: stage = depth of the ordered
+    * view → click → purchase chain, with each stage's first qualifying
+    * event time (µs). The streaming twin of batch q34. */
+  final case class FunnelRow(user_id: Long, stage: Int,
+      t_view_us: Option[Long], t_click_us: Option[Long],
+      t_purchase_us: Option[Long])
+
+  /** Funnel state per user (public: state-store codegen instantiates it).
+    * `earlyClicks`/`earlyPurchases` hold NOT-YET-QUALIFIED event times —
+    * see [[streamingFunnel]] for why they exist and why they stay small. */
+  final case class FunnelState(v: Option[Long], c: Option[Long],
+      p: Option[Long], earlyClicks: Seq[Long], earlyPurchases: Seq[Long])
+
+  /** Streaming conversion funnel — the continuous form of batch q34:
+    * per user, v = first view, c = first click AT OR AFTER v, p = first
+    * purchase at or after c; emits the user's updated funnel row whenever
+    * a batch changes it (Update semantics).
+    *
+    * Exactness under OUT-OF-ORDER arrival is the subtle part: a late
+    * VIEW can lower v, which can retroactively qualify a click that was
+    * "too early" — and that click can re-qualify an earlier purchase. A
+    * 3-timestamp accumulator loses those; buffering everything is
+    * unbounded. The middle path: keep the three stage timestamps PLUS
+    * only the UNQUALIFIED early events (clicks with t < v, purchases
+    * with t < c), pruned by the watermark — an early click at time t can
+    * only ever qualify if a view with ts ≤ t arrives later, and once the
+    * watermark passes t no such view can arrive, so the entry is dead
+    * and dropped. State per user is therefore 3 longs + events inside
+    * the allowed-lateness window only — the same bound shape as
+    * [[streamingSessionize]], independent of history length. Events at
+    * or below the watermark follow Spark's stateful contract (may be
+    * dropped); on-time streams replay to exactly the batch q34 rows,
+    * asserted in StreamingSpec against a shuffled-batch replay. */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      tsCol: String, watermark: String)
+      : org.apache.spark.sql.Dataset[FunnelRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val prior = state.getOption
+            .getOrElse(FunnelState(None, None, None, Nil, Nil))
+          val batch = rows.map(r => (r._2, r._3.getTime * 1000L)).toSeq
+          def tsOf(kind: String) = batch.collect { case (k, t) if k == kind => t }
+          val v = (prior.v.toSeq ++ tsOf("view")).minOption
+          // candidate clicks: prior first-qualified + prior early + batch;
+          // v only decreases, so qualification is monotone — c only drops
+          val clicks = prior.c.toSeq ++ prior.earlyClicks ++ tsOf("click")
+          val c = v.flatMap(vv => clicks.filter(_ >= vv).minOption)
+          val purchases =
+            prior.p.toSeq ++ prior.earlyPurchases ++ tsOf("purchase")
+          val p = c.flatMap(cc => purchases.filter(_ >= cc).minOption)
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val early = FunnelState(v, c, p,
+            clicks.filter(t => v.forall(t < _) && t >= wm).distinct.sorted,
+            purchases.filter(t => c.forall(t < _) && t >= wm).distinct.sorted)
+          val changed = state.getOption.forall(_ != early)
+          state.update(early)
+          if (changed)
+            Iterator.single(FunnelRow(uid,
+              Seq(v, c, p).takeWhile(_.isDefined).length, v, c, p))
+          else Iterator.empty
+      }
+  }
 }

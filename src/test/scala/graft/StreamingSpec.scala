@@ -524,4 +524,50 @@ class StreamingSpec extends SparkSpec {
       assert(first.getString(3) == "café one two three four")
     } finally q.stop()
   }
+
+  test("streaming funnel: late views retroactively qualify clicks and purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_type", "ts")
+    val q = Streaming.streamingFunnel(spark, events, "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel")
+      .start()
+    def ts(hm: String) = Timestamp.valueOf(s"2026-01-01 $hm:00")
+    def us(hm: String) = ts(hm).getTime * 1000L
+    try {
+      // u1: click+purchase arrive FIRST — both unqualified (no view yet).
+      // The collapsed-accumulator failure mode: a 3-timestamp state that
+      // discarded them can never produce stage 3.
+      in.addData((1L, "click", ts("00:05")), (1L, "purchase", ts("00:06")),
+        (2L, "purchase", ts("00:02")))
+      q.processAllAvailable()
+      // late-in-event-time view lands BEFORE the buffered click/purchase
+      in.addData((1L, "view", ts("00:01")), (2L, "view", ts("00:03")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      // u1 completes the whole chain once the early events re-qualify
+      assert(rows.contains((1L, 3, Some(us("00:01")), Some(us("00:05")),
+        Some(us("00:06")))), s"u1 chain missing: $rows")
+      // u2's purchase PRECEDES its view — stays stage 1 forever (exactly
+      // batch q34's semantics: purchase must follow a qualified click)
+      assert(rows.contains((2L, 1, Some(us("00:03")), None, None)))
+      assert(!rows.exists(r => r._1 == 2L && r._2 > 1))
+      // a fresh view AFTER the buffered events must not rewrite history:
+      // u1's chain is already anchored at its minimal qualified times, so
+      // the state does not change and nothing new is emitted
+      val before = spark.table("funnel").collect()
+        .count(_.getLong(0) == 1L)
+      in.addData((1L, "view", ts("00:30")))
+      q.processAllAvailable()
+      val u1After = spark.table("funnel").collect()
+        .filter(_.getLong(0) == 1L)
+      assert(u1After.length == before, "unchanged state must not re-emit")
+      assert(u1After.map(_.getInt(1)).max == 3)
+    } finally q.stop()
+  }
 }
