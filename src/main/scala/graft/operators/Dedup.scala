@@ -783,11 +783,11 @@ object Dedup {
   /** Library surface: SimHash near-dup pairs at a caller-chosen Hamming
     * radius. The 5×12-bit banding is EXACT (pigeonhole) only for radius
     * ≤ 4; a larger radius keeps the same blocking and becomes a recall
-    * trade — widen the bands (more, narrower) to restore exactness. */
+    * trade — callers must opt in via `approximate = true` (see
+    * [[hammingPairsOf]]). */
   def simhashNearDups(spark: SparkSession, dir: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 60, s"radius: $maxHamming")
-    simhashPairs(spark, dir, maxHamming)
+      maxHamming: Int, approximate: Boolean = false): DataFrame = {
+    simhashPairs(spark, dir, maxHamming, approximate)
   }
 
   /** The unsorted Hamming ≤ 4 pair set — dd05 adds the presentation sort;
@@ -795,9 +795,9 @@ object Dedup {
     * ordering, but a pinned frame materializes it, so the sort must not be
     * in this shared core). */
   private def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 4): DataFrame =
+      maxHamming: Int = 4, approximate: Boolean = false): DataFrame =
     hammingPairsOf(simhashSig(spark, dir), maxHamming,
-      idCol = "doc_id", sigCol = "simhash")
+      idCol = "doc_id", sigCol = "simhash", approximate = approximate)
 
   /** Library surface: banded Hamming-radius pairs over ANY (id, 60-bit
     * signature) frame — the blocking core shared by SimHash text near-dup
@@ -805,10 +805,21 @@ object Dedup {
     * ([[Multimodal.phashWith]] signatures ride this unchanged). 5×12-bit
     * bands: exact (pigeonhole) for radius ≤ 4; the band self-join is
     * salted ([[Skew.selfPairs]]) so one hot 12-bit bucket cannot pin a
-    * task. Output: (ida, idb, hamming), ida < idb, distinct. */
+    * task. Output: (ida, idb, hamming), ida < idb, distinct.
+    *
+    * Radius > 4 exceeds what 5 bands can guarantee (pigeonhole: 5 bands
+    * catch every pair differing in ≤ 4 bits, but a pair at distance 5 can
+    * spread one flipped bit into each band and collide in none) — the
+    * result is then a recall-bounded SUBSET of the true pair set. That is
+    * sometimes the right trade, but never silently: `approximate = true`
+    * is required to unlock radii 5–60. */
   def hammingPairsOf(sigs: DataFrame, maxHamming: Int = 4,
-      idCol: String = "doc_id", sigCol: String = "sig"): DataFrame = {
+      idCol: String = "doc_id", sigCol: String = "sig",
+      approximate: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 60, s"radius: $maxHamming")
+    require(maxHamming <= 4 || approximate,
+      s"radius $maxHamming > 4: 5×12-bit banding returns an incomplete " +
+        "pair set past Hamming 4 — pass approximate = true to opt in")
     val bands = sigs
       .select(col(idCol), col(sigCol),
         explode(sequence(lit(0), lit(4))).as("band"))

@@ -762,6 +762,17 @@ object Similarity {
   // versions older than the previous are deleted. Every existing surface
   // (probe/assign/append/maintain) accepts either layout — resolution is
   // per-call, so long-lived callers pick up a flip on their next call.
+  //
+  // WRITER CONTRACT: the versioned layout makes READERS safe under a
+  // concurrent retrain; writers (append / maintain / PQ encode) must be
+  // serialized per index root. Each write resolves `_current` once, so a
+  // write racing a retrain flip lands in the superseded v<N> and is
+  // silently deleted by the next retrain's cleanup. Every writer here
+  // re-resolves the pointer AFTER its write ([[ensurePointerUnmoved]])
+  // and fails loudly if it moved — turning a silent lost write into a
+  // retriable error — but detection is not prevention: a flip can still
+  // land in the check-to-return window, so one-writer-at-a-time remains
+  // the operational contract (a nightly job satisfies it trivially).
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -812,6 +823,22 @@ object Similarity {
       case Some((_, dir)) => dir.toString
       case None => path // flat layout
     }
+  }
+
+  /** Writer-side half of the versioned-layout contract (see the layout
+    * comment above): called AFTER a write that resolved `path` to `live`.
+    * A concurrent retrain flip means the write landed in a superseded
+    * version destined for cleanup — fail loudly so the caller re-runs
+    * against the new version instead of losing the write silently. */
+  private def ensurePointerUnmoved(spark: SparkSession, path: String,
+      live: String): Unit = {
+    val now = resolveIndexDir(spark, path)
+    if (now != live)
+      throw new IllegalStateException(
+        s"IVF index $path: live version moved from $live to $now during " +
+          "a write — the written rows landed in a superseded version and " +
+          "the next retrain cleanup would drop them. Writers must be " +
+          "serialized per index root; re-run this write.")
   }
 
   /** Point `root/_current` at `name`. Write-tmp-then-rename: the pointer
@@ -903,6 +930,7 @@ object Similarity {
       assignToIvfIndex(spark, live, vecs, idCol, embCol))
     try {
       appendAssigned(assigned, live)
+      ensurePointerUnmoved(spark, path, live)
       appendStats(assigned)
     } finally graft.Materialize.unpin(assigned)
   }
@@ -996,7 +1024,10 @@ object Similarity {
         }
         IvfMaintenance(retrained = true, stats)
       } else {
-        if (stats.nAppended > 0) appendAssigned(assigned, live)
+        if (stats.nAppended > 0) {
+          appendAssigned(assigned, live)
+          ensurePointerUnmoved(spark, path, live)
+        }
         IvfMaintenance(retrained = false, stats)
       }
     } finally graft.Materialize.unpin(assigned)
@@ -1081,6 +1112,7 @@ object Similarity {
     graft.sources.Sink.writeCurated(codes, s"$path0/_pq_codes",
       partitionCols = Seq("cell"), sortCols = Seq("vec_id", "sub"))
     cb.write.mode("overwrite").parquet(s"$path0/_pq_codebooks")
+    ensurePointerUnmoved(spark, path, path0)
     // artifacts are on disk — release the build's pinned subspace frame
     // (same library-caller contract as buildIndexFrom)
     graft.Materialize.unpin(subs)
@@ -1100,6 +1132,7 @@ object Similarity {
       val m = spark.read.parquet(s"$path0/_pq_codebooks")
         .agg(max(col("sub"))).head().getInt(0) + 1
       addPqToIvfIndex(spark, path0, m)
+      ensurePointerUnmoved(spark, path, path0)
       true
     }
   }

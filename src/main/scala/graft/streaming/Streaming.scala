@@ -431,11 +431,28 @@ object Streaming {
     * [[streamingSessionize]], independent of history length. Events at
     * or below the watermark follow Spark's stateful contract (may be
     * dropped); on-time streams replay to exactly the batch q34 rows,
-    * asserted in StreamingSpec against a shuffled-batch replay. */
+    * asserted in StreamingSpec against a shuffled-batch replay.
+    *
+    * State lifetime: a COMPLETED funnel (p set) is expired via
+    * EventTimeTimeout once the watermark passes p — past that point every
+    * event that could still move a stage (view < v, click < c ≤ p,
+    * purchase < p) is below the watermark and droppable anyway, so the
+    * state is frozen and safe to drop. Incomplete funnels are retained
+    * (they can always advance), so retained state is bounded by users who
+    * never purchased plus the in-window completers — not by all users
+    * ever seen. One consequence to know: events for a user arriving AFTER
+    * that user's expiry start a fresh funnel (the replay-equals-q34 claim
+    * is per funnel lifetime, not across expiry). */
   def streamingFunnel(spark: SparkSession, events: DataFrame,
       tsCol: String, watermark: String)
       : org.apache.spark.sql.Dataset[FunnelRow] = {
     import spark.implicits._
+    // Timestamp.getTime alone is ms-truncated; batch q34 computes true
+    // microseconds (stored nanos DIV 1000), and a ts >= v comparison can
+    // flip at same-ms orderings if the streaming side rounds. Rebuild the
+    // full µs value: whole seconds from getTime, fraction from getNanos.
+    def microsOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     events
       .select(col("user_id").cast("long"), col("event_type").cast("string"),
         col(tsCol).as("ts"))
@@ -443,11 +460,17 @@ object Streaming {
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelRow](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // completed funnel, watermark passed p: frozen (see scaladoc).
+            // The final row was emitted when the state last changed.
+            state.remove()
+            Iterator.empty
+          } else {
           val prior = state.getOption
             .getOrElse(FunnelState(None, None, None, Nil, Nil))
-          val batch = rows.map(r => (r._2, r._3.getTime * 1000L)).toSeq
+          val batch = rows.map(r => (r._2, microsOf(r._3))).toSeq
           def tsOf(kind: String) = batch.collect { case (k, t) if k == kind => t }
           val v = (prior.v.toSeq ++ tsOf("view")).minOption
           // candidate clicks: prior first-qualified + prior early + batch;
@@ -463,10 +486,18 @@ object Streaming {
             purchases.filter(t => c.forall(t < _) && t >= wm).distinct.sorted)
           val changed = state.getOption.forall(_ != early)
           state.update(early)
+          // all early-buffer entries sit below p (early clicks < v ≤ p,
+          // early purchases < c ≤ p), so watermark > p also kills every
+          // buffered candidate — expiry needs no empty-buffer guard.
+          p.foreach { pUs =>
+            state.setTimeoutTimestamp(
+              math.max(pUs / 1000L, state.getCurrentWatermarkMs()) + 1L)
+          }
           if (changed)
             Iterator.single(FunnelRow(uid,
               Seq(v, c, p).takeWhile(_.isDefined).length, v, c, p))
           else Iterator.empty
+          }
       }
   }
 }
