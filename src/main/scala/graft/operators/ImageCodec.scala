@@ -1,0 +1,232 @@
+package graft.operators
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+
+import Multimodal.{PHash, Resized}
+
+/** REAL image codec defaults for the [[Multimodal]] seams, built entirely
+  * on `javax.imageio` + `java.awt.image` — in-JDK, headless-safe, zero new
+  * dependencies. This closes the round-7 gap "multimodal codecs remain
+  * stub-default": a user who has PNG/JPEG bytes in a binary column gets
+  * working decode / resize / perceptual-hash out of the box, while the
+  * oracle queries (m01–m04) deliberately keep the deterministic stubs as
+  * their declared contract (the testdata payloads are UTF-8 text, not
+  * images).
+  *
+  * Everything here is a plain `(Long, Array[Byte]) => result` function that
+  * plugs into the EXISTING typed-mapPartitions seams
+  * ([[Multimodal.decodeWith]]-family) — the Spark plan is identical to the
+  * stub plan, asserted in MultimodalSpec. ImageIO readers are looked up
+  * per call from a static registry (cheap, thread-safe); a JNI codec with
+  * expensive setup would ride the `*InContext` variants instead.
+  *
+  * Undecodable payloads (truncated file, non-image bytes) are REPORTED,
+  * not thrown: width/height −1 on decode, an empty result on resize, the
+  * zero signature on pHash. At 100 TB some shard WILL contain a corrupt
+  * image, and one bad row must not kill a 10-hour job; callers filter on
+  * the sentinel (`width >= 0`, `phash != 0`) and quarantine the rest —
+  * same posture as TextCorpus's corrupt-line accounting.
+  */
+object ImageCodec {
+
+  /** Decoded-image metadata: real dimensions + mean luma (0–255 ITU-R 601
+    * integer luma, exact — no floating point, so the value is identical on
+    * every JVM/arch and safe to oracle against). `width = height = -1`
+    * marks an undecodable payload. */
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_luma: Int)
+
+  private def readImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** ITU-R 601 integer luma of a packed ARGB pixel: (77R + 150G + 29B) >> 8
+    * (the classic 8-bit fixed-point weights summing to 256). */
+  @inline private def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (77 * r + 150 * g + 29 * b) >> 8
+  }
+
+  /** Default image decoder for the [[Multimodal.decodeWith]] plan shape:
+    * PNG/JPEG/BMP/GIF bytes → real (width, height, pixels, mean luma). */
+  def decodeImage(id: Long, payload: Array[Byte]): ImageMeta =
+    readImage(payload) match {
+      case None => ImageMeta(id, -1, -1, 0L, -1)
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageMeta(id, w, h, n, (sum / math.max(n, 1L)).toInt)
+    }
+
+  /** Decode a whole (id, payload) binary frame — the [[ImageMeta]]-typed
+    * sibling of [[Multimodal.decodeWith]], riding the same
+    * typed-mapPartitions core (per-file-split parallelism, no shuffle
+    * before the decode). */
+  def decodeImages(docs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    Multimodal.inContext[Unit, ImageMeta](docs, () => (),
+      (_, id, p) => Iterator.single(decodeImage(id, p)), _ => (), idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[ImageMeta])
+
+  /** Bilinear scale to fit inside `maxDim` × `maxDim` (aspect preserved,
+    * never upscaled) — Graphics2D with explicit BILINEAR interpolation
+    * hints, i.e. a true resampler, not nearest-neighbor byte striding. */
+  private[graft] def bilinearFit(img: BufferedImage,
+      maxDim: Int): BufferedImage = {
+    val scale = math.min(1.0,
+      maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+    val w = math.max(1, math.round(img.getWidth * scale).toInt)
+    val h = math.max(1, math.round(img.getHeight * scale).toInt)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Default thumbnailer for the [[Multimodal.resizeWith]] seam: decode,
+    * bilinear-fit into `maxDim`², re-encode PNG. Output carries the stub
+    * contract's stats over the REAL resized artifact: `resized_bytes` =
+    * encoded PNG length, `resized_checksum` = mean luma of the resized
+    * pixels (so a spec can assert the resample actually preserved image
+    * content, not just produced bytes). Undecodable → (-1, -1). */
+  def imageResizer(maxDim: Int)(id: Long, payload: Array[Byte]): Resized =
+    readImage(payload) match {
+      case None => Resized(id, payload.length, -1, -1)
+      case Some(img) =>
+        val scaled = bilinearFit(img, maxDim)
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(scaled, "png", bos)
+        var sum = 0L
+        var y = 0
+        while (y < scaled.getHeight) {
+          var x = 0
+          while (x < scaled.getWidth) { sum += luma(scaled.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        val n = scaled.getWidth.toLong * scaled.getHeight
+        Resized(id, payload.length, bos.size(), (sum / n).toInt)
+    }
+
+  // ---- DCT perceptual hash ---------------------------------------------
+
+  /** Hash geometry: resample to SIDE×SIDE grayscale, 2-D DCT-II, keep the
+    * lowest-frequency LOW×LOW block minus the DC term, threshold the first
+    * 60 coefficients at their median → a 60-bit signature that rides
+    * [[Dedup.hammingPairsOf]]'s 5×12-band blocking UNCHANGED (same sig
+    * width as dd04's text SimHash and the m04 stub). */
+  private val SIDE = 32
+  private val LOW = 8
+
+  /** cos((2x+1)·u·π/2N) table, precomputed once per JVM (64 KB). */
+  private lazy val cosTable: Array[Array[Double]] = {
+    val t = Array.ofDim[Double](SIDE, SIDE)
+    var u = 0
+    while (u < SIDE) {
+      var x = 0
+      while (x < SIDE) {
+        t(u)(x) = math.cos((2 * x + 1) * u * math.Pi / (2.0 * SIDE))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Default perceptual hasher for the [[Multimodal.phashWith]] seam: the
+    * classic DCT pHash (decode → 32×32 grayscale bilinear → DCT-II → 60
+    * low-frequency AC signs vs median). Near-identical images (re-encode,
+    * mild brightness shift, small crop) land within Hamming ≤ 4 of each
+    * other — MultimodalSpec plants exactly that and recovers the pair via
+    * the banded join. Median thresholding makes the signature invariant to
+    * global brightness/contrast shifts (they move every coefficient's
+    * baseline, not the ORDER of coefficients). Undecodable → 0L sentinel
+    * (filter before pairing: a shard of corrupt images must not all land
+    * in one "signature 0" bucket). */
+  def imagePhash(id: Long, payload: Array[Byte]): PHash =
+    readImage(payload) match {
+      case None => PHash(id, 0L)
+      case Some(img) =>
+        val small = bilinearFit(img, SIDE)
+        // exact-fit to SIDE×SIDE: bilinearFit preserves aspect, the hash
+        // wants a fixed grid — stretch with the same bilinear resampler
+        val grid =
+          if (small.getWidth == SIDE && small.getHeight == SIDE) small
+          else {
+            val out = new BufferedImage(SIDE, SIDE, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+                RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, SIDE, SIDE, null)
+            } finally g.dispose()
+            out
+          }
+        val gray = Array.ofDim[Double](SIDE, SIDE)
+        var y = 0
+        while (y < SIDE) {
+          var x = 0
+          while (x < SIDE) { gray(y)(x) = luma(grid.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        // separable 2-D DCT-II, low-frequency LOW×LOW block only:
+        // O(LOW·SIDE·SIDE + LOW·LOW·SIDE) — ~40k mults, not SIDE⁴
+        val rows = Array.ofDim[Double](SIDE, LOW) // rows(y)(u)
+        y = 0
+        while (y < SIDE) {
+          var u = 0
+          while (u < LOW) {
+            var s = 0.0
+            var x = 0
+            while (x < SIDE) { s += gray(y)(x) * cosTable(u)(x); x += 1 }
+            rows(y)(u) = s
+            u += 1
+          }
+          y += 1
+        }
+        val coeffs = new Array[Double](LOW * LOW)
+        var v = 0
+        while (v < LOW) {
+          var u = 0
+          while (u < LOW) {
+            var s = 0.0
+            var yy = 0
+            while (yy < SIDE) { s += rows(yy)(u) * cosTable(v)(yy); yy += 1 }
+            coeffs(v * LOW + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        // drop DC (index 0), keep the next 60 coefficients in raster order
+        val ac = java.util.Arrays.copyOfRange(coeffs, 1, 61)
+        val sorted = ac.clone()
+        java.util.Arrays.sort(sorted)
+        val med = (sorted(29) + sorted(30)) / 2.0
+        var h = 0L
+        var b = 0
+        while (b < 60) {
+          if (ac(b) > med) h |= 1L << b
+          b += 1
+        }
+        PHash(id, h)
+    }
+}

@@ -71,7 +71,7 @@ object Multimodal {
     * — and on mid-stream failure, so a throwing payload can't leak a
     * codec context. `C` need not be serializable: only the functions
     * ship; the context lives and dies inside one partition. */
-  private def inContext[C, O](docs: DataFrame, open: () => C,
+  private[operators] def inContext[C, O](docs: DataFrame, open: () => C,
       f: (C, Long, Array[Byte]) => Iterator[O], close: C => Unit,
       idCol: String, payloadCol: String)(
       implicit enc: org.apache.spark.sql.Encoder[O]): DataFrame = {

@@ -107,4 +107,108 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.phashStub(60))
       .exceptAll(Multimodal.m04Phash(spark, sf)).isEmpty)
   }
+
+  // ---- real ImageIO codec defaults (round-7 verdict #2) -----------------
+
+  import java.awt.image.BufferedImage
+  import graft.operators.ImageCodec
+
+  /** Deterministic test image: per-pixel RGB from a pure (x, y) function. */
+  private def renderImg(w: Int, h: Int)(
+      rgb: (Int, Int) => (Int, Int, Int)): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def gradient(w: Int, h: Int) = renderImg(w, h) { (x, y) =>
+    (40 + (x * 160) / w, 40 + (y * 160) / h, 90)
+  }
+
+  test("ImageIO decode: real PNG/JPEG dimensions and luma; corrupt reported") {
+    import spark.implicits._
+    val png = encode(gradient(64, 48), "png")
+    val jpg = encode(gradient(64, 48), "jpg")
+    val corrupt = "definitely not an image".getBytes("UTF-8")
+    val docs = Seq((0L, png), (1L, jpg), (2L, corrupt))
+      .toDF("doc_id", "payload")
+    val out = ImageCodec.decodeImages(docs).orderBy("doc_id").collect()
+    for (i <- 0 to 1) {
+      assert(out(i).getAs[Int]("width") == 64)
+      assert(out(i).getAs[Int]("height") == 48)
+      assert(out(i).getAs[Long]("n_pixels") == 64L * 48)
+      // both encodings see the same picture: mean luma within jpeg tolerance
+      assert(math.abs(out(i).getAs[Int]("mean_luma") -
+        out(0).getAs[Int]("mean_luma")) <= 2)
+    }
+    // corrupt payload is reported, not thrown — the 100 TB posture
+    assert(out(2).getAs[Int]("width") == -1)
+    // same typed-mapPartitions plan family as every codec seam
+    val plan = planOps(ImageCodec.decodeImages(docs))
+    assert(plan.exists(_.contains("MapPartitions")))
+    assert(!plan.exists(_.contains("Exchange")))
+  }
+
+  test("ImageIO resize: bilinear fit preserves aspect and content") {
+    import spark.implicits._
+    val orig = gradient(64, 48)
+    val docs = Seq((0L, encode(orig, "png"))).toDF("doc_id", "payload")
+    val r = Multimodal.resizeWith(docs, ImageCodec.imageResizer(16))
+      .collect()(0)
+    assert(r.getAs[Int]("resized_bytes") > 0)
+    assert(r.getAs[Int]("resized_bytes") < r.getAs[Int]("n_bytes"),
+      "16x12 thumbnail PNG must be smaller than the 64x48 original")
+    // bilinear resampling preserves overall brightness: thumbnail mean luma
+    // lands within a few counts of the full-size mean
+    val full = ImageCodec.decodeImage(0L, encode(orig, "png")).mean_luma
+    assert(math.abs(r.getAs[Int]("resized_checksum") - full) <= 4,
+      s"thumbnail luma ${r.getAs[Int]("resized_checksum")} vs full $full")
+    // decode the actual thumbnail dims via the pure function
+    val thumb = ImageCodec.bilinearFit(orig, 16)
+    assert(thumb.getWidth == 16 && thumb.getHeight == 12, "aspect preserved")
+  }
+
+  test("ImageIO phash: jpeg re-encode + brightness shift pair; distinct image does not") {
+    import spark.implicits._
+    // 0: base PNG; 1: the SAME picture through jpeg loss + a uniform
+    // brightness shift (+6, non-clipping) — the classic near-dup; 2: a
+    // checkerboard — structurally unrelated, must not pair with either.
+    // The fixture is TEXTURED (hash-noise blocks over a gradient): a
+    // perfectly smooth image has near-zero AC coefficients whose signs
+    // flip on jpeg noise (measured: gradient-only pairs at Hamming 22,
+    // textured at 4, distinct at 26-30, pure brightness shift at 0).
+    def textured(off: Int) = renderImg(64, 64) { (x, y) =>
+      val n = ((x / 4) * 73 + (y / 4) * 151) % 97
+      val v = 40 + n + off
+      (math.min(v + x, 255), math.min(v + y, 255), math.min(v, 255))
+    }
+    val base = textured(0)
+    val shifted = textured(6)
+    val checker = renderImg(64, 64) { (x, y) =>
+      if (((x / 8) + (y / 8)) % 2 == 0) (230, 230, 230) else (25, 25, 25)
+    }
+    val docs = Seq(
+      (0L, encode(base, "png")),
+      (1L, encode(shifted, "jpg")),
+      (2L, encode(checker, "png"))).toDF("doc_id", "payload")
+    val sigs = Multimodal.phashWith(docs, ImageCodec.imagePhash)
+    val pairs = graft.operators.Dedup
+      .hammingPairsOf(sigs, maxHamming = 4, sigCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      s"expected exactly the planted near-dup image pair, got: $pairs")
+    // undecodable payload → the documented 0L sentinel
+    val bad = Seq((9L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.phashWith(bad, ImageCodec.imagePhash)
+      .collect()(0).getAs[Long]("phash") == 0L)
+  }
 }
