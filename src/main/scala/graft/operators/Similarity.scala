@@ -102,10 +102,10 @@ object Similarity {
     * w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48, planes j = `firstPlane`
     * to `firstPlane`+7. Different `firstPlane` values give independent hash
     * tables from the same formula. */
-  private def hyperplaneBucket(firstPlane: Int = 0): Column = {
+  private def hyperplaneBucket(firstPlane: Int = 0, dims: Int = 64): Column = {
     import graft.functions.ArrayDot.dotLong
     val planes = (firstPlane until firstPlane + 8).map { j =>
-      array((0 until 64).map(i =>
+      array((0 until dims).map(i =>
         lit(((i + 1).toLong * (j + 7) * 2654435761L) % 97 - 48)): _*)
     }
     planes.zipWithIndex.map { case (w, j) =>
@@ -595,6 +595,73 @@ object Similarity {
     val query = qv.where(col("vec_id") === queryId).select(col("q").as("qq"))
     qv.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(query))
+      .select(col("vec_id"), dotLong(col("q"), col("qq")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ss14 — BUCKETED MIPS top-k: the scale path ss13's doc promises, now
+    * implemented. The norm-augmentation reduction [Bachrach et al.,
+    * RecSys'14]: append one coordinate a(x) = √(M² − ‖x‖²) to every corpus
+    * vector (M² = max corpus ‖x‖²) and 0 to the query — every augmented
+    * corpus vector then has norm exactly M, so cosine against the
+    * augmented query is x·q / (M·‖q‖): MONOTONE in the inner product.
+    * MIPS becomes a cosine-ANN problem and ss03's machinery applies
+    * verbatim: the same two 8-plane hyperplane tables (now 65-dim — the
+    * plane formula extends to i = 64 unchanged), the same Hamming ≤ 2
+    * multi-probe, candidates from either table, then an EXACT integer-dot
+    * re-rank of candidates only (the augmented coordinate contributes
+    * q_aug·0 = 0, so the candidate dot IS the true MIPS score — no
+    * approximation survives into the ranking, only into recall).
+    *
+    * Scale shape, same argument as ss03: probe frames are 37 rows derived
+    * from one query row (broadcast by construction at any corpus size);
+    * candidate generation is an equi-join on the bucket id touching
+    * ~2·37/256 ≈ 29% of rows worst-case; re-rank touches candidates only.
+    * The augmentation itself is one map-only pass plus a broadcast of the
+    * single-row max-norm aggregate — nothing corpus-sized moves. Recall
+    * floor vs the exact ss13 scan is asserted in PipelinesSpec (the
+    * high-norm vectors MIPS favors get SMALL augmented coordinates, i.e.
+    * they sit closest to the augmented-query hemisphere — the reduction
+    * concentrates probability exactly where the answer lives). */
+  def ss14MipsBucketed(spark: SparkSession, dir: String): DataFrame =
+    mipsTopKBucketed(t(spark, dir, "embeddings"), queryId = 0L, k = 10)
+
+  /** Library surface: norm-augmented LSH-bucketed MIPS top-k over ANY
+    * (id, vector) frame. Exact re-rank over bucketed candidates. */
+  def mipsTopKBucketed(vecs: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(k >= 1, s"k: $k")
+    val base = vecs
+      .select(col(idCol).as("vec_id"), quantizedOf(col(vecCol)).as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+    // single-row aggregate rides the plan as a broadcast — no collect
+    val m2 = base.agg(max(col("n2")).as("m2"))
+    val aug = base.crossJoin(broadcast(m2))
+      // round(√(M²−‖x‖²)): integer quantization of the completion term
+      // only perturbs BUCKETING (candidate recall), never the final score
+      .withColumn("q", concat(col("q"), array(
+        when(col("vec_id") === queryId, lit(0L)).otherwise(
+          round(sqrt((col("m2") - col("n2")).cast("double"))).cast("long")))))
+      .withColumn("b1", hyperplaneBucket(0, dims = 65))
+      .withColumn("b2", hyperplaneBucket(8, dims = 65))
+      .select("vec_id", "q", "b1", "b2")
+      .transform(graft.Materialize.pin)
+    val query = aug.where(col("vec_id") === queryId)
+      .select(col("q").as("qq"), col("b1").as("qb1"), col("b2").as("qb2"))
+    def candidates(bucketCol: String, queryBucket: String): DataFrame = {
+      val probes = query.select(
+        explode(probeSet(col(queryBucket))).as(bucketCol))
+      aug.where(col("vec_id") =!= queryId)
+        .join(broadcast(probes), Seq(bucketCol))
+        .select("vec_id")
+    }
+    val cand = candidates("b1", "qb1")
+      .unionAll(candidates("b2", "qb2")).distinct()
+    aug.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(query.select(col("qq"))))
+      // augmented dot = true dot: the query's 65th coordinate is 0
       .select(col("vec_id"), dotLong(col("q"), col("qq")).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)

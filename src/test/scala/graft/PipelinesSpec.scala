@@ -221,6 +221,43 @@ class PipelinesSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below 0.7 target")
   }
 
+  test("ss14 bucketed MIPS: recall floor vs exact ss13, and a planted winner is found") {
+    // the norm-augmentation reduction must recover most of the exact MIPS
+    // top-10 through the two-table multi-probe (same 70% floor as ss03)
+    val exact = Similarity.ss13MipsTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val bucketed = Similarity.ss14MipsBucketed(spark, sf).collect()
+    val ids = bucketed.map(_.getLong(0)).toSet
+    val recall = (exact & ids).size.toDouble / exact.size
+    info(s"bucketed-MIPS recall vs exact top-10: $recall")
+    assert(recall >= 0.7, s"recall $recall below 0.7 target")
+    assert(!ids.contains(0L))
+    // scores are EXACT inner products (re-rank is integer dot): every
+    // returned (id, dot) must equal the brute-force dot for that id
+    val exactDots = Similarity.mipsTopKOf(
+      graft.sources.Tables.t(spark, sf, "embeddings"), 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bucketed.foreach { r =>
+      assert(exactDots(r.getLong(0)) == r.getLong(1),
+        s"bucketed dot for ${r.getLong(0)} is not the exact inner product")
+    }
+    // planted MIPS winner: a vector ALIGNED with the query but 3x its
+    // magnitude dominates the inner product despite identical direction —
+    // the case cosine retrieval (which ignores magnitude) cannot rank.
+    // The augmented coordinate of the big vector is small, so it lands in
+    // the query's own hemisphere and the buckets must find it.
+    import spark.implicits._
+    val dim = 64
+    val qvec = Array.tabulate(dim)(i => math.sin(i * 0.37) * 0.5)
+    val planted = (0L, qvec) +: (1L, qvec.map(_ * 3.0)) +:
+      (2 to 200).map(j =>
+        (j.toLong, Array.tabulate(dim)(i => math.sin(i * 0.11 * j + j) * 0.4)))
+    val frame = planted.toDF("vec_id", "embedding")
+    val top = Similarity.mipsTopKBucketed(frame, 0L, 3).collect()
+    assert(top.head.getLong(0) == 1L,
+      s"planted 3x-magnitude aligned vector must be the MIPS winner: ${top.mkString(",")}")
+  }
+
   test("ss06 IVF ANN probes exactly two cells and recalls from them") {
     val ann = Similarity.ss06IvfAnn(spark, sf)
     val emb = graft.sources.Tables.t(spark, sf, "embeddings")

@@ -17,6 +17,9 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "dd02_ngram_jaccard", "ss02_neardup",
     "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann", "ss13_mips",
+    // ss14's broadcast sides are the ONE-row max-norm aggregate and the
+    // ONE-row augmented query vector — bounded at any corpus size
+    "ss14_mips_bucketed",
     "ss07_kmeans_assign", "c03_semantic_curation",
     // c05 rides ss07's assignment — same bounded |cells| centroid
     // broadcast
