@@ -214,7 +214,12 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     partitionsOf: Option[Map[String, Seq[Int]]] = None,
     /** Injected metadata provider (tests / custom clients). None → try the
       * reflective AdminClient, then fall back to offset-by-scan. */
-    adminOverride: Option[KafkaAdmin] = None) extends MessageStore {
+    adminOverride: Option[KafkaAdmin] = None,
+    /** Spark data-source format carrying the Kafka option contract.
+      * Production default is Spark's own connector; tests substitute
+      * `kafka-emu` (graft.store.kafkaemu) so THIS class's read/write
+      * branches execute end-to-end in the broker-less environment. */
+    format: String = "kafka") extends MessageStore {
 
   /** AdminClient-backed metadata when kafka-clients is on the classpath or a
     * provider is injected; None in the offline build → scan fallbacks. */
@@ -239,7 +244,10 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
     messages
       .selectExpr(s"${Msg.Topic}", s"CAST(${Msg.Key} AS BINARY) AS key",
         s"CAST(${Msg.Value} AS BINARY) AS value")
-      .write.format("kafka")
+      .write.format(format)
+      // a topic append is semantically Append; also required by the DSv2
+      // write path (save()'s ErrorIfExists default is rejected there)
+      .mode("append")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("kafka.acks", "all") // ref integration_test.clj:25 acks=all
       .options(extraOpts)
@@ -249,7 +257,7 @@ final class KafkaStore(spark: SparkSession, bootstrap: String,
   }
 
   private def kafkaRead(topics: Seq[String], startingOffsets: String): DataFrame =
-    spark.read.format("kafka")
+    spark.read.format(format)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
       .option("startingOffsets", startingOffsets) // ref melt.clj:249-254

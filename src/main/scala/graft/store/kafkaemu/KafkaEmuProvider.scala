@@ -1,0 +1,280 @@
+package graft.store.kafkaemu
+
+import java.util
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `kafka-emu`: a DataSource V2 source/sink implementing the OPTION AND
+  * SCHEMA CONTRACT of Spark's `kafka` connector over the in-JVM
+  * [[EmuBroker]] — so [[graft.store.KafkaStore]]'s real read/write branches
+  * execute end-to-end in an environment with no Kafka bytes (see
+  * EmuBroker's scaladoc for the rationale; ref
+  * /root/reference/integration/jdbc/melt/integration_test.clj:18-30 spins a
+  * real broker for the same purpose).
+  *
+  * Contract fidelity, matched to the public connector docs:
+  *  - read options: `kafka.bootstrap.servers`, `subscribe` (comma list),
+  *    `startingOffsets` = earliest | latest | per-partition JSON with -2
+  *    (earliest) / -1 (latest) sentinels, `endingOffsets` = latest | JSON;
+  *    a specific-offsets JSON must name EVERY partition of every subscribed
+  *    topic — omissions throw, exactly like the real source (KafkaStore's
+  *    readFrom fast-path gating relies on this);
+  *  - read schema: key/value binary, topic string, partition int, offset
+  *    long, timestamp, timestampType int — start inclusive, end exclusive,
+  *    offsets resolved at plan time (batch planning snapshot);
+  *  - write: topic/key/value columns (string or binary; topic may instead
+  *    come from the `topic` option; null value = tombstone), routed with
+  *    the murmur2 keyed partitioner, appended during the task like a
+  *    producer send — at-least-once under task retry, Kafka's own batch
+  *    guarantee;
+  *  - streaming write: same row path per epoch (the sink side of the
+  *    streaming CDC composition; at-least-once, as the real sink).
+  *
+  * One InputPartition per (topic, partition) slice: reads parallelize
+  * across the topic's partitions just like the real source's 1:1
+  * Kafka-partition mapping.
+  */
+class KafkaEmuProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kafka-emu"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaEmu.readSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EmuTable(KafkaEmu.toMap(
+      new CaseInsensitiveStringMap(new java.util.HashMap(properties))))
+}
+
+object KafkaEmu {
+  /** The Kafka source's fixed read schema, column-for-column. */
+  val readSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  private[kafkaemu] def toMap(o: CaseInsensitiveStringMap): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    o.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+  }
+
+  private[kafkaemu] def bootstrapOf(opts: Map[String, String]): String =
+    opts.getOrElse("kafka.bootstrap.servers", throw new IllegalArgumentException(
+      "kafka-emu requires option kafka.bootstrap.servers"))
+
+  /** Resolve `startingOffsets`/`endingOffsets` to concrete [from, until)
+    * ranges per (topic, partition) at PLAN time. */
+  private[kafkaemu] def resolveRanges(opts: Map[String, String])
+      : Seq[(String, Int, Long, Long)] = {
+    val cluster = EmuBroker.cluster(bootstrapOf(opts))
+    val topics = opts.getOrElse("subscribe", throw new IllegalArgumentException(
+      "kafka-emu requires option subscribe")).split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val starting = opts.getOrElse("startingoffsets", "earliest")
+    val ending = opts.getOrElse("endingoffsets", "latest")
+    val startJson = parseOffsetsJson(starting)
+    val endJson = parseOffsetsJson(ending)
+    topics.flatMap { t =>
+      val parts = cluster.topic(t) // auto-create, broker default
+      parts.indices.map { p =>
+        val end = parts(p).end
+        def resolve(spec: Option[Map[String, Map[Int, Long]]], word: String,
+            default: Long): Long = spec match {
+          case None => default
+          case Some(m) =>
+            val forTopic = m.getOrElse(t, throw new IllegalArgumentException(
+              s"$word offsets JSON omits subscribed topic '$t'"))
+            forTopic.getOrElse(p, throw new IllegalArgumentException(
+              s"$word offsets JSON omits partition $p of topic '$t'")) match {
+              case -2L => 0L
+              case -1L => end
+              case v if v >= 0 => v
+              case v => throw new IllegalArgumentException(
+                s"invalid offset $v for $t-$p")
+            }
+        }
+        val from = resolve(startJson, "starting",
+          if (starting == "latest") end else 0L)
+        val until = resolve(endJson, "ending", end)
+        (t, p, from, until)
+      }
+    }
+  }
+
+  /** earliest/latest → None; a JSON object → topic → partition → offset. */
+  private def parseOffsetsJson(spec: String)
+      : Option[Map[String, Map[Int, Long]]] = spec match {
+    case "earliest" | "latest" => None
+    case json =>
+      import scala.jdk.CollectionConverters._
+      val root = new ObjectMapper().readTree(json)
+      require(root.isObject, s"offsets spec must be earliest/latest/JSON: $spec")
+      Some(root.properties().asScala.map { e =>
+        val parts = e.getValue.properties().asScala.map { pe =>
+          pe.getKey.toInt -> pe.getValue.asLong()
+        }.toMap
+        e.getKey -> parts
+      }.toMap)
+  }
+}
+
+final class EmuTable(opts: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"kafka-emu(${opts.getOrElse("subscribe", opts.getOrElse("topic", "?"))})"
+  override def schema(): StructType = KafkaEmu.readSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = opts ++ KafkaEmu.toMap(options)
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = KafkaEmu.readSchema
+      override def toBatch: Batch = new EmuBatch(merged)
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = opts ++ KafkaEmu.toMap(info.options())
+    new WriteBuilder {
+      override def build(): Write = new EmuWrite(merged, info.schema())
+    }
+  }
+}
+
+/** Batch read: ranges snapshot at plan time, one partition per slice. */
+final class EmuBatch(opts: Map[String, String]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    KafkaEmu.resolveRanges(opts).map { case (t, p, from, until) =>
+      EmuInputPartition(KafkaEmu.bootstrapOf(opts), t, p, from, until)
+        : InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EmuReaderFactory
+}
+
+final case class EmuInputPartition(bootstrap: String, topic: String,
+    partition: Int, from: Long, until: Long) extends InputPartition
+
+final class EmuReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EmuInputPartition]
+    // same-JVM resolution (local mode); a real cluster uses format("kafka")
+    val it = EmuBroker.cluster(p.bootstrap)
+      .topic(p.topic)(p.partition).slice(p.from, p.until).iterator
+    val topicUtf8 = UTF8String.fromString(p.topic)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          val (off, rec) = it.next()
+          current = new GenericInternalRow(Array[Any](
+            rec.key, rec.value, topicUtf8, p.partition, off,
+            rec.tsMs * 1000L, 0)) // micros; 0 = CreateTime
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Shared row→produce path for batch and streaming writes. Column
+  * resolution mirrors the real sink: `topic` column (string) unless the
+  * `topic` option pins one; optional `key`, required-but-nullable `value`,
+  * both string or binary. */
+final class EmuWrite(opts: Map[String, String], inputSchema: StructType)
+    extends Write {
+  private val bootstrap = KafkaEmu.bootstrapOf(opts)
+
+  private def fieldIdx(name: String): Option[(Int, DataType)] =
+    inputSchema.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.name.equalsIgnoreCase(name) => (i, f.dataType)
+    }
+
+  // validated at driver, like KafkaWriter.validateQuery
+  private val topicCol = fieldIdx("topic")
+  private val topicOpt = opts.get("topic")
+  require(topicCol.isDefined || topicOpt.isDefined,
+    "kafka-emu write requires a 'topic' column or the topic option")
+  private val keyCol = fieldIdx("key")
+  private val valueCol = fieldIdx("value").getOrElse(
+    throw new IllegalArgumentException("kafka-emu write requires a 'value' column"))
+  (topicCol.map(_._2) ++ keyCol.map(_._2) ++ Some(valueCol._2)).foreach {
+    case StringType | BinaryType => ()
+    case dt => throw new IllegalArgumentException(
+      s"kafka-emu topic/key/value columns must be string or binary, got $dt")
+  }
+
+  private def factory: EmuWriterFactory =
+    EmuWriterFactory(bootstrap, topicOpt, topicCol, keyCol, valueCol)
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      factory
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : StreamingDataWriterFactory = factory
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+final case class EmuWriterFactory(bootstrap: String, topicOpt: Option[String],
+    topicCol: Option[(Int, DataType)], keyCol: Option[(Int, DataType)],
+    valueCol: (Int, DataType))
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = writer
+
+  private object EmuCommit extends WriterCommitMessage
+
+  private def bytesAt(row: InternalRow, col: (Int, DataType)): Array[Byte] =
+    if (row.isNullAt(col._1)) null
+    else col._2 match {
+      case BinaryType => row.getBinary(col._1)
+      case StringType => row.getUTF8String(col._1).getBytes
+      case dt => throw new IllegalStateException(s"unreachable: $dt")
+    }
+
+  private def writer: DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val cluster = EmuBroker.cluster(bootstrap)
+    override def write(row: InternalRow): Unit = {
+      val topic = topicOpt.getOrElse {
+        val (i, _) = topicCol.get
+        require(!row.isNullAt(i), "null topic in kafka-emu write")
+        row.getUTF8String(i).toString
+      }
+      val key = keyCol.map(bytesAt(row, _)).orNull
+      val value = bytesAt(row, valueCol)
+      cluster.produce(topic, key, value, System.currentTimeMillis())
+      ()
+    }
+    override def commit(): WriterCommitMessage = EmuCommit
+    override def abort(): Unit = ()
+    override def close(): Unit = ()
+  }
+}
