@@ -17,15 +17,32 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects
-    // (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-nano longs: ordering —
-    // the only semantic the engine needs from ts (last-write-wins, windows)
-    // — is preserved; cast ts_micros(ts DIV 1000) where a real timestamp is
-    // needed. The conf is set HERE (not only in GraftSession) because the
-    // driver contract calls queries with a session this library did not
-    // build; it is runtime-settable and idempotent.
+    // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (earlier
+    // driver generators; vanilla Spark 4 rejects it, PARQUET_TYPE_ILLEGAL,
+    // hence nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (current generator → TIMESTAMP_NTZ). The engine's internal contract
+    // is ts = epoch-NANO long (`ts DIV 1000` = µs at every call site), so
+    // normalize whatever the file stores to that here — the one choke
+    // point every query reads through. The NTZ branch uses timestampdiff
+    // over NTZ operands: pure wall-clock arithmetic, no session-timezone
+    // dependence, and identical to the DuckDB oracle's epoch_us() reading
+    // of the same naive values. The conf is set HERE (not only in
+    // GraftSession) because the driver contract calls queries with a
+    // session this library did not build; it is runtime-settable and
+    // idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case _: org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) * 1000"))
+      case other => sys.error(s"events.ts: unexpected type $other")
+    }
   }
 
   /** Register every table as a temp view (for the SQL facade / bench). */
