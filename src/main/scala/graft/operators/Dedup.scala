@@ -87,6 +87,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd14 — SOFT dedup: duplicate-count DOWNWEIGHTING instead of dropping.
+    * Dropping all-but-one copy (dd01) loses the signal that a document was
+    * popular enough to be mirrored; training pipelines that want to keep
+    * one copy but counteract the over-representation weight each document
+    * by 1/n over its exact-duplicate group (the sampling-weight view of
+    * dedup), and feed `weight` to the sampler (sp08's exact weighted mix
+    * consumes exactly this shape).
+    *
+    * Scale shape: identical to dd01's economics — one map-side-combined
+    * (fp, count) aggregate where a fingerprint duplicated 10⁶ times sends
+    * one candidate per input partition, then an AQE-skew-handled join
+    * attaches n back. No window over fp (a hot fingerprint group never
+    * buffers in one task), document text never moves. */
+  def dd14SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val counts = fps.groupBy("fp").agg(count(lit(1)).as("n_dups"))
+    fps.join(counts, "fp")
+      .withColumn("weight", round(lit(1.0) / col("n_dups"), 4))
+      .select("doc_id", "n_dups", "weight")
+      .orderBy("doc_id")
+  }
+
   /** Distinct n-grams hashed to int64 — all set operations downstream run
     * on fixed-width longs, not strings (cheaper movement, codegen-friendly
     * comparisons). Collision probability over |shingle vocab|² / 2⁶⁴ is

@@ -677,6 +677,35 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Q36 — EVENT-TYPE TRANSITION MATRIX: per-user event streams reduced to
+    * first-order Markov transition counts and probabilities — the
+    * behavioral-flow summary (view→click→purchase paths, drop-off edges)
+    * product analytics derives session diagrams and next-action models
+    * from. Ordering inside a user is (event-time, event_id) — total, so
+    * the lag pairing is deterministic and engine-portable.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds the lag window
+    * (per-user state is a single previous-row value, not an event list);
+    * the pair rollup is map-side combined into a frame bounded by
+    * |event types|², not events; the probability normalization is a
+    * window over that tiny frame (per-prev_type totals), far below any
+    * task's memory at any corpus size. */
+  def q36Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val pairs = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsu"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+    val wp = Window.partitionBy("prev_type")
+    pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum("n").over(wp), 4))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -755,6 +784,8 @@ object Relational {
       "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id) SELECT c.cohort_day, e.day - c.cohort_day AS day_offset, COUNT(*) AS n_users FROM e JOIN c ON c.user_id = e.user_id GROUP BY c.cohort_day, e.day - c.cohort_day ORDER BY cohort_day, day_offset",
     "q34_funnel" ->
       "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events), w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (PARTITION BY user_id) AS v FROM e), w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tsu >= v THEN tsu END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tsu >= c THEN tsu END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, MIN(v) AS t_view_us, MIN(c) AS t_click_us, MIN(p) AS t_purchase_us, CAST(CASE WHEN MIN(p) IS NOT NULL THEN 3 WHEN MIN(c) IS NOT NULL THEN 2 WHEN MIN(v) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage FROM w3 GROUP BY user_id ORDER BY user_id",
+    "q36_transitions" ->
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), l AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_type FROM e) SELECT prev_type, event_type AS next_type, COUNT(*) AS n, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) AS p FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type ORDER BY prev_type, next_type",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -795,5 +826,6 @@ object Relational {
     "q33_interval_join" -> q33IntervalJoin _,
     "q34_funnel" -> q34Funnel _,
     "q35_cohort_retention" -> q35CohortRetention _,
+    "q36_transitions" -> q36Transitions _,
   )
 }

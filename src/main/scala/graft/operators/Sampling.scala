@@ -371,6 +371,57 @@ object Sampling {
       .select(col(idCol), col(scoreCol), col("seq"))
   }
 
+  /** sp11 — per-source TOKEN-BUDGET selection: each source contributes its
+    * best-quality documents until a token budget is exhausted — the
+    * "compose a 500B-token mix from these sources" primitive, where caps
+    * are expressed in tokens (what trainers actually buy), not document
+    * counts (sp02's quota). A document is admitted iff the budget was not
+    * already spent BEFORE it in (quality DESC, doc_id) order, so the kept
+    * set is a pure data property and the last admitted document may
+    * straddle the budget (truncation is the trainer's call, not the
+    * sampler's).
+    *
+    * Scale shape: the naive form is a per-source cumulative-sum window —
+    * a single task buffering an entire source (billions of documents for
+    * a big crawl). This computes the SAME running sum distributed, the
+    * sp10 two-level trick re-keyed by (source, quality bin): within-bin
+    * windows are partitioned by (source, quality) — parallel across bins —
+    * and the cross-bin prefix comes from a per-(source, bin) token-total
+    * frame (bounded by sources × ≤1001 rounded scores at ANY corpus size)
+    * that broadcasts onto the scan. */
+  def sp11TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(spark, dir, budget = 2000L)
+
+  /** Library surface: per-source token budget at a caller-chosen budget
+    * (the declared query pins 2000 so both fixtures exercise real
+    * exhaustion). */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget: $budget")
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(ws).cast("long").as("n_tokens"),
+        TextAnalysis.quality(col("text")).as("quality"))
+    // per-(source, quality-bin) token totals; strictly-better bins form
+    // the prefix offset. The offsets frame is tiny and the window inside
+    // it is bounded by distinct scores per source, never by documents.
+    val binTotals = scored.groupBy("source", "quality")
+      .agg(sum("n_tokens").as("__tq"))
+    val offW = Window.partitionBy("source").orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = binTotals.withColumn("__off",
+      coalesce(sum(col("__tq")).over(offW), lit(0L)))
+      .select(col("source"), col("quality"), col("__off"))
+    val inW = Window.partitionBy("source", "quality").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(off), Seq("source", "quality"))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(inW))
+      .where(col("cum_tokens") - col("n_tokens") < budget)
+      .select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

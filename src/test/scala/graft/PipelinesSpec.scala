@@ -1422,6 +1422,57 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("sp11 token budget: kept set is the exact greedy prefix per source") {
+    // Brute-force oracle: sort each source by (quality DESC, doc_id), admit
+    // while the budget isn't spent. The distributed two-level formulation
+    // must reproduce it exactly, including the straddling last document.
+    val budget = 2000L
+    val scored = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"),
+        TextAnalysis.quality(col("text")).as("quality"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (_, docs) =>
+      val ordered = docs.sortBy { case (id, _, _, q) => (-q, id) }
+      val cums = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(cums).collect { case (d, before) if before < budget => d._1 }
+    }.toSet
+    val got = Sampling.sp11TokenBudget(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == expected && expected.nonEmpty)
+    // cum_tokens is the true inclusive running sum in admission order
+    for (r <- got) assert(r.getLong(4) - r.getLong(3) < budget)
+  }
+
+  test("dd14 soft dedup: n_dups is the fp group size, weights sum to ~1") {
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val d = Dedup.dd14SoftDedup(spark, sf)
+    assert(d.count() == docs.count()) // every document keeps a row
+    // group weight mass ≈ 1 (4-decimal rounding only), group sizes honest
+    val byFp = Dedup.dd01Exact(spark, sf).select("doc_id", "fp")
+      .join(d, "doc_id")
+    val bad = byFp.groupBy("fp").agg(
+      count(lit(1)).as("n"), max("n_dups").as("nd"), min("n_dups").as("nd2"),
+      sum("weight").as("mass"))
+      .where(col("n") =!= col("nd") || col("n") =!= col("nd2") ||
+        abs(col("mass") - 1.0) > 0.01)
+    assert(bad.isEmpty)
+  }
+
+  test("q36 transitions: pair count = events - users, probabilities normalize") {
+    val e = graft.sources.Tables.t(spark, sf, "events")
+    val out = graft.operators.Relational.q36Transitions(spark, sf)
+    val totalPairs = out.agg(sum("n")).collect()(0).getLong(0)
+    val nEvents = e.count()
+    val nUsers = e.select("user_id").distinct().count()
+    assert(totalPairs == nEvents - nUsers) // each user emits (count-1) pairs
+    // per-prev_type probability mass ≈ 1 (4-decimal rounding only)
+    val mass = out.groupBy("prev_type").agg(sum("p").as("mass"))
+      .where(abs(col("mass") - 1.0) > 0.01)
+    assert(mass.isEmpty)
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation
