@@ -500,4 +500,86 @@ object Streaming {
           }
       }
   }
+
+  /** One consecutive-event transition: `prev_type → next_type` at the
+    * successor's event time (µs). The streaming twin of batch q36's pair
+    * stream — aggregate downstream for the transition matrix. */
+  final case class TransitionPair(user_id: Long, prev_type: String,
+      next_type: String, tsu: Long)
+
+  /** Per-user pairing state (public: state-store codegen instantiates
+    * it): not-yet-final events inside the lateness window (parallel
+    * seqs), plus the LAST flushed event — the boundary the next flushed
+    * event pairs against. */
+  final case class TransBuffer(ts: Seq[Long], ids: Seq[Long],
+      types: Seq[String], lastTs: Option[Long], lastId: Option[Long],
+      lastType: Option[String])
+
+  /** Streaming event-type transition pairs — the continuous form of the
+    * pair stream batch q36 aggregates: per user, every CONSECUTIVE pair
+    * of events in (event-time µs, event_id) order, exact under
+    * out-of-order arrival within the watermark.
+    *
+    * Why buffering is necessary and sufficient: a late arrival c between
+    * already-seen a and b rewrites the pair (a,b) into (a,c),(c,b) — so a
+    * pair is FINAL only once no admissible arrival can interpose, i.e.
+    * once the watermark passes the successor's timestamp (anything that
+    * could land between the two sits at or below the successor, hence at
+    * or below the watermark, hence droppable by Spark's stateful
+    * contract). Events are therefore held until the watermark passes
+    * them, then flushed in order and paired — against the retained
+    * boundary event first — and the pairs among flushed events never
+    * change again. State per user = the in-lateness-window events plus
+    * ONE boundary event, the same bound shape as [[streamingSessionize]];
+    * on-time streams replay to exactly the batch q36 pair multiset
+    * (asserted in StreamingSpec against a shuffled replay).
+    *
+    * Retained-state cost to know: the boundary event lives until the
+    * user's next event (a user's LAST-ever event is held forever, like
+    * any "pair with the next occurrence" contract — there is no
+    * watermark that proves a successor will never come). If that
+    * open-ended tail matters operationally, compose with an idle-user
+    * TTL upstream; counts then lose exactly the cross-TTL pairs. */
+  def streamingTransitions(spark: SparkSession, events: DataFrame,
+      tsCol: String, watermark: String)
+      : org.apache.spark.sql.Dataset[TransitionPair] = {
+    import spark.implicits._
+    def microsOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type").cast("string"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransBuffer, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[TransBuffer]) =>
+          val prior = state.getOption.getOrElse(
+            TransBuffer(Nil, Nil, Nil, None, None, None))
+          val fresh = rows.map(r => (microsOf(r._4), r._2, r._3)).toSeq
+          val buf = (prior.ts.indices.map(i =>
+            (prior.ts(i), prior.ids(i), prior.types(i))) ++ fresh)
+            .sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = buf.partition(_._1 <= wmUs)
+          val chain = prior.lastTs.map(t =>
+            (t, prior.lastId.get, prior.lastType.get)).toSeq ++ ripe
+          val out = chain.sliding(2).collect {
+            case Seq(a, b) => TransitionPair(uid, a._3, b._3, b._1)
+          }.toList
+          val boundary = chain.lastOption
+          if (hold.isEmpty && boundary.isEmpty) state.remove()
+          else {
+            state.update(TransBuffer(hold.map(_._1), hold.map(_._2),
+              hold.map(_._3), boundary.map(_._1), boundary.map(_._2),
+              boundary.map(_._3)))
+            // wake when the earliest held event ripens (+1 ms: the
+            // timeout must sit strictly above the current watermark)
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
 }

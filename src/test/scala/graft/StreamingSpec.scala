@@ -525,6 +525,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions replay the batch q36 pair multiset") {
+    // Same events, arrival order deliberately scrambled (deterministic
+    // hash shuffle) and split across two triggers: the continuous pairing
+    // must reproduce batch q36's per-(prev, next) counts exactly — the
+    // buffering-until-final contract, not a near-miss.
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.sources.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "timestamp_micros(ts DIV 1000) AS ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    val shuffled = raw.sortBy(t => (t._2 * 2654435761L) % 1000003)
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    // lateness covers the full fixture span so the scramble loses nothing
+    val q = Streaming.streamingTransitions(spark, events, "ts", "365 days")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trans_parity").start()
+    try {
+      val (h1, h2) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(h1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(h2.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel user far in the future pushes the watermark past every
+      // real event; a second trigger fires the timeouts
+      in.addData((999999L, 0L, "view", Timestamp.valueOf("2046-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData((999999L, 1L, "view", Timestamp.valueOf("2046-06-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_parity")
+        .where(col("user_id") =!= 999999L)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      val batch = graft.operators.Relational.q36Transitions(spark, sf)
+        .select("prev_type", "next_type", "n")
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming funnel: late views retroactively qualify clicks and purchases") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
