@@ -92,8 +92,11 @@ object Dedup {
     * popular enough to be mirrored; training pipelines that want to keep
     * one copy but counteract the over-representation weight each document
     * by 1/n over its exact-duplicate group (the sampling-weight view of
-    * dedup), and feed `weight` to the sampler (sp08's exact weighted mix
-    * consumes exactly this shape).
+    * dedup). Downstream, `weight` is either a loss weight handed to the
+    * trainer or a deterministic keep probability via the salted-bucket
+    * machinery the sampling family uses (keep iff
+    * `bucket(id) < weight·1000` — expected copies per duplicate group
+    * = 1 at any group size, and the decision stays a document property).
     *
     * Scale shape: identical to dd01's economics — one map-side-combined
     * (fp, count) aggregate where a fingerprint duplicated 10⁶ times sends
