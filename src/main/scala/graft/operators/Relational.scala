@@ -706,6 +706,43 @@ object Relational {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Q37 — SESSION PATH MINING: q21's gap sessions reduced to their
+    * event-type sequence ("view>view>click>purchase"), counted corpus-wide,
+    * top 20 — the "what do users actually do" view behind every user-flow
+    * sankey, and the input to next-action models one level up from q36's
+    * single-step transitions. Ordering inside a session is (event-time,
+    * event_id) — total, so the path string is deterministic.
+    *
+    * Scale shape: the session assignment is q21's single user-keyed
+    * exchange (lag + running sum share one Window node); the per-session
+    * path is one collect-then-sort whose size is bounded by the SESSION
+    * (gap-bounded by construction), never by a user's history — a
+    * never-idle bot caps out at its session length, and a path-length cap
+    * composes upstream via sessionize parameters if sessions themselves
+    * are adversarial. The path rollup map-side combines (hot paths
+    * collapse per partition) into a frame bounded by distinct paths, and
+    * the top-20 is a TakeOrdered, not a global sort. */
+  def q37SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val gapUs = 1800000000L // 30 min in µs, the q21 session contract
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsu"))
+    val prev = lag(col("tsu"), 1).over(w)
+    e.withColumn("brk",
+        when(prev.isNull || col("tsu") - prev > gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(sort_array(collect_list(
+        struct(col("tsu"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(col("evs"), _.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path")).limit(20)
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -786,6 +823,8 @@ object Relational {
       "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events), w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (PARTITION BY user_id) AS v FROM e), w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tsu >= v THEN tsu END) OVER (PARTITION BY user_id) AS c FROM w1), w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tsu >= c THEN tsu END) OVER (PARTITION BY user_id) AS p FROM w2) SELECT user_id, MIN(v) AS t_view_us, MIN(c) AS t_click_us, MIN(p) AS t_purchase_us, CAST(CASE WHEN MIN(p) IS NOT NULL THEN 3 WHEN MIN(c) IS NOT NULL THEN 2 WHEN MIN(v) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage FROM w3 GROUP BY user_id ORDER BY user_id",
     "q36_transitions" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), l AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_type FROM e) SELECT prev_type, event_type AS next_type, COUNT(*) AS n, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) AS p FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type ORDER BY prev_type, next_type",
+    "q37_session_paths" ->
+      "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), s AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)), g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM s), p AS (SELECT user_id, session_no, string_agg(event_type, '>' ORDER BY tsu, event_id) AS path FROM g GROUP BY user_id, session_no) SELECT path, COUNT(*) AS n FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -827,5 +866,6 @@ object Relational {
     "q34_funnel" -> q34Funnel _,
     "q35_cohort_retention" -> q35CohortRetention _,
     "q36_transitions" -> q36Transitions _,
+    "q37_session_paths" -> q37SessionPaths _,
   )
 }

@@ -422,6 +422,53 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** sp12 — STRIDE-SCHEDULED source interleaving: the materialized
+    * data-loader ORDER for a weighted mix. sp08 decides WHICH documents a
+    * weighted mixture keeps; sp12 decides the sequence they stream in so
+    * that EVERY prefix of the training order holds the declared source
+    * proportions (±1 document per source) — no "all of source A, then all
+    * of B" drift, no RNG. Classic stride scheduling: document k of source
+    * s (in salted-hash order) gets virtual time v = k·10⁶ div w_s; the
+    * global order is (v, source, rk). Heavier sources take smaller
+    * strides, so they appear proportionally more often at every horizon.
+    *
+    * Scale shape: one per-source window for the rank (parallel across
+    * sources, same as sp08), a broadcast weights table, and v is a pure
+    * map expression; there is NO global sequence window — v itself IS the
+    * order key, so downstream consumers sort/range-partition on (v,
+    * source, rk), and cutting the first N positions of the mix is a
+    * filter on v against a threshold, not a rank computation. */
+  def sp12InterleaveMix(spark: SparkSession, dir: String): DataFrame =
+    interleaveMixOf(t(spark, dir, "documents"),
+      Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100))
+      .orderBy("v", "source", "rk")
+
+  /** Library surface: stride-scheduled interleave over ANY frame with an
+    * id and a source column; `weights` are per-mille shares (sources not
+    * listed drop — weight zero). Emits (id, source, rk, v); stream in
+    * (v, source, rk) order. */
+  def interleaveMixOf(docs: DataFrame, weights: Seq[(String, Int)],
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 1),
+      s"per-mille weights must be >= 1: $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wts = weights.toDF(srcCol, "__wm")
+    docs
+      .join(broadcast(wts), srcCol)
+      .withColumn("__ord", graft.functions.Hashing.md5Long(
+        concat(lit("mix:"), col(idCol).cast("string")), 15))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(srcCol).orderBy(col("__ord"), col(idCol))))
+      // rk is a 32-bit row_number: widen BEFORE the multiply — at a
+      // billion-document source rk·10⁶ overflows int by six orders
+      .withColumn("v", expr("(CAST(rk AS BIGINT) * 1000000) div __wm"))
+      .select(col(idCol), col(srcCol), col("rk").cast("long").as("rk"),
+        col("v"))
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

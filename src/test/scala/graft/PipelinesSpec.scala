@@ -1473,6 +1473,63 @@ class PipelinesSpec extends SparkSpec {
     assert(mass.isEmpty)
   }
 
+  test("q37 session paths: path lengths conserve events, sessions match q21") {
+    val out = graft.operators.Relational.q37SessionPaths(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // top-20 ordering is (n DESC, path ASC) — deterministic
+    val ns = out.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse))
+    // the FULL path multiset (recomputed unlimited) must conserve events
+    // and agree with q21's session count and per-session sizes exactly
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val e = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(ts DIV 1000 AS BIGINT)").as("tsu"))
+    val prev = lag(col("tsu"), 1).over(w)
+    val paths = e.withColumn("brk",
+        when(prev.isNull || col("tsu") - prev > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(sort_array(collect_list(struct(col("tsu"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(col("user_id"), size(col("evs")).as("n_events"))
+      .groupBy("user_id", "n_events").count()
+    val q21 = graft.operators.Relational.q21Sessionize(spark, sf)
+      .select("user_id", "n_events")
+      .groupBy("user_id", "n_events").count()
+    assert(paths.except(q21).isEmpty && q21.except(paths).isEmpty)
+  }
+
+  test("sp12 stride interleave: every prefix holds declared proportions ±2") {
+    val out = Sampling.sp12InterleaveMix(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2)))
+    assert(out.nonEmpty)
+    // materialized order is (v, source, rk) — a total order
+    assert(out.sameElements(out.sortBy(t => (t._2, t._1, t._3))))
+    val weights = Map("src0" -> 400, "src1" -> 300, "src2" -> 200,
+      "src3" -> 100)
+    val supply = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // the proportionality guarantee holds while EVERY source still has
+    // supply — once one exhausts, its share flows to the survivors
+    // (stride scheduling can't emit documents that don't exist). Test up
+    // to that horizon only.
+    val live = weights.map { case (s, wm) =>
+      (supply.getOrElse(s, 0) - 2) * 1000 / wm
+    }.min
+    assert(live >= 10, s"fixture too small for a meaningful prefix: $live")
+    for (cut <- Seq(10, live / 2, live).distinct.filter(_ >= 2)) {
+      val prefix = out.take(cut).groupBy(_._1).view.mapValues(_.length)
+      for ((s, wm) <- weights) {
+        val expected = cut * wm / 1000.0
+        val got = prefix.getOrElse(s, 0)
+        assert(math.abs(got - expected) <= 2.0,
+          s"prefix $cut: source $s has $got docs, expected ~$expected")
+      }
+    }
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation
