@@ -300,17 +300,22 @@ object Dedup {
 
   /** Generic library surface: passage dedup over ANY (doc_id, text)
     * frame. */
-  def passageDedupOf(docs: DataFrame, passageTokens: Int): DataFrame = {
-    require(passageTokens >= 1, s"passageTokens: $passageTokens")
-    val p = passageTokens
-    // the empty-token-array guard matters: sequence(0, -1) auto-infers step
-    // −1 and yields [0, −1] — two phantom passages where the oracle's
-    // range(0, 0) yields none. Unreachable through the declared query
-    // (split(trim(text)) is never empty) but live for the library surface.
-    val chunks = when(size(col("ws")) >= 1, transform(
+  /** Non-overlapping `p`-token passages of the token array `ws` — the ONE
+    * chunking definition dd07 (detection) and dd15 (removal) share, so
+    * "duplicated passage" and "removed passage" can never disagree.
+    * The empty-token-array guard matters: sequence(0, -1) auto-infers step
+    * −1 and yields [0, −1] — two phantom passages where the oracle's
+    * range(0, 0) yields none. Unreachable through the declared queries
+    * (split(trim(text)) is never empty) but live for the library surface. */
+  private def passageChunks(p: Int): Column =
+    when(size(col("ws")) >= 1, transform(
       sequence(lit(0), expr(s"(size(ws) + ${p - 1}) div $p") - 1),
       c => array_join(slice(col("ws"), c * p + 1, lit(p)), " ")))
       .otherwise(array())
+
+  def passageDedupOf(docs: DataFrame, passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens: $passageTokens")
+    val chunks = passageChunks(passageTokens)
     // the shuffle key is the passage's 64-bit HASH, not the passage string
     // — the count groupBy and the occurrence join then move 16 B rows
     // instead of ~20-token text (passages cover ~the whole corpus, so a
@@ -326,6 +331,57 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .orderBy("doc_id")
+  }
+
+  /** dd15 — duplicate-passage REMOVAL: the ACTION step after dd07's
+    * detection. Each repeated passage survives exactly once corpus-wide —
+    * at its canonical occurrence, the (doc_id, idx)-least one — and every
+    * other copy is cut from its document's rebuilt text (the repeated-
+    * boilerplate scrub C4-style pipelines run, made deterministic: which
+    * copy survives is a pure data property, so retries and engines agree).
+    * Within-document repeats collapse to the first occurrence by the same
+    * rule. Documents reduced to nothing report clean_text = NULL.
+    *
+    * Scale shape: dd07's economics plus the rebuild — the count shuffle
+    * carries (passage-hash, packed-position) 16 B rows, the canonical
+    * argmin is a map-side-combined MIN, and the only place passage TEXT
+    * moves is the final per-document regroup, whose group size is the
+    * DOCUMENT (bounded by construction), not the passage's corpus-wide
+    * occurrence count — a million-fold boilerplate passage shuffles a
+    * million 16 B keys but its text travels once per retaining document.
+    * Position packing: canonical key = doc_id·2²⁰ + idx, exact while
+    * idx < 2²⁰ (a 20M-token document at 20-token passages) and
+    * doc_id < 2⁴³ — both far beyond the fixtures; callers past either
+    * bound re-pack with a wider shift. Hash-collision stance matches
+    * dd07: a 64-bit collision could mis-cut one passage; |distinct
+    * passages|²/2⁶⁴ is negligible and the declared oracle agrees on the
+    * fixture by construction. */
+  def dd15PassageScrub(spark: SparkSession, dir: String): DataFrame =
+    passageScrubOf(t(spark, dir, "documents"), passageTokens = 20)
+
+  /** Library surface: passage scrub over ANY (doc_id, text) frame at a
+    * caller-chosen passage length (the declared query pins 20). */
+  def passageScrubOf(docs: DataFrame, passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens: $passageTokens")
+    val chunks = passageChunks(passageTokens)
+    val keyed = docs
+      .select(col("doc_id"), TextAnalysis.toks.as("ws"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "passage")))
+      .withColumn("ph", xxhash64(col("passage")))
+      .withColumn("ck", col("doc_id") * lit(1048576L) + col("idx"))
+    val canon = keyed.groupBy("ph").agg(min("ck").as("canon"))
+    keyed.join(canon, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("ck") === col("canon"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sort_array(collect_list(when(col("ck") === col("canon"),
+          struct(col("idx"), col("passage"))))).as("__kept"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        when(size(col("__kept")) > 0, array_join(
+          transform(col("__kept"), _.getField("passage")), " "))
+          .as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -1530,6 +1530,39 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("dd15 scrub keeps each distinct passage exactly once, canonically") {
+    import spark.implicits._
+    val out = Dedup.dd15PassageScrub(spark, sf)
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    assert(out.count() == docs.count())
+    // conservation: total kept == distinct passages corpus-wide
+    val kept = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val distinctPassages = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(0, (size(ws) + 19) div 20 - 1)," +
+          " c -> array_join(slice(ws, c * 20 + 1, 20), ' '))")).as("p"))
+      .distinct().count()
+    assert(kept == distinctPassages)
+    // docs with zero duplicated passages (dd07) keep everything
+    val clean = Dedup.dd07PassageDedup(spark, sf)
+      .where(col("n_dup_passages") === 0).select("doc_id")
+    val partial = out.join(clean, "doc_id")
+      .where(col("n_kept") =!= col("n_passages"))
+    assert(partial.isEmpty)
+    // planted arbitration: the shared passage survives only in the lower
+    // doc_id; the loser's rebuilt text keeps its unique tail
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (1L, boiler + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 20).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val scrubbed = Dedup.passageScrubOf(planted, 20).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scrubbed(1L).startsWith(boiler) && scrubbed(1L).contains("a1"))
+    assert(!scrubbed(2L).contains("tok1") && scrubbed(2L).contains("b1"))
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation

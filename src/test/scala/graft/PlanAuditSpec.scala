@@ -134,6 +134,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q37 top-20 plans as TakeOrdered; sp11/sp12 windows are all partitioned") {
+    // q37's limit(20) must fold into TakeOrderedAndProject — per-partition
+    // top-20 then a driver merge of 20-row heaps, never a global sort of
+    // every distinct path
+    val p37 = Relational.q37SessionPaths(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p37.contains("TakeOrderedAndProject"),
+      s"q37 top-20 fell back to a global sort:\n$p37")
+    // the sp10-family guarantee as a plan gate: every Window these two
+    // plan is PARTITIONED (source / (source, quality)) — the corpus never
+    // flows through a single-task window; their tiny offset frames join
+    // in via broadcast, not via an unpartitioned window over documents
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("sp11_token_budget", "sp12_interleave_mix")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name: expected at least one window")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name plans an unpartitioned window over the corpus")
+    }
+  }
+
   test("q01: column pruning reaches the scan (untouched columns unread)") {
     val plan = Relational.q01Scan(spark, sf)
       .queryExecution.executedPlan.toString
