@@ -743,6 +743,35 @@ object Relational {
       .orderBy(desc("n"), col("path")).limit(20)
   }
 
+  /** Q38 — GAP-FILLED time series (resample/densify): hourly event counts
+    * per type with MISSING buckets zero-filled over the corpus' full
+    * [min, max] hour span — the densification step every monitoring/
+    * forecasting consumer needs (a gap rendered as an absent row reads as
+    * "no data", a zero reads as "nothing happened"; models need the
+    * difference made explicit).
+    *
+    * Scale shape: event volume is touched ONCE (the map-side-combined
+    * (hour, type) count); everything after is dimension-scale — the hour
+    * spine explodes from a 1-row min/max aggregate, the type vocabulary
+    * is a distinct over the counts' own frame, and their cross product
+    * (hours × types, e.g. a year × 100 types = 876k rows) broadcasts into
+    * the left join. The BroadcastNestedLoopJoin this plans is bounded by
+    * construction — both sides are dimensions, never events. */
+  def q38GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(expr("CAST(ts DIV 1000 AS BIGINT) DIV 3600000000").as("hour"),
+        col("event_type"))
+    val counts = e.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val hours = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val types = counts.select("event_type").distinct()
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -825,6 +854,8 @@ object Relational {
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), l AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_type FROM e) SELECT prev_type, event_type AS next_type, COUNT(*) AS n, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) AS p FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type ORDER BY prev_type, next_type",
     "q37_session_paths" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), s AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)), g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_no FROM s), p AS (SELECT user_id, session_no, string_agg(event_type, '>' ORDER BY tsu, event_id) AS path FROM g GROUP BY user_id, session_no) SELECT path, COUNT(*) AS n FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20",
+    "q38_gap_fill" ->
+      "WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events), c AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY hour, event_type), span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e), hours AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM span), ty AS (SELECT DISTINCT event_type FROM c) SELECT h.hour, ty.event_type, COALESCE(c.n, 0) AS n FROM hours h CROSS JOIN ty LEFT JOIN c ON c.hour = h.hour AND c.event_type = ty.event_type ORDER BY h.hour, ty.event_type",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -867,5 +898,6 @@ object Relational {
     "q35_cohort_retention" -> q35CohortRetention _,
     "q36_transitions" -> q36Transitions _,
     "q37_session_paths" -> q37SessionPaths _,
+    "q38_gap_fill" -> q38GapFill _,
   )
 }

@@ -1563,6 +1563,21 @@ class PipelinesSpec extends SparkSpec {
     assert(!scrubbed(2L).contains("tok1") && scrubbed(2L).contains("b1"))
   }
 
+  test("q38 gap fill: complete spine, event conservation, real zeros") {
+    val out = graft.operators.Relational.q38GapFill(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hours = out.map(_.getLong(0)).distinct.sorted
+    // the spine is every hour in [min, max] — no holes, by construction
+    assert(hours.last - hours.head + 1 == hours.length)
+    val types = out.map(_.getString(1)).distinct
+    assert(out.length == hours.length * types.length)
+    // conservation: zero-filling adds rows, never counts
+    val total = out.map(_.getLong(2)).sum
+    val nEvents = graft.sources.Tables.t(spark, sf, "events").count()
+    assert(total == nEvents)
+    assert(out.forall(_.getLong(2) >= 0))
+  }
+
   test("t16 NFC normalization: composed ≡ decomposed, idempotent, codegen'd") {
     import spark.implicits._
     // repartition forces real execution (a Project over a LocalRelation

@@ -45,7 +45,11 @@ class PlanAuditSpec extends SparkSpec {
     // weights table (bounded by the source vocabulary)
     "sp08_weighted_mix",
     // t17's broadcast side is the ONE-row BM25 corpus-stats frame
-    "t17_bm25")
+    "t17_bm25",
+    // q38's cross product is the hour spine × the type vocabulary — both
+    // dimensions by construction (events are touched only in the count
+    // aggregate before it)
+    "q38_gap_fill")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
