@@ -343,20 +343,28 @@ object Dedup {
     * Within-document repeats collapse to the first occurrence by the same
     * rule. Documents reduced to nothing report clean_text = NULL.
     *
-    * Scale shape: dd07's economics plus the rebuild — the count shuffle
-    * carries (passage-hash, packed-position) 16 B rows, the canonical
-    * argmin is a map-side-combined MIN, and the only place passage TEXT
-    * moves is the final per-document regroup, whose group size is the
-    * DOCUMENT (bounded by construction), not the passage's corpus-wide
-    * occurrence count — a million-fold boilerplate passage shuffles a
-    * million 16 B keys but its text travels once per retaining document.
-    * Position packing: canonical key = doc_id·2²⁰ + idx, exact while
-    * idx < 2²⁰ (a 20M-token document at 20-token passages) and
-    * doc_id < 2⁴³ — both far beyond the fixtures; callers past either
-    * bound re-pack with a wider shift. Hash-collision stance matches
-    * dd07: a 64-bit collision could mis-cut one passage; |distinct
-    * passages|²/2⁶⁴ is negligible and the declared oracle agrees on the
-    * fixture by construction. */
+    * Scale shape: every shuffle keyed by the passage HASH is text-free —
+    * the arbitration pipeline moves only (doc_id, idx, ph) 24 B rows: one
+    * map-side-combined MIN for the canonical occurrence, one hash-join
+    * back for the kept flags, one doc_id regroup of bare indices. Passage
+    * TEXT crosses the wire exactly once, in the final doc_id-keyed
+    * re-attach join, whose group size is the DOCUMENT (bounded by
+    * construction), not the passage's corpus-wide occurrence count — a
+    * million-fold boilerplate passage shuffles a million 24 B keys but
+    * its text travels once per retaining document. (The round-8 shape
+    * carried the passage string through the ph-join; at corpus scale the
+    * canonical side is not broadcastable — distinct passages ≈ corpus —
+    * so the sort-merge join shuffled the whole corpus text by hash,
+    * doubling the wire bill. PlanAuditSpec now pins the text-free
+    * invariant: no string column below any ph-keyed exchange.)
+    * Canonical selection is a MIN over struct(doc_id, idx) —
+    * lexicographic, exact at ANY doc_id/idx range; no packed-key
+    * arithmetic, no overflow bound (the round-8 doc_id·2²⁰+idx packing
+    * silently wrapped negative past doc_id ≥ 2⁴³ — the advisor's ScaleUp
+    * replica finding). Hash-collision stance matches dd07: a 64-bit
+    * collision could mis-cut one passage; |distinct passages|²/2⁶⁴ is
+    * negligible and the declared oracle agrees on the fixture by
+    * construction. */
   def dd15PassageScrub(spark: SparkSession, dir: String): DataFrame =
     passageScrubOf(t(spark, dir, "documents"), passageTokens = 20)
 
@@ -364,23 +372,35 @@ object Dedup {
     * caller-chosen passage length (the declared query pins 20). */
   def passageScrubOf(docs: DataFrame, passageTokens: Int): DataFrame = {
     require(passageTokens >= 1, s"passageTokens: $passageTokens")
-    val chunks = passageChunks(passageTokens)
-    val keyed = docs
+    // per-document passage ARRAY, computed once as the chunking source of
+    // truth for both the text-free arbitration and the text re-attach
+    val chunked = docs
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
-      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "passage")))
-      .withColumn("ph", xxhash64(col("passage")))
-      .withColumn("ck", col("doc_id") * lit(1048576L) + col("idx"))
-    val canon = keyed.groupBy("ph").agg(min("ck").as("canon"))
-    keyed.join(canon, "ph")
+      .select(col("doc_id"), passageChunks(passageTokens).as("ps"))
+    // text-free arbitration: hash each passage IN PLACE (inside the
+    // array, before any explode), then carry only (doc_id, idx, ph)
+    val keyed = chunked
+      .select(col("doc_id"),
+        posexplode(transform(col("ps"), p => xxhash64(p)))
+          .as(Seq("idx", "ph")))
+    val canon = keyed.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("canon"))
+    val kept = keyed.join(canon, "ph")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
-        sum(when(col("ck") === col("canon"), 1L).otherwise(0L))
-          .as("n_kept"),
-        sort_array(collect_list(when(col("ck") === col("canon"),
-          struct(col("idx"), col("passage"))))).as("__kept"))
+        sum(when(struct(col("doc_id"), col("idx")) === col("canon"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(
+          when(struct(col("doc_id"), col("idx")) === col("canon"),
+            col("idx")))).as("__kept_idx"))
+    // the ONE place text moves: a doc_id-keyed equi-join re-attaching the
+    // per-document passage array to its kept indices (both sides already
+    // doc-grained — group size is the document)
+    kept.join(chunked, "doc_id")
       .select(col("doc_id"), col("n_passages"), col("n_kept"),
-        when(size(col("__kept")) > 0, array_join(
-          transform(col("__kept"), _.getField("passage")), " "))
+        when(size(col("__kept_idx")) > 0, array_join(
+          transform(col("__kept_idx"),
+            i => element_at(col("ps"), i + 1)), " "))
           .as("clean_text"))
       .orderBy("doc_id")
   }

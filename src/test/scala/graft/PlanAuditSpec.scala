@@ -168,4 +168,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("l_extendedprice") && !plan.contains("l_shipdate"),
       s"scan reads pruned columns:\n$plan")
   }
+
+  test("dd07/dd15: no text below any passage-hash shuffle (24 B arbitration)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{DataType, StringType, ArrayType,
+      StructType, MapType}
+    def hasString(dt: DataType): Boolean = dt match {
+      case StringType => true
+      case a: ArrayType => hasString(a.elementType)
+      case s: StructType => s.fields.exists(f => hasString(f.dataType))
+      case m: MapType => hasString(m.keyType) || hasString(m.valueType)
+      case _ => false
+    }
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides the
+    // exchanges from collect() until execution — pin it off for the
+    // typed traversal (the invariant is about the static plan shape)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("dd07_passage_dedup", "dd15_passage_scrub")) {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        val phExchanges = plan.collect {
+          case e: ShuffleExchangeExec
+            if (e.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.exists(_.references.exists(_.name == "ph"))
+              case _ => false
+            }) => e
+        }
+        // the arbitration shuffles must EXIST (count/min + join back)...
+        assert(phExchanges.nonEmpty, s"$name: no ph-keyed exchange found")
+        // ...and none may carry a string column: distinct passages ≈ the
+        // corpus, so a text-bearing ph-shuffle moves the whole corpus by
+        // hash — the round-8 dd15 wire-bill bug this test pins shut
+        for (e <- phExchanges; attr <- e.child.output)
+          assert(!hasString(attr.dataType),
+            s"$name: ph-shuffle carries string column ${attr.name}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
 }
