@@ -8,7 +8,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.DataFrame
 
-import Multimodal.{PHash, Resized}
+import Multimodal.{Frame, PHash, Resized}
 
 /** REAL image codec defaults for the [[Multimodal]] seams, built entirely
   * on `javax.imageio` + `java.awt.image` — in-JDK, headless-safe, zero new
@@ -126,6 +126,69 @@ object ImageCodec {
         val n = scaled.getWidth.toLong * scaled.getHeight
         Resized(id, payload.length, bos.size(), (sum / n).toInt)
     }
+
+  /** Default frame demuxer for the [[Multimodal.framesWith]] seam: REAL
+    * multi-frame decode via ImageIO (`ImageReader.getNumImages` /
+    * `read(i)`) — an animated GIF (or any multi-page format the registry
+    * knows, e.g. multi-page TIFF) yields one [[Frame]] per stored image,
+    * with `n_bytes` = the frame's pixel count and `checksum` = its exact
+    * integer mean luma (same 0–255 ITU-R 601 fixed-point as
+    * [[decodeImage]] — deterministic on every JVM/arch, oracle-safe).
+    *
+    * Frames are decoded AS STORED: a delta-optimized GIF's later frames
+    * report their patch rectangle, not a composition against the
+    * disposal-method state — the per-stored-image view a feature
+    * extractor batches over. True video demux (mp4/webm) has no in-JDK
+    * codec; that rides [[Multimodal.framesInContext]] with an ffmpeg
+    * binding, per-partition handle lifecycle already in place.
+    * Undecodable payloads report the single sentinel frame
+    * (frame_no = −1); a frame that fails mid-stream reports (i, 0, −1)
+    * and decoding continues — one corrupt frame must not drop the
+    * document's remaining frames at 100 TB. */
+  def gifFrames(id: Long, payload: Array[Byte]): Iterator[Frame] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) Iterator.single(Frame(id, -1, 0, -1))
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, false, true)
+          // allowSearch = true: GIF stores no frame count up front; the
+          // reader walks the stream once to count (bounded by payload)
+          val n = reader.getNumImages(true)
+          if (n <= 0) Iterator.single(Frame(id, -1, 0, -1))
+          else (0 until n).map { i =>
+            try {
+              val img = reader.read(i)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+                y += 1
+              }
+              val np = w.toLong * h
+              Frame(id, i, math.min(np, Int.MaxValue.toLong).toInt,
+                (sum / math.max(np, 1L)).toInt)
+            } catch { case _: Exception => Frame(id, i, 0, -1) }
+          }.iterator // frames decoded EAGERLY above — the reader is
+          // disposed on exit, a lazy iterator would read after close
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => Iterator.single(Frame(id, -1, 0, -1)) }
+    finally in.close()
+  }
+
+  /** Frame-extract a whole (id, payload) binary frame with the real
+    * ImageIO demuxer — the library-default sibling of [[decodeImages]],
+    * same row-expanding typed-mapPartitions plan as the m02 stub. */
+  def extractFrames(docs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    Multimodal.framesWith(docs, gifFrames, idCol, payloadCol)
 
   // ---- DCT perceptual hash ---------------------------------------------
 

@@ -762,8 +762,19 @@ object Relational {
       .select(expr("CAST(ts DIV 1000 AS BIGINT) DIV 3600000000").as("hour"),
         col("event_type"))
     val counts = e.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    // Two-level spine: the [h0, h1] range comes out of a 1-ROW aggregate,
+    // so a single explode would materialize the whole spine in one task —
+    // harmless at hour grain (720 rows), a funnel at second grain over
+    // years (~10⁸ rows). Explode coarse 1024-slot chunks first, spread
+    // them across the cluster, then explode each chunk's inner range —
+    // spine generation parallelizes and no task ever emits more than 1024
+    // spine rows per chunk.
     val hours = e.agg(min("hour").as("h0"), max("hour").as("h1"))
-      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+      .select(col("h0"), col("h1"),
+        explode(sequence(lit(0L), expr("(h1 - h0) div 1024"))).as("c"))
+      .repartition(col("c"))
+      .select(explode(sequence(expr("h0 + c * 1024"),
+        expr("least(h1, h0 + c * 1024 + 1023)"))).as("hour"))
     val types = counts.select("event_type").distinct()
     hours.crossJoin(broadcast(types))
       .join(counts, Seq("hour", "event_type"), "left")

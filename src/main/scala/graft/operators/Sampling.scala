@@ -426,7 +426,10 @@ object Sampling {
     * data-loader ORDER for a weighted mix. sp08 decides WHICH documents a
     * weighted mixture keeps; sp12 decides the sequence they stream in so
     * that EVERY prefix of the training order holds the declared source
-    * proportions (±1 document per source) — no "all of source A, then all
+    * proportions to O(1) — within ±2 documents per source at any horizon,
+    * the bound the spec asserts (the textbook ±1 stride bound holds for
+    * the virtual times alone; the (v, source, rk) tie-break can shift one
+    * more document across a prefix cut) — no "all of source A, then all
     * of B" drift, no RNG. Classic stride scheduling: document k of source
     * s (in salted-hash order) gets virtual time v = k·10⁶ div w_s; the
     * global order is (v, source, rk). Heavier sources take smaller

@@ -61,6 +61,15 @@ object EmuBroker {
       new ConcurrentHashMap[String, Array[PartitionLog]]
     private val roundRobin = new AtomicInteger(0)
 
+    /** Verbatim option maps seen by the most recent read plan and write
+      * build against this cluster (keys lowercased by the DSv2 option
+      * map). Contract-test hook: KafkaE2eSpec pins that every `kafka.*`
+      * option handed to [[graft.store.KafkaStore]] reaches the chosen
+      * format untouched — the passthrough a real deployment depends on
+      * for auth/tuning options this sandbox can never exercise. */
+    @volatile var lastReadOptions: Map[String, String] = Map.empty
+    @volatile var lastWriteOptions: Map[String, String] = Map.empty
+
     /** Get-or-auto-create (broker default `auto.create.topics.enable`). */
     def topic(name: String): Array[PartitionLog] =
       topics.computeIfAbsent(name,

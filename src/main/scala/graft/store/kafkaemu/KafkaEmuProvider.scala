@@ -43,6 +43,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * One InputPartition per (topic, partition) slice: reads parallelize
   * across the topic's partitions just like the real source's 1:1
   * Kafka-partition mapping.
+  *
+  * ==Divergence ledger (what the emu does NOT model)==
+  * The single place the emu/real gap is enumerated, so a deployment
+  * against real `spark-sql-kafka` knows exactly which behaviors were
+  * never executed in this environment (round-8 verdict, residual of
+  * "What's missing" #1):
+  *  - '''consumer-group rebalances''': the emu has no groups; the real
+  *    STREAMING source manages its own offsets but still contacts the
+  *    group coordinator — coordinator outages/rebalance storms are
+  *    untested here;
+  *  - '''transactions / `isolation.level=read_committed`''': the emu log
+  *    has no aborted-transaction markers; a producer writing
+  *    transactionally to a real broker can expose offset GAPS to readers
+  *    — code that assumes dense offsets per partition (our offsets are
+  *    dense by construction) must not rely on that against real Kafka;
+  *  - '''`failOnDataLoss`''': retention/compaction never deletes emu
+  *    records, so the out-of-range/data-loss error-vs-skip policy is
+  *    never exercised;
+  *  - '''timestamp-based offsets''' (`startingOffsetsByTimestamp`,
+  *    `endingOffsetsByTimestamp`): unimplemented — only
+  *    earliest/latest/JSON offsets;
+  *  - '''`minPartitions`''': the real source can split one Kafka
+  *    partition into several Spark partitions; the emu is fixed 1:1;
+  *  - '''`includeHeaders`''': the emu schema is the 7 fixed columns, no
+  *    headers array;
+  *  - '''auth/network''' (`kafka.security.protocol`, SASL/SSL,
+  *    reconnects, request timeouts): options pass through verbatim — the
+  *    passthrough is contract-tested — but nothing consumes them;
+  *  - '''broker placement''' (leader election, ISR, replication,
+  *    `acks` semantics): a send either appends atomically or throws;
+  *    there is no partial-replication failure mode.
+  * Everything ABOVE the option boundary — offsets-JSON strictness, dense
+  * earliest/latest resolution, murmur2 key pinning, tombstone writes,
+  * plan-time snapshot reads — IS modeled and e2e-tested (KafkaE2eSpec).
   */
 class KafkaEmuProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-emu"
@@ -141,6 +175,7 @@ final class EmuTable(opts: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = opts ++ KafkaEmu.toMap(options)
+    EmuBroker.cluster(KafkaEmu.bootstrapOf(merged)).lastReadOptions = merged
     new ScanBuilder with Scan {
       override def build(): Scan = this
       override def readSchema(): StructType = KafkaEmu.readSchema
@@ -150,6 +185,7 @@ final class EmuTable(opts: Map[String, String])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val merged = opts ++ KafkaEmu.toMap(info.options())
+    EmuBroker.cluster(KafkaEmu.bootstrapOf(merged)).lastWriteOptions = merged
     new WriteBuilder {
       override def build(): Write = new EmuWrite(merged, info.schema())
     }

@@ -34,8 +34,14 @@ import org.apache.spark.sql.functions._
   * so two runs produce byte-identical tables — the same property the
   * engine's own samplers guarantee (Sampling.scala). */
 object ScaleUp {
-  /** Larger than any key the driver generator emits at any sf. */
-  private val STEP = 1000000000000L
+  /** Larger than any key the driver generator emits at any sf (TPC-H
+    * orderkeys reach ~600M at sf100; 2³⁹ ≈ 5.5·10¹¹ clears that by 900×)
+    * while keeping replica keys small: the advisor flagged that the old
+    * 10¹² step put replica-9 doc_ids past downstream packing bounds
+    * (dd15's since-removed doc_id·2²⁰ pack wrapped Long). No such bound
+    * exists in the engine anymore, but scaled keys staying ≪ 2⁶³ is cheap
+    * insurance for any caller arithmetic. */
+  private val STEP = 1L << 39
 
   private def replicas(df: DataFrame, factor: Int)(
       per: (DataFrame, Int) => DataFrame): DataFrame =
@@ -98,8 +104,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.all.foreach { t =>
-      scaleTable(spark, srcDir, t, factor)
-        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      val scaled = scaleTable(spark, srcDir, t, factor)
+      // Tables.t normalizes events.ts to an epoch-nano LONG for the
+      // engine; writing that long back verbatim would mint a THIRD ts
+      // encoding that the DuckDB oracle (epoch_us over a timestamp) can't
+      // read. Store what the current generator stores — TIMESTAMP_NTZ
+      // micros — so a scaled dir is a drop-in for correctness runs too.
+      val out = if (t != "events") scaled
+        else scaled.withColumn("ts", expr(
+          "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      out.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
       val n = spark.read.parquet(s"$dstDir/$t.parquet").count()
       println(s"[scaleup] $t -> $n rows")
     }

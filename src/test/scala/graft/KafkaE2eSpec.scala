@@ -141,6 +141,38 @@ class KafkaE2eSpec extends SparkSpec {
       .option("subscribe", "fresh").load().count() == 0)
   }
 
+  test("kafka.* options pass through KafkaStore to the format verbatim") {
+    // The divergence ledger's residual risk cap (KafkaEmuProvider
+    // scaladoc): the emu can't exercise auth/tuning options, so pin the
+    // only thing the engine is responsible for — that whatever the caller
+    // hands KafkaStore reaches the chosen format UNTOUCHED, reads and
+    // writes both. A swallowed kafka.ssl.* option in this layer would
+    // surface as an unreproducible production auth failure.
+    import org.apache.spark.sql.functions.lit
+    val bs = "emu://passthrough:9092"
+    EmuBroker.reset(bs)
+    val extra = Map(
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.sasl.mechanism" -> "SCRAM-SHA-512",
+      "kafka.max.request.size" -> "5242880")
+    val store = new KafkaStore(spark, bs, extraOpts = extra,
+      adminOverride = Some(new EmuKafkaAdmin(bs)), format = "kafka-emu")
+    import spark.implicits._
+    store.send(Seq(("ptop", "k1", "v1")).toDF("topic", "key", "value"))
+    store.read(Seq("ptop")).count()
+    val c = EmuBroker.cluster(bs)
+    for ((k, v) <- extra) {
+      assert(c.lastWriteOptions.get(k.toLowerCase).contains(v),
+        s"write dropped/rewrote $k: ${c.lastWriteOptions}")
+      assert(c.lastReadOptions.get(k.toLowerCase).contains(v),
+        s"read dropped/rewrote $k: ${c.lastReadOptions}")
+    }
+    // the store's own contract options ride along, not instead
+    assert(c.lastWriteOptions.get("kafka.acks").contains("all"))
+    assert(c.lastReadOptions.get("startingoffsets").contains("earliest"))
+    assert(c.lastReadOptions.get("kafka.bootstrap.servers").contains(bs))
+  }
+
   test("murmur2 matches published reference vectors (key pinning is real-Kafka compatible)") {
     // MurmurHash2 test vectors computed from the public algorithm: the
     // same values Kafka's partitioner produces for these keys. Pinning a

@@ -211,4 +211,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.phashWith(bad, ImageCodec.imagePhash)
       .collect()(0).getAs[Long]("phash") == 0L)
   }
+
+  /** Animated GIF from frames via the in-JDK GIF writer's sequence API. */
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("ImageIO frames: planted animated-GIF frames extracted with real lumas") {
+    import spark.implicits._
+    // three solid-gray frames: gray (v,v,v) has ITU-601 luma exactly v
+    // ((77+150+29)v >> 8 = 256v >> 8), so each extracted frame's checksum
+    // pins which planted frame it decoded — order and content both
+    val lumas = Seq(40, 120, 200)
+    val gif = animatedGif(lumas.map(v =>
+      renderImg(16, 12)((_, _) => (v, v, v))))
+    val docs = Seq((5L, gif), (9L, "not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = ImageCodec.extractFrames(docs)
+      .orderBy("doc_id", "frame_no").collect()
+    val frames5 = out.filter(_.getLong(0) == 5L)
+    assert(frames5.length == 3, s"expected 3 frames: ${frames5.toSeq}")
+    assert(frames5.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(frames5.forall(_.getInt(2) == 16 * 12))
+    assert(frames5.map(_.getInt(3)).toSeq == lumas,
+      s"frame lumas: ${frames5.map(_.getInt(3)).toSeq}")
+    // undecodable → the single documented sentinel frame
+    val bad = out.filter(_.getLong(0) == 9L)
+    assert(bad.length == 1 && bad(0).getInt(1) == -1 && bad(0).getInt(3) == -1)
+    // a single-frame PNG is one frame through the same demuxer
+    val png = Seq((7L, encode(gradient(20, 10), "png")))
+      .toDF("doc_id", "payload")
+    assert(ImageCodec.extractFrames(png).count() == 1)
+  }
 }
