@@ -215,7 +215,15 @@ object Dedup {
   private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatePairsOf(t(spark, dir, "documents"))
 
-  private def minhashCandidatePairsOf(docs: DataFrame): DataFrame = {
+  /** Per-document MinHash state — (doc_id, sorted shingle set, m1..mK) —
+    * materialized ONCE: the sig frame feeds the band join (both sides for
+    * the self-join case) AND the set-attach joins — left as a pure plan
+    * the whole shingle pipeline is replicated 4-8x (verified: 8 parquet
+    * scans). Materialize.pin defaults to localCheckpoint (fast, not
+    * recomputable after executor loss — right for this bounded
+    * |docs|-row aggregate); spot-instance deployments flip
+    * spark.graft.reliableCheckpoint=true. */
+  private def minhashSigOf(docs: DataFrame): DataFrame = {
     val sh = ngramsOf(docs, 2)
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("hs"),
       (md5Long(col("s"), 15) % P).as("hm"))
@@ -225,22 +233,27 @@ object Dedup {
       val b = (j * 40503L + 7) % P
       min((lit(a) * col("hm") + lit(b)) % P).as(s"m$j")
     }
-    // materialize the per-doc signatures once: sig feeds the band self-join
-    // (both sides) AND both set-attach joins — left as a pure plan the whole
-    // shingle pipeline is replicated 4-8x (verified: 8 parquet scans).
-    // Materialize.pin defaults to localCheckpoint (fast, not recomputable
-    // after executor loss — right for this bounded |docs|-row aggregate);
-    // spot-instance deployments flip spark.graft.reliableCheckpoint=true
-    val sig = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(sort_array(collect_set(col("hs"))).as("set"), sigCols: _*)
       .transform(graft.Materialize.pin)
+  }
+
+  /** Banded LSH keys of a sig frame: (doc_id, band, k1, k2) — K/R rows
+    * per document, the 32 B tuples that ARE the only thing the candidate
+    * join shuffles. */
+  private def bandsOfSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until K / R).map { b =>
       struct(lit(b).as("band"), col(s"m${2 * b + 1}").as("k1"),
         col(s"m${2 * b + 2}").as("k2"))
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band"), col("bd.k1"), col("bd.k2"))
+  }
+
+  private def minhashCandidatePairsOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSigOf(docs)
+    val bands = bandsOfSig(sig)
     val cand = bands.select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
       .join(bands.select(col("doc_id").as("idb"), col("band"), col("k1"), col("k2")),
         Seq("band", "k1", "k2"))
@@ -509,6 +522,69 @@ object Dedup {
         (col("fp").isNull ||
           (col("__seen").isNull && col("doc_id") === col("__mn")))
           .as("admitted"))
+  }
+
+  /** dd16 — incremental NEAR-dup admission: the ongoing-crawl sibling of
+    * dd08, closing the family's gap — dd08/dd10 admit on exact
+    * fingerprints, so a re-crawl that changed one sentence sails through;
+    * this admits a batch document only if NO ledger document is Jaccard-
+    * near it. Candidates come from the SAME banded MinHash-LSH tables as
+    * dd03, but joined ACROSS frames (batch bands ⋈ ledger bands) instead
+    * of self-joined, and only candidates are verified exactly — identical
+    * recall math (at J ≥ 0.9, ≥1-of-8 band collision ≈ 0.99997/pair;
+    * deterministic md5-family hashes make the candidate set — and hence
+    * the oracle — bit-exact).
+    *
+    * Scale shape: each nightly batch moves its own band tuples (K/R · 32 B
+    * per doc) against a ledger whose band table is PRECOMPUTED and stored
+    * bucketed on (band, k1, k2) ([[graft.sources.Sink.writeBucketed]]) —
+    * the nightly join then shuffles only the batch side, exactly dd10's
+    * economics transposed to near-dup keys. Exact verification touches
+    * candidates only; neither side's text ever moves (shingle SETS move
+    * for candidates — bounded by candidate volume, not corpus). The
+    * declared query splits the fixture by doc_id parity (evens = ledger,
+    * odds = tonight's batch) and reports per batch doc: its band-collision
+    * candidate count and the admission verdict. */
+  def dd16NearDupAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    nearDupAdmitOf(docs.where(col("doc_id") % 2 === 1),
+      docs.where(col("doc_id") % 2 === 0), threshold = 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Library surface: near-dup admission of `batch` against `ledger` at a
+    * caller-chosen Jaccard threshold (the declared query pins 0.3).
+    * Output: one row per batch document — (doc_id, n_candidates,
+    * admitted); `n_candidates` counts distinct ledger documents sharing
+    * ≥1 LSH band (the exact-verification workload this batch paid), and
+    * `admitted` is false iff some candidate verified at J ≥ threshold. */
+  def nearDupAdmitOf(batch: DataFrame, ledger: DataFrame,
+      threshold: Double): DataFrame = {
+    val sigB = minhashSigOf(batch)
+    val sigL = minhashSigOf(ledger)
+    val cand = bandsOfSig(sigB)
+      .select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
+      .join(bandsOfSig(sigL)
+        .select(col("doc_id").as("idb"), col("band"), col("k1"), col("k2")),
+        Seq("band", "k1", "k2"))
+      .select("ida", "idb").distinct()
+    // attach both shingle sets — candidates only; same no-broadcast-hint
+    // stance as the self-join path (AQE picks the actually-small side)
+    val pairs = cand
+      .join(sigB.select(col("doc_id").as("ida"), col("set").as("seta")),
+        Seq("ida"))
+      .join(sigL.select(col("doc_id").as("idb"), col("set").as("setb")),
+        Seq("idb"))
+    val hit = scoredPairs(pairs, threshold)
+      .where(col("jraw") >= threshold)
+      .select(col("ida")).distinct().withColumn("__hit", lit(true))
+    val nc = cand.groupBy("ida").agg(count(lit(1)).as("n_candidates"))
+    batch.select(col("doc_id"))
+      .join(nc.withColumnRenamed("ida", "doc_id"), Seq("doc_id"), "left")
+      .join(hit.withColumnRenamed("ida", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("__hit").isNull.as("admitted"))
   }
 
   /** dd10 — BLOOM-accelerated incremental admission: same semantics as

@@ -1530,6 +1530,31 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("dd16 admission rejects batch docs near a ledger doc, admits novel ones") {
+    import spark.implicits._
+    // planted: batch doc 1 differs from ledger doc 2 by ONE trailing token
+    // (shingle Jaccard 58/60 ≈ 0.97 — band collision essentially certain,
+    // and deterministic given the md5 hash family); batch doc 3 shares no
+    // tokens with anything
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "x1").mkString(" ")
+    val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+    val ledger = Seq((2L, base)).toDF("doc_id", "text")
+    val batch = Seq((1L, near), (3L, novel)).toDF("doc_id", "text")
+    val out = Dedup.nearDupAdmitOf(batch, ledger, 0.3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, false), (3L, true)))
+    assert(out(0).getLong(1) >= 1) // the near doc generated candidates
+    assert(out(1).getLong(1) == 0) // the novel doc joined nothing
+    // fixture-level sanity: every batch doc appears exactly once, and a
+    // rejected doc always has at least one candidate (hits ⊆ candidates)
+    val full = Dedup.dd16NearDupAdmit(spark, sf).collect()
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    assert(full.length == docs.where(col("doc_id") % 2 === 1).count())
+    assert(full.filter(!_.getBoolean(2)).forall(_.getLong(1) >= 1))
+  }
+
   test("dd15 scrub keeps each distinct passage exactly once, canonically") {
     import spark.implicits._
     val out = Dedup.dd15PassageScrub(spark, sf)
