@@ -560,11 +560,20 @@ object Dedup {
     * `admitted` is false iff some candidate verified at J ≥ threshold. */
   def nearDupAdmitOf(batch: DataFrame, ledger: DataFrame,
       threshold: Double): DataFrame = {
-    val sigB = minhashSigOf(batch)
     val sigL = minhashSigOf(ledger)
+    admitAgainst(batch, bandsOfSig(sigL),
+      sigL.select(col("doc_id"), col("set")), threshold)
+  }
+
+  /** The admission core shared by the recompute path ([[nearDupAdmitOf]])
+    * and the persistent-ledger path ([[nearDupAdmitAgainstLedger]]): only
+    * where the LEDGER's band/set frames come from differs. */
+  private def admitAgainst(batch: DataFrame, ledgerBands: DataFrame,
+      ledgerSets: DataFrame, threshold: Double): DataFrame = {
+    val sigB = minhashSigOf(batch)
     val cand = bandsOfSig(sigB)
       .select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
-      .join(bandsOfSig(sigL)
+      .join(ledgerBands
         .select(col("doc_id").as("idb"), col("band"), col("k1"), col("k2")),
         Seq("band", "k1", "k2"))
       .select("ida", "idb").distinct()
@@ -573,7 +582,7 @@ object Dedup {
     val pairs = cand
       .join(sigB.select(col("doc_id").as("ida"), col("set").as("seta")),
         Seq("ida"))
-      .join(sigL.select(col("doc_id").as("idb"), col("set").as("setb")),
+      .join(ledgerSets.select(col("doc_id").as("idb"), col("set").as("setb")),
         Seq("idb"))
     val hit = scoredPairs(pairs, threshold)
       .where(col("jraw") >= threshold)
@@ -586,6 +595,35 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("__hit").isNull.as("admitted"))
   }
+
+  /** Persist a ledger's MinHash state so nightly admissions never
+    * recompute (or reshuffle) the corpus side: two bucketed tables —
+    * `<name>_bands` bucketed on the (band, k1, k2) join key, so the
+    * candidate join reads the ledger PRE-BUCKETED with zero Exchange and
+    * shuffles only tonight's batch into the same bucketing (asserted in
+    * PipelinesSpec), and `<name>_sets` bucketed on doc_id for the
+    * exact-verify set attach. This is the dd16 scaladoc's scale claim
+    * made executable — the persistent-index pattern the IVF family uses
+    * (Similarity.scala), applied to the dedup ledger. Rebuild =
+    * overwrite; grow-the-ledger = append admitted batches via a rerun or
+    * an incremental insertInto with the same bucketing. */
+  def writeNearDupLedger(docs: DataFrame, name: String,
+      buckets: Int = 32): Unit = {
+    val sig = minhashSigOf(docs)
+    graft.sources.Sink.writeBucketed(bandsOfSig(sig), s"${name}_bands",
+      buckets, bucketCols = Seq("band", "k1", "k2"))
+    graft.sources.Sink.writeBucketed(
+      sig.select(col("doc_id"), col("set")), s"${name}_sets",
+      buckets, bucketCols = Seq("doc_id"))
+  }
+
+  /** Near-dup admission against a [[writeNearDupLedger]] ledger — result
+    * is row-identical to [[nearDupAdmitOf]] on the same corpus (asserted
+    * in PipelinesSpec); only the ledger's cost disappears. */
+  def nearDupAdmitAgainstLedger(spark: SparkSession, batch: DataFrame,
+      name: String, threshold: Double): DataFrame =
+    admitAgainst(batch, spark.table(s"${name}_bands"),
+      spark.table(s"${name}_sets"), threshold)
 
   /** dd10 — BLOOM-accelerated incremental admission: same semantics as
     * dd08 (admitted = unseen-in-ledger ∧ first-in-batch), different ledger

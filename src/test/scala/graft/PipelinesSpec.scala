@@ -1555,6 +1555,59 @@ class PipelinesSpec extends SparkSpec {
     assert(full.filter(!_.getBoolean(2)).forall(_.getLong(1) >= 1))
   }
 
+  test("dd16 persistent ledger: identical result, ledger never reshuffles") {
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val ledger = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    Dedup.writeNearDupLedger(ledger, "ndl_test", buckets = 8)
+    try {
+      val viaLedger =
+        Dedup.nearDupAdmitAgainstLedger(spark, batch, "ndl_test", 0.3)
+      val recompute = Dedup.nearDupAdmitOf(batch, ledger, 0.3)
+      assert(viaLedger.exceptAll(recompute).isEmpty &&
+        recompute.exceptAll(viaLedger).isEmpty)
+      // the scale claim, held as a plan invariant: the candidate join
+      // reads the ledger band table PRE-BUCKETED — the only band-keyed
+      // exchange is the batch side shuffling into the ledger's bucketing.
+      // Broadcast + AQE pinned off so the layout, not the small fixture,
+      // carries the property.
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = Dedup
+          .nearDupAdmitAgainstLedger(spark, batch, "ndl_test", 0.3)
+          .queryExecution.executedPlan
+        val bandExchanges = plan.collect {
+          case e: ShuffleExchangeExec if (e.outputPartitioning match {
+            case h: HashPartitioning =>
+              h.expressions.exists(_.references.exists(_.name == "band"))
+            case _ => false
+          }) => e
+        }
+        // the ledger IS read (not folded away), every band-keyed exchange
+        // feeds from the BATCH side, and none sits above a ledger scan —
+        // the bucketed layout carries the join, the ledger never moves
+        // (cand's subtree is deliberately unpinned, so the batch-side
+        // exchange may appear once per consumer; count is not the claim)
+        assert(plan.toString.contains("ndl_test_bands"))
+        assert(bandExchanges.nonEmpty)
+        assert(!bandExchanges.exists(
+          _.child.toString.contains("ndl_test_bands")),
+          s"ledger band table reshuffled:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ndl_test_bands")
+      spark.sql("DROP TABLE IF EXISTS ndl_test_sets")
+    }
+  }
+
   test("dd15 scrub keeps each distinct passage exactly once, canonically") {
     import spark.implicits._
     val out = Dedup.dd15PassageScrub(spark, sf)
