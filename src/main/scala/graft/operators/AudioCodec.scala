@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+import org.apache.spark.sql.DataFrame
+
+import Multimodal.Frame
+
+/** REAL audio codec default for the [[Multimodal.framesWith]] seam, built
+  * on `javax.sound.sampled` — in-JDK, headless-safe, zero new
+  * dependencies: the audio analogue of what [[ImageCodec]] provides for
+  * images. A user with WAV/AIFF/AU bytes in a binary column gets working
+  * sample-window extraction out of the box; compressed formats (mp3/ogg/
+  * aac) have no in-JDK decoder and ride
+  * [[Multimodal.framesInContext]] with an ffmpeg binding, per-partition
+  * handle lifecycle already in place.
+  *
+  * Window stats are exact integer math (no floating point), so values are
+  * identical on every JVM/arch — the same determinism stance as
+  * [[ImageCodec]]'s ITU-601 luma. Undecodable payloads and unsupported
+  * encodings report the single sentinel frame (frame_no = −1), the
+  * corrupt-shard quarantine posture every codec here shares: at 100 TB
+  * some payload WILL be truncated, and one bad row must not kill the job.
+  */
+object AudioCodec {
+
+  /** Default windower: PCM_SIGNED 16-bit audio → one [[Frame]] per
+    * `windowSamples` sample frames (channel 0 of interleaved streams —
+    * the level/energy view a silence-trimmer or speech-gate batches on).
+    * Per window: `n_bytes` = sample count (short tail window included),
+    * `checksum` = mean absolute amplitude scaled to 0–127 (integer:
+    * `(Σ|s|/n) >> 8` of 16-bit magnitudes) — a constant-amplitude window
+    * of 8192 reads exactly 32, which the spec pins against a generated
+    * WAV. */
+  def wavWindows(windowSamples: Int)(id: Long,
+      payload: Array[Byte]): Iterator[Frame] = {
+    require(windowSamples >= 1, s"windowSamples: $windowSamples")
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16)
+          Iterator.single(Frame(id, -1, 0, -1))
+        else {
+          val bytes = in.readAllBytes()
+          val channels = fmt.getChannels
+          val big = fmt.isBigEndian
+          val stride = 2 * channels // bytes per sample frame, channel 0 read
+          val n = bytes.length / stride
+          if (n == 0) Iterator.single(Frame(id, -1, 0, -1))
+          else {
+            val frames = (0 until (n + windowSamples - 1) / windowSamples)
+              .map { w =>
+                val from = w * windowSamples
+                val until = math.min(n, from + windowSamples)
+                var sum = 0L
+                var i = from
+                while (i < until) {
+                  val o = i * stride
+                  val s =
+                    if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                    else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                  sum += math.abs(s.toInt)
+                  i += 1
+                }
+                Frame(id, w, until - from, ((sum / (until - from)) >> 8).toInt)
+              }
+            frames.iterator // decoded EAGERLY above — stream closed on exit
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => Iterator.single(Frame(id, -1, 0, -1)) }
+  }
+
+  /** Window a whole (id, payload) binary frame with the real PCM decoder —
+    * the audio sibling of [[ImageCodec.extractFrames]], same row-expanding
+    * typed-mapPartitions plan as the m02 stub. */
+  def extractWindows(docs: DataFrame, windowSamples: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    Multimodal.framesWith(docs, wavWindows(windowSamples), idCol, payloadCol)
+}

@@ -140,6 +140,65 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c09 — PASSAGE-level benchmark decontamination: the ACTION step c04
+    * stops short of. c04 flags whole documents for n-gram overlap; c09
+    * CUTS the overlapping passages and keeps the rest of the document —
+    * the right call when a long, otherwise-clean document quotes one
+    * benchmark item (dropping the whole doc wastes data; keeping it
+    * verbatim leaks eval). Chunking is dd15's shared [[Dedup.passageChunks]]
+    * definition (20-token non-overlapping passages for the declared
+    * query), so "scrubbed passage" here and "duplicate passage" there can
+    * never disagree about boundaries. A corpus passage is removed when
+    * its text equals ANY passage of any benchmark document.
+    *
+    * Scale shape: dd15's economics — the membership test is a LEFT ANTI
+    * join of text-free (doc_id, idx, ph) 24 B rows against the benchmark
+    * passage-hash set (tiny by definition of a benchmark: it broadcasts
+    * at runtime, no mandatory hint); passage text crosses the wire once,
+    * in the doc_id-keyed re-attach join, group size = the document.
+    * Document text never rides a ph-keyed shuffle. */
+  def c09BenchmarkScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.t(spark, dir, "documents")
+    passageDecontaminateOf(docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0), passageTokens = 20)
+      .orderBy("doc_id")
+  }
+
+  /** Library surface: passage-level scrub of `corpus` against
+    * `benchmark` at a caller-chosen passage length (the declared query
+    * pins 20 and the doc_id % 97 benchmark split, matching c04/c06).
+    * Output per corpus document: (doc_id, n_passages, n_kept,
+    * clean_text); fully-scrubbed documents report n_kept = 0 and
+    * clean_text = NULL. */
+  def passageDecontaminateOf(corpus: DataFrame, benchmark: DataFrame,
+      passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens: $passageTokens")
+    val chunks = Dedup.passageChunks(passageTokens)
+    val chunked = corpus
+      .select(col("doc_id"), TextAnalysis.toks.as("ws"))
+      .select(col("doc_id"), chunks.as("ps"))
+    // text-free corpus side: hash passages in place, carry (doc_id, idx, ph)
+    val keyed = chunked.select(col("doc_id"),
+      posexplode(transform(col("ps"), p => xxhash64(p)))
+        .as(Seq("idx", "ph")))
+    val benchPh = benchmark
+      .select(TextAnalysis.toks.as("ws"))
+      .select(explode(chunks).as("passage"))
+      .select(xxhash64(col("passage")).as("ph")).distinct()
+    val kept = keyed.join(benchPh, Seq("ph"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("idx"))).as("__kept_idx"))
+    chunked.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(size(col("__kept_idx")) > 0, array_join(
+          transform(col("__kept_idx"),
+            i => element_at(col("ps"), i + 1)), " "))
+          .as("clean_text"))
+  }
+
   /** c07 — per-source CONTAMINATION REPORT: c04's per-document flags
     * rolled up by source — documents checked, documents contaminated,
     * worst shared-gram count, and an integer per-mille rate. This is the

@@ -320,7 +320,7 @@ object Dedup {
     * −1 and yields [0, −1] — two phantom passages where the oracle's
     * range(0, 0) yields none. Unreachable through the declared queries
     * (split(trim(text)) is never empty) but live for the library surface. */
-  private def passageChunks(p: Int): Column =
+  private[operators] def passageChunks(p: Int): Column =
     when(size(col("ws")) >= 1, transform(
       sequence(lit(0), expr(s"(size(ws) + ${p - 1}) div $p") - 1),
       c => array_join(slice(col("ws"), c * p + 1, lit(p)), " ")))

@@ -791,4 +791,42 @@ object TextAnalysis {
         col("__s").cast("double") / 1e6 / col("n_tokens"), 4).as("entropy"))
       .orderBy(idCol)
   }
+
+  /** t22 — READABILITY scoring (Flesch–Kincaid grade level): the classic
+    * document-complexity gate training mixes filter or stratify on —
+    * curriculum schedulers (sp10) order by quality; readability is the
+    * orthogonal axis (a high-quality PhD thesis and a high-quality
+    * children's story separate here, not there). Grade = 0.39·(words/
+    * sentence) + 11.8·(syllables/word) − 15.59, with the two structural
+    * estimators pinned deterministic: sentences = count of `[.!?]+` runs
+    * (min 1), syllables per word = count of `[aeiouy]+` vowel groups
+    * (min 1) — the standard regex approximations, exact-reproducible in
+    * any engine (no dictionary). Both counts are emitted alongside the
+    * grade so downstream filters can re-derive at other coefficients
+    * without re-tokenizing.
+    *
+    * Scale shape: map-only over the documents scan (one regexp pass for
+    * sentences, one per-token transform for syllables, aggregated inside
+    * the row — no explode, no shuffle except the presentation sort);
+    * rides the same whole-stage-codegen span as t01/t02. */
+  def t22Readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(t(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Library surface: readability over ANY (doc_id, text) frame. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("ws"), lower(trim(col("text"))).as("lt"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("lt"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        aggregate(
+          transform(col("ws"), w => greatest(lit(1),
+            size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("n_syllables"))
+      .withColumn("fk_grade", round(
+        lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+          lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+          lit(15.59), 3))
 }

@@ -254,4 +254,42 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "payload")
     assert(ImageCodec.extractFrames(png).count() == 1)
   }
+
+  /** 16-bit mono little-endian WAV from raw sample values. */
+  private def wav(samples: Seq[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioCodec: PCM WAV windows with exact integer levels; corrupt reported") {
+    import spark.implicits._
+    import graft.operators.AudioCodec
+    // 1000 samples at constant +8192, then 1000 at −16384, then a 500
+    // tail at +256: windows must report n=1000/1000/500 and mean-|s|>>8
+    // levels exactly 32/64/1
+    val samples = Seq.fill(1000)(8192.toShort) ++
+      Seq.fill(1000)((-16384).toShort) ++ Seq.fill(500)(256.toShort)
+    val docs = Seq((1L, wav(samples)), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = AudioCodec.extractWindows(docs, windowSamples = 1000)
+      .orderBy("doc_id", "frame_no").collect()
+    val w1 = out.filter(_.getLong(0) == 1L)
+    assert(w1.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 1000, 32), (1, 1000, 64), (2, 500, 1)),
+      s"windows: ${w1.toSeq}")
+    // undecodable → the single sentinel frame, job continues
+    val bad = out.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && bad(0).getInt(1) == -1 && bad(0).getInt(3) == -1)
+  }
 }

@@ -970,10 +970,11 @@ class PipelinesSpec extends SparkSpec {
       // operator-internal unpins are deliberately non-blocking (the
       // operator must not stall on block eviction), so under concurrent
       // suite load a superseded pin can linger a moment — poll until the
-      // live set stops shrinking (1s quiet period, 10s cap) before
+      // live set stops shrinking (1s quiet period, 30s cap) before
       // reporting. The invariant is "eventually bounded", not
-      // "instantaneously bounded".
-      val deadline = System.nanoTime() + 10000000000L
+      // "instantaneously bounded" (10s flaked once the suite grew past
+      // ~215 concurrent tests; the ContextCleaner is best-effort async).
+      val deadline = System.nanoTime() + 30000000000L
       def snap() = ids.filter(spark.sparkContext.getPersistentRDDs.keySet)
       var out = snap()
       var quietUntil = System.nanoTime() + 1000000000L
@@ -1606,6 +1607,47 @@ class PipelinesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ndl_test_bands")
       spark.sql("DROP TABLE IF EXISTS ndl_test_sets")
     }
+  }
+
+  test("c09 scrub cuts exactly the benchmark passages, keeps the rest") {
+    import spark.implicits._
+    // corpus doc 1 = one benchmark passage + one unique passage; doc 3 =
+    // all-unique. The benchmark passage must vanish, everything else stay.
+    val bench = (1 to 20).map(i => s"b$i").mkString(" ")
+    val own = (1 to 20).map(i => s"u$i").mkString(" ")
+    val other = (1 to 20).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, bench + " " + own), (3L, other))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((97L, bench)).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .passageDecontaminateOf(corpus, benchmark, 20)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (3L, 1L, 1L)))
+    assert(out(0).getString(3) == own)   // benchmark passage cut
+    assert(out(1).getString(3) == other) // untouched doc rebuilt verbatim
+    // a fully-contaminated doc survives as a row with NULL clean text
+    val all = Seq((5L, bench)).toDF("doc_id", "text")
+    val scrubbed = graft.operators.Curation
+      .passageDecontaminateOf(all, benchmark, 20).collect()(0)
+    assert(scrubbed.getLong(2) == 0L && scrubbed.isNullAt(3))
+  }
+
+  test("t22 readability: pinned example and structural bounds") {
+    import spark.implicits._
+    // "go. go. go." → 3 words, 3 sentence runs, 3 single-vowel-group
+    // syllables → FK = 0.39·1 + 11.8·1 − 15.59 = −3.4 exactly
+    val df = Seq((1L, "go. go. go.")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.readabilityOf(df).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 3L)))
+    assert(r.getDouble(4) == -3.4)
+    // fixture-wide: every doc scores, counts are positive, sentences
+    // default to 1 when no terminator exists
+    val full = graft.operators.TextAnalysis.t22Readability(spark, sf)
+    assert(full.count() ==
+      graft.sources.Tables.t(spark, sf, "documents").count())
+    assert(full.where(col("n_sentences") < 1 || col("n_syllables") < 1 ||
+      col("n_words") < 1).isEmpty)
   }
 
   test("dd15 scrub keeps each distinct passage exactly once, canonically") {
