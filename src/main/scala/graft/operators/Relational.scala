@@ -783,6 +783,60 @@ object Relational {
       .orderBy("hour", "event_type")
   }
 
+  /** q39 — SCD2 HISTORY reconstruction: turn a change stream into the
+    * queryable slowly-changing-dimension table warehouses keep — the
+    * natural downstream of this engine's CDC feeds (a melt-mirrored topic
+    * replayed as per-key state history). Consecutive same-state events
+    * per key collapse into one validity interval (classic gaps-and-
+    * islands: island = row_number-per-key − row_number-per-(key, state));
+    * each interval carries [valid_from, valid_to) in epoch-micros,
+    * valid_to = the NEXT interval's start (NULL = current, the open row),
+    * and the event count that reasserted the state. An as-of lookup is
+    * then q23's sort-merge shape against this table; `is_current` rows
+    * are the compacted topic state O11 computes — reconciliation between
+    * the two is a diff (O16).
+    *
+    * Scale shape: all three windows partition by the KEY (user) — rank
+    * and lead never see a global ordering, so the plan is one shuffle on
+    * user_id reused by every window (WindowExec stack over the same
+    * partitioning) plus the island aggregate; output rows = state
+    * CHANGES, not events — the compression warehouses build SCD2 for. */
+  def q39Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(t(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("__tsu"),
+        col("event_id"), col("event_type")),
+      keyCol = "user_id", stateCol = "event_type",
+      tsCol = "__tsu", seqCol = "event_id")
+      .orderBy("user_id", "valid_from", "event_type")
+
+  /** Library surface: SCD2 interval reconstruction over ANY change frame
+    * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
+    * (already-numeric) change time, `seqCol` the deterministic
+    * tie-breaker within equal timestamps (a CDC version, an offset). */
+  def scd2Of(changes: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    val perState = Window.partitionBy(keyCol, stateCol)
+      .orderBy(col(tsCol), col(seqCol))
+    val islands = changes
+      .withColumn("__isl",
+        row_number().over(perKey) - row_number().over(perState))
+    val runs = islands.groupBy(col(keyCol), col(stateCol), col("__isl"))
+      .agg(min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    // stateCol in the order key: two runs of a key can share valid_from
+    // only under timestamp ties, but lead() must be deterministic by
+    // construction, not by data luck — engines must agree on valid_to
+    val byStart = Window.partitionBy(keyCol)
+      .orderBy(col("valid_from"), col(stateCol))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(stateCol), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — the driver runs these
     * on the same parquet and hash-compares. Aliases must match the DataFrame
     * side exactly. */
@@ -849,6 +903,8 @@ object Relational {
       "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "q29_time_buckets" ->
       "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
+    "q39_scd2_history" ->
+      "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
       "SELECT r.r_name, COUNT(*) AS n_orders, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name",
     "q31_window_distribution" ->
@@ -901,6 +957,7 @@ object Relational {
     "q27_window_rank" -> q27WindowRank _,
     "q28_cube" -> q28Cube _,
     "q29_time_buckets" -> q29TimeBuckets _,
+    "q39_scd2_history" -> q39Scd2 _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

@@ -1683,6 +1683,28 @@ class PipelinesSpec extends SparkSpec {
     assert(!scrubbed(2L).contains("tok1") && scrubbed(2L).contains("b1"))
   }
 
+  test("q39 SCD2: intervals tile per key, one current row, runs collapse") {
+    val out = graft.operators.Relational.q39Scd2(spark, sf).collect()
+    val events = graft.sources.Tables.t(spark, sf, "events")
+    // conservation: every event lands in exactly one interval
+    assert(out.map(_.getLong(4)).sum == events.count())
+    val byUser = out.groupBy(_.getLong(0))
+    assert(byUser.size == events.select("user_id").distinct().count())
+    for ((_, rows) <- byUser) {
+      val sorted = rows.sortBy(_.getLong(2))
+      // exactly one open (current) interval per key — the last one
+      assert(rows.count(_.getBoolean(5)) == 1 && sorted.last.getBoolean(5))
+      // intervals TILE: each run's valid_to is the next run's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) == b.getLong(2))
+          // true SCD2: consecutive runs never carry the same state
+          assert(a.getString(1) != b.getString(1))
+        case _ => ()
+      }
+    }
+  }
+
   test("q38 gap fill: complete spine, event conservation, real zeros") {
     val out = graft.operators.Relational.q38GapFill(spark, sf).collect()
     assert(out.nonEmpty)
