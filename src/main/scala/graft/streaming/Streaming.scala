@@ -582,4 +582,84 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** One CLOSED SCD2 validity interval — a batch q39 row whose
+    * `valid_to` is set. The open (current) run per key lives in state, by
+    * construction: an append-mode stream cannot retract, and the current
+    * row is exactly the thing a later event rewrites. */
+  final case class Scd2Interval(user_id: Long, event_type: String,
+      valid_from: Long, valid_to: Long, n_events: Long)
+
+  /** Per-user SCD2 state (public: state-store codegen instantiates it):
+    * not-yet-ripe events inside the lateness window (parallel seqs), plus
+    * the OPEN run — its state value, start time, and event count. */
+  final case class Scd2Buffer(ts: Seq[Long], ids: Seq[Long],
+      types: Seq[String], runType: Option[String], runStart: Option[Long],
+      runCount: Long)
+
+  /** Streaming SCD2 — the continuous form of batch q39: per key,
+    * consecutive same-state events collapse into validity intervals, and
+    * each interval is emitted the moment a ripe state CHANGE closes it,
+    * exact under out-of-order arrival within the watermark. Same
+    * buffer-until-ripe skeleton as [[streamingTransitions]] (a late
+    * arrival can split or extend a run, so events fold into runs only
+    * once the watermark passes them); the run itself replaces the
+    * boundary event as the retained state — per-key state is the
+    * in-window events plus ONE open run, never the history.
+    *
+    * Parity contract (asserted in StreamingSpec against a shuffled
+    * two-trigger replay): emitted intervals ≡ batch q39 rows with
+    * `valid_to` NOT NULL. The open row is the state itself — a snapshot
+    * view is "emitted ∪ open runs", which is how a warehouse sink
+    * composes it (closed intervals appended; the current row upserted
+    * from the compacted state, O11). */
+  def streamingScd2(spark: SparkSession, events: DataFrame,
+      tsCol: String, watermark: String)
+      : org.apache.spark.sql.Dataset[Scd2Interval] = {
+    import spark.implicits._
+    def microsOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type").cast("string"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Buffer, Scd2Interval](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[Scd2Buffer]) =>
+          val prior = state.getOption.getOrElse(
+            Scd2Buffer(Nil, Nil, Nil, None, None, 0L))
+          val fresh = rows.map(r => (microsOf(r._4), r._2, r._3)).toSeq
+          val buf = (prior.ts.indices.map(i =>
+            (prior.ts(i), prior.ids(i), prior.types(i))) ++ fresh)
+            .sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = buf.partition(_._1 <= wmUs)
+          var runType = prior.runType
+          var runStart = prior.runStart
+          var runCount = prior.runCount
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Interval]
+          ripe.foreach { case (t, _, ty) =>
+            runType match {
+              case Some(s) if s == ty => runCount += 1
+              case Some(s) =>
+                out += Scd2Interval(uid, s, runStart.get, t, runCount)
+                runType = Some(ty); runStart = Some(t); runCount = 1
+              case None =>
+                runType = Some(ty); runStart = Some(t); runCount = 1
+            }
+          }
+          if (hold.isEmpty && runType.isEmpty) state.remove()
+          else {
+            state.update(Scd2Buffer(hold.map(_._1), hold.map(_._2),
+              hold.map(_._3), runType, runStart, runCount))
+            // wake when the earliest held event ripens (+1 ms: the
+            // timeout must sit strictly above the current watermark)
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
 }

@@ -565,6 +565,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 replays the batch q39 closed intervals exactly") {
+    // Same events, scrambled arrival across two triggers: every interval
+    // the stream emits must be a batch q39 row, and every CLOSED batch
+    // row must be emitted — the open run stays in state by contract.
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.sources.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "timestamp_micros(ts DIV 1000) AS ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    val shuffled = raw.sortBy(t => (t._2 * 2654435761L) % 1000003)
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = Streaming.streamingScd2(spark, events, "ts", "365 days")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scd2_parity").start()
+    try {
+      val (h1, h2) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(h1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(h2.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel user far in the future pushes the watermark past every
+      // real event; a second trigger fires the timeouts
+      in.addData((999999L, 0L, "view", Timestamp.valueOf("2046-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData((999999L, 1L, "view", Timestamp.valueOf("2046-06-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_parity")
+        .where(col("user_id") =!= 999999L)
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "n_events")
+      val batch = graft.operators.Relational.q39Scd2(spark, sf)
+        .where(col("valid_to").isNotNull)
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "n_events")
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming funnel: late views retroactively qualify clicks and purchases") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
