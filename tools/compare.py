@@ -17,7 +17,10 @@ outDir, sfDir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfDir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata ships single parquet FILES; Spark writers (ScaleUp's
+    # scaled dirs) produce DIRECTORIES of part files — accept both
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outDir}/oracle_sql.json"))
 fails = []
