@@ -50,7 +50,17 @@ object GraftExtensions {
     // nfc_normalize: SQL surface for the canonicalization expression.
     // (bloom_might_contain_long is deliberately NOT here: its filter
     // argument is a driver-built object, not expressible in SQL text.)
-    unary("nfc_normalize", classOf[NfcNormalizeExpr], NfcNormalizeExpr.apply))
+    unary("nfc_normalize", classOf[NfcNormalizeExpr], NfcNormalizeExpr.apply),
+    // kmv_min_k(hash, k): bounded-state distinct sketch aggregate — the
+    // k argument must be a foldable integer literal (it sizes the state)
+    binary("kmv_min_k", classOf[graft.functions.KmvMinK], (h, kExpr) => {
+      val k = kExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_min_k: k must be an integer literal, got $other")
+      }
+      graft.functions.KmvMinK(h, k)
+    }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,118 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+  StructField, StructType}
+
+/** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+  * aggregate — the BOUNDED-STATE alternative to exact `COUNT(DISTINCT)`:
+  * exact distinct counting shuffles every per-partition-distinct key; this
+  * moves exactly k longs per partition, map-side combined and mergeable
+  * (union = merge + truncate — the classic Bar-Yossef et al. 2002
+  * estimator), so a 10⁹-key column costs the same wire bytes as a 10³-key
+  * one. Unlike HLL (whose register layout is engine-private, so Spark and
+  * DuckDB sketches of the same data disagree), KMV over a SHARED hash
+  * function is deterministic across engines: the k smallest 60-bit md5
+  * hashes of a value set are a pure data property — which is what lets
+  * the declared query (q40) hash-match a DuckDB oracle exactly, estimator
+  * output included.
+  *
+  * Returns `struct(held INT, kth LONG)`: `held` = number of distinct
+  * hashes retained (= min(true distinct, k)), `kth` = the k-th smallest
+  * hash when saturated, NULL below saturation (the caller reports `held`
+  * itself — the sketch holds the whole set). Estimate when saturated:
+  * `(k−1) · 2⁶⁰ / kth` (hashes are uniform on [0, 2⁶⁰): the k-th order
+  * statistic estimates k/n of the range). Relative error ≈ 1/√(k−2).
+  *
+  * State is a bounded TreeSet: insert, truncate-above-k — O(log k) per
+  * row, k longs serialized between partial and final aggregation. */
+case class KmvMinK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_min_k needs k >= 2: $k")
+
+  override def prettyName: String = "kmv_min_k"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("held", IntegerType, nullable = false),
+    StructField("kth", LongType, nullable = true)))
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    new GenericInternalRow(Array[Any](buf.size,
+      if (buf.size >= k) buf.last().longValue() else null))
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinK =
+    copy(child = newChild)
+}
+
+object KmvMinK {
+  /** Column API: KMV sketch state of a LONG hash column —
+    * `struct(held, kth)`; compose with [[estimate]]. */
+  def kmvMinK(hash: Column, k: Int): Column =
+    Bridge.column(KmvMinK(Bridge.expression(hash), k)
+      .toAggregateExpression())
+
+  /** The estimator over a [[kmvMinK]] result, shared with the oracle
+    * formula: exact `held` below saturation, `round((k−1)·2⁶⁰ / kth)`
+    * at it. Double arithmetic in exactly this shape on both engines —
+    * same inputs, same rounding, same value. */
+  def estimate(state: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(state.getField("held") < k, state.getField("held").cast("long"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+        / state.getField("kth").cast("double")).cast("long"))
+  }
+}

@@ -809,6 +809,34 @@ object Relational {
       tsCol = "__tsu", seqCol = "event_id")
       .orderBy("user_id", "valid_from", "event_type")
 
+  /** q40 — DISTINCT-COUNT SKETCH (KMV, k-minimum-values): per event
+    * type, the bounded-state distinct-user estimate beside its exact
+    * reference. Exact COUNT(DISTINCT) shuffles every per-partition-
+    * distinct key — at 100 TB the distinct shuffle IS the query; the KMV
+    * aggregate ([[graft.functions.KmvMinK]], a native Catalyst
+    * `TypedImperativeAggregate`) moves exactly k longs per partition,
+    * map-side combined, mergeable across any split of the data. HLL can't
+    * be oracle-checked across engines (register layouts are private);
+    * KMV over the SHARED 60-bit md5 hash is a pure data property — the
+    * k smallest hashes, and hence the estimator output, are bit-identical
+    * in Spark and DuckDB. The declared query keeps the exact count
+    * alongside precisely so the sketch's error is visible in the result
+    * (±1/√62 ≈ 13% at k = 64), not asserted away. */
+  def q40KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    import graft.functions.KmvMinK
+    t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        graft.functions.Hashing.md5Long(
+          concat(lit("u:"), col("user_id").cast("string")), 15).as("h"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        KmvMinK.kmvMinK(col("h"), k).as("__s"))
+      .select(col("event_type"), col("n_exact"),
+        KmvMinK.estimate(col("__s"), k).as("kmv_estimate"))
+      .orderBy("event_type")
+  }
+
   /** Library surface: SCD2 interval reconstruction over ANY change frame
     * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
     * (already-numeric) change time, `seqCol` the deterministic
@@ -903,6 +931,8 @@ object Relational {
       "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "q29_time_buckets" ->
       "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
+    "q40_kmv_distinct" ->
+      "WITH h AS (SELECT DISTINCT event_type, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h), st AS (SELECT event_type, COUNT(*) AS held, MAX(CASE WHEN rk = 64 THEN h END) AS kth FROM rk WHERE rk <= 64 GROUP BY event_type), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY event_type) SELECT ex.event_type, ex.n_exact, CAST(CASE WHEN st.held < 64 THEN st.held ELSE CAST(ROUND(63 * 1.152921504606846976e18 / st.kth) AS BIGINT) END AS BIGINT) AS kmv_estimate FROM ex JOIN st USING (event_type) ORDER BY ex.event_type",
     "q39_scd2_history" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
@@ -958,6 +988,7 @@ object Relational {
     "q28_cube" -> q28Cube _,
     "q29_time_buckets" -> q29TimeBuckets _,
     "q39_scd2_history" -> q39Scd2 _,
+    "q40_kmv_distinct" -> q40KmvDistinct _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

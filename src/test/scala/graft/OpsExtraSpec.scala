@@ -158,4 +158,12 @@ class OpsExtraSpec extends SparkSpec {
       .head().getString(0)
     assert(r == "caf\u00e9")
   }
+
+  test("kmv_min_k aggregates from SQL; below saturation held = distinct") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT kmv_min_k(xxhash64(CAST(id % 10 AS STRING)), 64) AS s " +
+        "FROM range(1000)").head().getStruct(0)
+    assert(r.getInt(0) == 10 && r.isNullAt(1)) // 10 distinct < k, kth null
+  }
 }
