@@ -472,6 +472,68 @@ object Sampling {
         col("v"))
   }
 
+  /** sp13 — PRIORITY SAMPLING (Duffield–Lund–Thorup): a weighted
+    * WITHOUT-replacement sample of k documents that is simultaneously an
+    * unbiased subset-sum ESTIMATOR — the "audit 50 documents but still
+    * estimate total tokens per source" primitive. Where sp08 hits declared
+    * per-source counts and sp05 takes per-stratum k, sp13 weights by SIZE:
+    * each item draws priority p = w/u with u a salted-md5 uniform in
+    * (0, 1]; the global top-k by priority is the sample, and est_w =
+    * max(w, τ) with τ the (k+1)-th priority makes Σ est_w over the sample
+    * an unbiased estimate of Σ w over the corpus (big items enter
+    * near-certainly with est = their weight; small items ride u's tail
+    * and est = τ compensates the inclusion probability w/τ).
+    *
+    * Determinism across engines, deliberately: u = (h+1)/2⁶⁰ from the
+    * shared md5 recipe, and every float step is IEEE-exact — (h+1) casts
+    * once, /2⁶⁰ is a pure exponent shift, w/u is one correctly-rounded
+    * division — so Spark and the DuckDB oracle agree on priorities BIT
+    * FOR BIT, not approximately. `rand()`-based reservoirs can't replay;
+    * this can.
+    *
+    * Scale shape: the top-(k+1) plans as TakeOrderedAndProject — each
+    * input partition retains k+1 candidates, no global sort materializes.
+    * The only single-task step is the rank over the ALREADY-REDUCED k+1
+    * rows (driver-bounded by the sample size, not the corpus); τ joins
+    * back by broadcast of a 1-row frame. */
+  def sp13PrioritySample(spark: SparkSession, dir: String): DataFrame =
+    prioritySampleOf(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(col("n_chars"), lit(1L)).as("w")),
+      k = 50)
+      .orderBy("doc_id")
+
+  /** Library surface: priority sample of k rows from ANY frame with an id
+    * and a positive int64 weight column. Passes every input column
+    * through and appends `est_w` (the DLT estimator: Σ est_w over the
+    * output is an unbiased estimate of Σ w over the input; per-group sums
+    * of est_w estimate the group totals). With ≤ k input rows the sample
+    * is the whole input and est_w = w exactly (τ = 0). */
+  def prioritySampleOf(items: DataFrame, k: Int, idCol: String = "doc_id",
+      wCol: String = "w"): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1: $k")
+    val h = graft.functions.Hashing.md5Long(
+      concat(lit("prio:"), col(idCol).cast("string")), 15)
+    // (h+1) ∈ [1, 2^60]: the cast rounds to 53 bits, the 2^60 divide is
+    // an exact exponent shift, and w/u is one IEEE division — every step
+    // correctly rounded, so the oracle's priorities are bit-identical
+    val prio = col(wCol).cast("double") /
+      ((h + lit(1L)).cast("double") / lit(1152921504606846976.0))
+    val top = items.withColumn("__p", prio)
+      .orderBy(col("__p").desc, col(idCol)).limit(k + 1)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__p").desc, col(idCol))
+    val ranked = top.withColumn("__rn", row_number().over(rankW))
+    val tau = ranked.agg(coalesce(
+      max(when(col("__rn") === k + 1, col("__p"))), lit(0.0)).as("__tau"))
+    ranked.where(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_w", round(
+        greatest(col(wCol).cast("double"), col("__tau")), 3))
+      .drop("__p", "__rn", "__tau")
+  }
+
   def sp01SplitSample(spark: SparkSession, dir: String): DataFrame = {
     val sb = bucket("split", col("doc_id"))
     val kb = bucket("sample", col("doc_id"))

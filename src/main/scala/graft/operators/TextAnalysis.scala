@@ -829,4 +829,40 @@ object TextAnalysis {
         lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
           lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
           lit(15.59), 3))
+
+  /** t23 — HASHED FEATURE VECTORS (the hashing trick): bag-of-words
+    * counts folded into a fixed-width vector by token hash — the
+    * featurization step between raw text and a linear quality/domain
+    * classifier (t15 scores with a word list; t23 is what replaces that
+    * list when the model is TRAINED: fixed dimensionality, no vocabulary
+    * build, no OOV). Bucket = md5("feat:"+token) mod width, so the
+    * mapping is a property of the token — two corpora, two engines, or
+    * two years of crawls featurize identically with zero coordination
+    * (the property a vocabulary dictionary loses the day it's rebuilt).
+    *
+    * Scale shape: map-only — one tokenize, one per-token hash transform,
+    * then `width` codegen'd array filters per row; no explode, no
+    * shuffle, no learned state. Contrast t13/t14: those learn corpus
+    * tables first; t23 is the zero-pass featurizer a 100 TB scoring run
+    * wants when the model is already trained. */
+  def t23HashedFeatures(spark: SparkSession, dir: String): DataFrame =
+    hashedFeaturesOf(t(spark, dir, "documents"), width = 16)
+      .orderBy("doc_id")
+
+  /** Library surface: hashed featurization over ANY (id, text) frame.
+    * Emits (id, n_tokens, f0..f{width-1}) — raw bucket counts; consumers
+    * normalize (L2, tf-idf re-weight) downstream as their model expects. */
+  def hashedFeaturesOf(docs: DataFrame, width: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(width >= 2 && width <= 64,
+      s"feature width must be in [2, 64] (one output column each): $width")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val bs = transform(ws, w => (graft.functions.Hashing.md5Long(
+      concat(lit("feat:"), w), 15) % width).cast("int"))
+    val fCols = (0 until width).map(i =>
+      size(filter(col("__b"), b => b === i)).cast("long").as(s"f$i"))
+    docs.select(col(idCol), bs.as("__b"))
+      .select(col(idCol) +:
+        size(col("__b")).cast("long").as("n_tokens") +: fCols: _*)
+  }
 }

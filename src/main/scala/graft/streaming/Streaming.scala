@@ -662,4 +662,56 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** Per-group KMV sketch state (public: state-store codegen instantiates
+    * it): the ≤ k smallest distinct hashes seen so far — bounded by
+    * construction, the whole point. */
+  final case class KmvBuffer(hashes: Seq[Long])
+
+  /** Streaming distinct-count — the continuous form of batch q40: per
+    * group, a live KMV (k-minimum-values) estimate of the distinct hashes
+    * seen across ALL triggers so far, refreshed in Update mode each
+    * micro-batch.
+    *
+    * Why KMV and not the built-in streaming `approx_count_distinct` or an
+    * exact distinct aggregation: exact streaming distinct state grows with
+    * the true cardinality (every key held forever — at a 10⁹-user topic
+    * the state store IS the user table); HLL state is engine-private bytes
+    * no external consumer can audit. KMV state is k longs per group —
+    * FIXED — and because the hashes ride the shared md5-60 recipe, the
+    * batch q40 aggregate over the same data yields the IDENTICAL sketch
+    * and estimate (backfill and live tail cannot disagree; asserted in
+    * StreamingSpec). No watermark: a cumulative distinct count never
+    * retracts, and state is bounded without TTL.
+    *
+    * Input: any streaming frame; `groupCol` the dimension, `hashCol` a
+    * LONG hash column built with [[graft.functions.Hashing.md5Long]] (the
+    * caller hashes, so stream and batch provably share the definition).
+    * The estimator itself is [[graft.functions.KmvMinK.estimate]] applied
+    * OVER the stateful output — one formula, not a streaming copy. */
+  def streamingKmvDistinct(spark: SparkSession, df: DataFrame,
+      groupCol: String, hashCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"streamingKmvDistinct needs k >= 2: $k")
+    import spark.implicits._
+    val sketch = df
+      .select(col(groupCol).cast("string"), col(hashCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvBuffer, (String, Int, Option[Long])](
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[KmvBuffer]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(b => set ++= b.hashes)
+          rows.foreach { r =>
+            set += r._2
+            if (set.size > k) set -= set.last
+          }
+          state.update(KmvBuffer(set.toSeq))
+          (g, set.size, if (set.size >= k) Some(set.last) else None)
+      }
+    sketch.toDF(groupCol, "held", "kth")
+      .select(col(groupCol),
+        graft.functions.KmvMinK.estimate(
+          struct(col("held"), col("kth")), k).as("kmv_estimate"))
+  }
 }

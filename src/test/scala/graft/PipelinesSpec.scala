@@ -1736,4 +1736,58 @@ class PipelinesSpec extends SparkSpec {
     assert(n.where(
       TextAnalysis.normalized(col("na")) =!= col("na")).isEmpty)
   }
+
+  test("sp13 priority sample: size, threshold law, small-input exactness") {
+    import spark.implicits._
+    val out = Sampling.sp13PrioritySample(spark, sf).collect()
+    assert(out.length == 50)
+    // determinism: the sample is a corpus property, not a run property
+    val again = Sampling.sp13PrioritySample(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // DLT threshold law: est_w == max(w, tau) for ONE tau shared by all
+    // sampled rows — so every est_w is either the row's own weight or
+    // the common threshold, and the threshold rows all agree on it
+    val taus = out.map(r => (r.getLong(2).toDouble, r.getDouble(3)))
+      .filter { case (w, e) => e > w }.map(_._2).distinct
+    assert(taus.length == 1)
+    assert(out.forall { case r =>
+      val (w, e) = (r.getLong(2).toDouble, r.getDouble(3))
+      e == w || e == taus.head
+    })
+    // the estimator targets the corpus total: deterministic here, so this
+    // pins the realized accuracy, not a probabilistic bound
+    val estTotal = out.map(_.getDouble(3)).sum
+    val trueTotal = graft.sources.Tables.t(spark, sf, "documents")
+      .agg(sum(greatest(col("n_chars"), lit(1L)))).collect()(0).getLong(0)
+    assert(estTotal > 0.5 * trueTotal && estTotal < 2.0 * trueTotal)
+    // k >= N: the sample IS the input and est_w == w exactly (tau = 0)
+    val tiny = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "s", 30L))
+      .toDF("doc_id", "source", "w")
+    val all = Sampling.prioritySampleOf(tiny, k = 10)
+      .orderBy("doc_id").collect()
+    assert(all.length == 3)
+    assert(all.forall(r => r.getDouble(3) == r.getLong(2).toDouble))
+  }
+
+  test("t23 hashed features: bucket counts partition the token stream") {
+    import spark.implicits._
+    val out = TextAnalysis.t23HashedFeatures(spark, sf)
+    val fSum = (0 until 16).map(i => col(s"f$i")).reduce(_ + _)
+    // every token lands in exactly one bucket: the f-columns sum to
+    // n_tokens row-by-row, and nothing is negative
+    assert(out.where(fSum =!= col("n_tokens")).isEmpty)
+    assert(out.where((0 until 16).map(i => col(s"f$i") < 0).reduce(_ || _))
+      .isEmpty)
+    assert(out.count() ==
+      graft.sources.Tables.t(spark, sf, "documents").count())
+    // the bucket of a token is a TOKEN property: the same word in two
+    // documents hits the same feature column (the no-coordination
+    // contract that lets two corpora featurize independently)
+    val two = Seq((1L, "alpha"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val f = TextAnalysis.hashedFeaturesOf(two, width = 16)
+      .orderBy("doc_id").collect()
+    val b1 = (0 until 16).filter(i => f(0).getLong(2 + i) > 0)
+    assert(b1.length == 1)
+    assert(f(1).getLong(2 + b1.head) >= 1)
+  }
 }

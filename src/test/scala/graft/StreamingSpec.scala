@@ -651,4 +651,39 @@ class StreamingSpec extends SparkSpec {
       assert(u1After.map(_.getInt(1)).max == 3)
     } finally q.stop()
   }
+
+  test("streaming KMV distinct: batch-sketch parity across triggers, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.KmvMinK
+    val k = 4
+    def hashed(df: org.apache.spark.sql.DataFrame) = df.withColumn("h",
+      graft.functions.Hashing.md5Long(
+        concat(lit("u:"), col("uid").cast("string")), 15))
+    val t1 = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("a", 2L))
+    val t2 = Seq(("a", 4L), ("a", 5L), ("a", 6L), ("a", 1L), ("b", 9L))
+    val in = MemoryStream[(String, Long)]
+    val out = Streaming.streamingKmvDistinct(spark,
+      hashed(in.toDF().toDF("etype", "uid")), "etype", "h", k)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("kmv").start()
+    try {
+      in.addData(t1: _*); q.processAllAvailable()
+      in.addData(t2: _*); q.processAllAvailable()
+      val got = spark.table("kmv").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      // final state ≡ the batch q40 aggregate over ALL the data — the
+      // backfill-equals-live-tail contract (shared hash, shared estimator)
+      val batch = hashed((t1 ++ t2).toDF("etype", "uid"))
+        .groupBy("etype").agg(KmvMinK.kmvMinK(col("h"), k).as("s"))
+        .select(col("etype"), KmvMinK.estimate(col("s"), k).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.contains("a" -> batch("a")), s"got $got, want ${batch("a")}")
+      assert(got.contains("b" -> batch("b")))
+      // group a saturated (6 distinct > k): the estimate is the k-th-order
+      // statistic formula, not the exact count; group b stays exact
+      assert(batch("b") == 2L)
+      // trigger-1 snapshots were also live: exact counts below saturation
+      assert(got.contains("a" -> 3L) && got.contains("b" -> 1L))
+    } finally q.stop()
+  }
 }
