@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     // q38's cross product is the hour spine × the type vocabulary — both
     // dimensions by construction (events are touched only in the count
     // aggregate before it)
-    "q38_gap_fill")
+    "q38_gap_fill",
+    // sp13's broadcast side is the ONE-row DLT threshold τ, attached to
+    // the k-row sample (both sides bounded by the sample size, never the
+    // corpus — the corpus is reduced by TakeOrderedAndProject first)
+    "sp13_priority_sample")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
