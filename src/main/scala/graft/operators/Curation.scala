@@ -320,4 +320,41 @@ object Curation {
       .select(col(idCol), col(clusterCol), col("split"))
       .orderBy(idCol)
   }
+
+  /** c10 — SPLIT-LEAKAGE AUDIT: for a proposed train/val/test assignment,
+    * count the near-duplicate pairs that land within and ACROSS each
+    * split pair — the off-diagonal rows are eval contamination (the model
+    * trains on a twin of what it is evaluated on). This is the audit a
+    * pipeline runs BEFORE training on any split it didn't derive from
+    * cluster keys: c08 passes it by construction (zero off-diagonal,
+    * asserted in CurationSpec-style tests); the declared query audits the
+    * naive per-document split (sp01) against the exact SimHash pair set
+    * (dd05) and shows the leak c08 exists to prevent.
+    *
+    * Scale shape: the pair set is banding-bounded (≈ true near-dups, not
+    * D²) and the split frame joins it BY ID — two hash joins keyed on
+    * doc_id, then a rollup onto at most |splits|² rows. The corpus-sized
+    * split frame shuffles once per side; at 10⁹ docs that is the same
+    * (id, small-payload) movement as dd01, and AQE broadcasts the pair
+    * side instead when it is the small one (the common case). */
+  def c10SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(
+      Dedup.dd05SimhashPairs(spark, dir).select("ida", "idb"),
+      Sampling.sp01SplitSample(spark, dir).select("doc_id", "split"))
+      .orderBy("split_a", "split_b")
+
+  /** Library surface: leakage audit of ANY pair frame (ida, idb) against
+    * ANY assignment frame (id, split). Emits (split_a ≤ split_b, n_pairs)
+    * — off-diagonal rows are boundary-crossing near-dup edges. */
+  def splitLeakageOf(pairs: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val sa = splits.select(col(idCol).as("ida"), col(splitCol).as("__sa"))
+    val sb = splits.select(col(idCol).as("idb"), col(splitCol).as("__sb"))
+    pairs
+      .join(sa, "ida").join(sb, "idb")
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

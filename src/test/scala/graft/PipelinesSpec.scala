@@ -1737,6 +1737,22 @@ class PipelinesSpec extends SparkSpec {
       TextAnalysis.normalized(col("na")) =!= col("na")).isEmpty)
   }
 
+  test("c10 split leakage: cluster-keyed split audits clean, naive leaks") {
+    val pairs = Dedup.dd05SimhashPairs(spark, sf).select("ida", "idb")
+    // c08 hashes on the CLUSTER: structurally zero boundary-crossing pairs
+    val safe = graft.operators.Curation.splitLeakageOf(pairs,
+      graft.operators.Curation.c08ClusterSafeSplit(spark, sf)
+        .select(col("doc_id"), col("split")))
+    assert(safe.where(col("split_a") =!= col("split_b")).isEmpty)
+    // the declared audit of the naive per-document split finds the leak
+    val naive = graft.operators.Curation.c10SplitLeakage(spark, sf).collect()
+    val crossers = naive.filter(r => r.getString(0) != r.getString(1))
+      .map(_.getLong(2)).sum
+    assert(crossers > 0, "naive split should leak near-dup pairs")
+    // conservation: every pair is audited exactly once
+    assert(naive.map(_.getLong(2)).sum == pairs.count())
+  }
+
   test("sp13 priority sample: size, threshold law, small-input exactness") {
     import spark.implicits._
     val out = Sampling.sp13PrioritySample(spark, sf).collect()
