@@ -115,4 +115,62 @@ class SinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(TextCorpus.CorruptCol))
   }
+
+  test("writeZOrdered: per-file bounding boxes prune BOTH dimensions") {
+    val events = Tables.t(spark, sf, "events")
+      .select("event_id", "user_id", "ts")
+    val nFiles = 16
+    def fileBoxes(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.toSeq.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("user_id"), max("user_id"), min("ts"), max("ts"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    // layout A: single-column time sort — the naive archive layout
+    val sortedDir = tmpDir("ts_sorted")
+    events.repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions("ts").write.mode("overwrite").parquet(sortedDir)
+    // layout B: (user_id, ts) z-ordered
+    val zDir = tmpDir("z_ordered")
+    Sink.writeZOrdered(events, zDir, "user_id", "ts", numFiles = nFiles)
+    // round trip is lossless
+    assert(spark.read.parquet(zDir).count() == events.count())
+    val (uMin, uMax) = {
+      val r = events.agg(min("user_id"), max("user_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // a point predicate on user_id alone: fraction of files whose
+    // user_id range contains an average user — the ts-sorted layout
+    // cannot prune (every file spans ~all users); the z-layout must
+    // touch at most half the files
+    val probes = (uMin to uMax by ((uMax - uMin) / 20 + 1)).toSeq
+    def touchFraction(boxes: Seq[(Long, Long, Long, Long)]): Double = {
+      val fr = probes.map(u =>
+        boxes.count(b => b._1 <= u && u <= b._2).toDouble / boxes.size)
+      fr.sum / fr.size
+    }
+    val zTouch = touchFraction(fileBoxes(zDir))
+    val sortedTouch = touchFraction(fileBoxes(sortedDir))
+    assert(sortedTouch > 0.9,
+      s"ts-sorted layout should span users per file: $sortedTouch")
+    assert(zTouch <= 0.5, s"z-layout must prune user probes: $zTouch")
+    // and the z-layout still prunes TIME probes statistically (individual
+    // files that straddle a high z-bit flip legitimately span wide ts
+    // ranges — the curve's known trade — but the average point query
+    // must still skip a real fraction of files)
+    val zBoxes = fileBoxes(zDir)
+    val (tMin, tMax) = {
+      val r = events.agg(min("ts"), max("ts")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val tProbes = (tMin to tMax by ((tMax - tMin) / 20 + 1)).toSeq
+    val tTouch = tProbes.map(t =>
+      zBoxes.count(b => b._3 <= t && t <= b._4).toDouble / zBoxes.size)
+      .sum / tProbes.size
+    assert(tTouch <= 0.75, s"z-layout must prune ts probes on average: $tTouch")
+  }
 }
