@@ -767,6 +767,48 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** dd17 — CONTAINMENT pairs: the ASYMMETRIC relation Jaccard misses.
+    * A 50-token quote pasted into a 5000-token article has Jaccard ≈ 0.01
+    * — invisible to dd03/dd05 at any sane threshold — but containment
+    * |sketch(A) ∩ sketch(B)| / |sketch(smaller)| ≈ 1: the "document A
+    * lives inside document B" signal (quote farms, scraped-article
+    * wrappers, doc-in-doc aggregators). Built on the winnowing sketches:
+    * a standalone document that appears verbatim inside a larger one
+    * selects the IDENTICAL window minima for every window interior to the
+    * shared run (Schleimer's guarantee), so true containment scores
+    * exactly 1.0 — asserted on planted docs — and boilerplate overlap
+    * scores low because it shares runs, not the whole sketch.
+    *
+    * Scale shape: dd12's banded pair economics unchanged (salted sketch
+    * self-join, map-side-combined shared counts), plus one doc-count-sized
+    * sketch-size frame attached BY ID — hint-free equi-joins, AQE
+    * broadcasts the post-banding pair side while it is small. */
+  def dd17Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(t(spark, dir, "documents"), k = 3, w = 4,
+      minShared = 2, minContainment = 0.25)
+      .orderBy("ida", "idb")
+
+  /** Library surface: containment-scored pairs over ANY (id, text) frame
+    * (the declared query pins k=3/w=4/minShared=2/minContainment=0.25).
+    * Emits (ida < idb, n_a, n_b, n_shared, containment) where containment
+    * = n_shared / min(n_a, n_b) — 1.0 means the smaller sketch is wholly
+    * inside the larger. */
+  def containmentPairsOf(docs: DataFrame, k: Int, w: Int, minShared: Long,
+      minContainment: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment: $minContainment")
+    val fps = winnowOf(docs, k, w, idCol, textCol)
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    winnowPairsOf(docs, k, w, minShared, idCol, textCol)
+      .join(sizes.select(col(idCol).as("ida"), col("__n").as("n_a")), "ida")
+      .join(sizes.select(col(idCol).as("idb"), col("__n").as("n_b")), "idb")
+      .withColumn("containment", round(
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 3))
+      .where(col("containment") >= minContainment)
+      .select("ida", "idb", "n_a", "n_b", "n_shared", "containment")
+  }
+
   /** Per-doc 60-bit SimHash signature frame: (doc_id, simhash). 60 bits =
     * 15 md5 hex chars — the widest md5 prefix that stays positive in an
     * int64 in every engine; production-strength discrimination (a 32-bit

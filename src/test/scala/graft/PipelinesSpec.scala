@@ -1737,6 +1737,33 @@ class PipelinesSpec extends SparkSpec {
       TextAnalysis.normalized(col("na")) =!= col("na")).isEmpty)
   }
 
+  test("dd17 containment: embedded document scores exactly 1.0") {
+    import spark.implicits._
+    val inner = (1 to 40).map(i => s"q$i").mkString(" ")
+    val tail = (1 to 40).map(i => s"z$i").mkString(" ")
+    val other = (1 to 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, inner),                  // the standalone quote
+      (2L, inner + " " + tail),     // the article that embeds it
+      (3L, other)                   // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairsOf(docs, k = 3, w = 4,
+      minShared = 2, minContainment = 0.8).collect()
+    // winnowing guarantee: every window interior to the shared run picks
+    // the same minimum, so the embedded doc's sketch is a subset — 1.0
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(5) == 1.0, s"containment: ${r.getDouble(5)}")
+    // and the symmetric view underrates it: shared/total-of-larger ≈ 1/2
+    assert(r.getLong(2) < r.getLong(3))
+    // fixture-wide: the declared query's threshold keeps the output a
+    // candidate set, not a cross product
+    val full = Dedup.dd17Containment(spark, sf)
+    assert(full.where(col("containment") > 1.0).isEmpty)
+    assert(full.where(col("ida") >= col("idb")).isEmpty)
+  }
+
   test("c10 split leakage: cluster-keyed split audits clean, naive leaks") {
     val pairs = Dedup.dd05SimhashPairs(spark, sf).select("ida", "idb")
     // c08 hashes on the CLUSTER: structurally zero boundary-crossing pairs
