@@ -60,6 +60,16 @@ object GraftExtensions {
           s"kmv_min_k: k must be an integer literal, got $other")
       }
       graft.functions.KmvMinK(h, k)
+    }),
+    // kmv_min_k_set(hash, k): the sketch as a storable/mergeable array —
+    // union = kmv_min_k_set over the exploded sketch contents
+    binary("kmv_min_k_set", classOf[graft.functions.KmvMinKSet], (h, kExpr) => {
+      val k = kExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_min_k_set: k must be an integer literal, got $other")
+      }
+      graft.functions.KmvMinKSet(h, k)
     }))
 
   /** Register on an already-built session. */

@@ -98,12 +98,107 @@ case class KmvMinK(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Sketch-ALGEBRA variant of [[KmvMinK]]: identical bounded-TreeSet
+  * state, but `eval` returns the held hashes THEMSELVES (ascending
+  * array, ≤ k elements) instead of the (held, kth) summary — which makes
+  * the sketch a storable, RE-AGGREGABLE column: union of sketches =
+  * `kmv_min_k_set` over the exploded sketch contents (insert + truncate
+  * is associative and commutative, so any merge tree yields the same k
+  * minima as one pass over the raw rows — asserted in KmvSpec). That is
+  * the pre-aggregation pattern at 100 TB: persist one k-long array per
+  * (partition unit, dimension) beside the data, answer any coarser
+  * distinct-count rollup from the sketch column alone, never rescanning
+  * raw rows. */
+case class KmvMinKSet(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_min_k_set needs k >= 2: $k")
+
+  override def prettyName: String = "kmv_min_k_set"
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinKSet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinKSet =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinKSet =
+    copy(child = newChild)
+}
+
 object KmvMinK {
   /** Column API: KMV sketch state of a LONG hash column —
     * `struct(held, kth)`; compose with [[estimate]]. */
   def kmvMinK(hash: Column, k: Int): Column =
     Bridge.column(KmvMinK(Bridge.expression(hash), k)
       .toAggregateExpression())
+
+  /** Column API for [[KmvMinKSet]]: the sketch as a storable/mergeable
+    * ascending array (≤ k longs); compose with [[estimateFromSet]], merge
+    * by re-aggregating over `explode(sketch)`. */
+  def kmvMinKSet(hash: Column, k: Int): Column =
+    Bridge.column(KmvMinKSet(Bridge.expression(hash), k)
+      .toAggregateExpression())
+
+  /** [[estimate]] over a [[kmvMinKSet]] array — the same formula reading
+    * the k-th order statistic from the array: exact size below
+    * saturation, `round((k−1)·2⁶⁰ / kth)` at it. */
+  def estimateFromSet(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+        / element_at(sketch, k).cast("double")).cast("long"))
+  }
 
   /** The estimator over a [[kmvMinK]] result, shared with the oracle
     * formula: exact `held` below saturation, `round((k−1)·2⁶⁰ / kth)`

@@ -837,6 +837,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q41 — SKETCH ROLLUP (the pre-aggregation pattern): per (event type,
+    * hour) KMV sketch ARRAYS, merged up to per-type totals by
+    * re-aggregating over the sketch CONTENTS — raw rows are touched once,
+    * by the finest grain; every coarser distinct-count rolls up from k
+    * longs per cell. This is why sketches exist at 100 TB: a year of
+    * hourly sketch columns stored beside the data (8·k B per cell)
+    * answers "distinct users last quarter, by type" without rescanning a
+    * single raw row — and insert+truncate is associative/commutative, so
+    * ANY merge tree equals the one-pass sketch (the declared query's
+    * merged estimate is asserted ≡ q40's direct estimate in KmvSpec).
+    * The exact count rides along to keep the error visible, exactly as
+    * in q40. */
+  def q41KmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    import graft.functions.KmvMinK
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("(ts DIV 1000) div 3600000000").as("hour"),
+        col("user_id"),
+        graft.functions.Hashing.md5Long(
+          concat(lit("u:"), col("user_id").cast("string")), 15).as("h"))
+    val hourly = ev.groupBy("event_type", "hour")
+      .agg(KmvMinK.kmvMinKSet(col("h"), k).as("sk"))
+    val merged = hourly
+      .select(col("event_type"), explode(col("sk")).as("h"))
+      .groupBy("event_type")
+      .agg(KmvMinK.kmvMinKSet(col("h"), k).as("sk"))
+    val exact = t(spark, dir, "events").groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        KmvMinK.estimateFromSet(col("sk"), k).as("kmv_merged"))
+      .orderBy("event_type")
+  }
+
   /** Library surface: SCD2 interval reconstruction over ANY change frame
     * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
     * (already-numeric) change time, `seqCol` the deterministic
@@ -933,6 +968,8 @@ object Relational {
       "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
     "q40_kmv_distinct" ->
       "WITH h AS (SELECT DISTINCT event_type, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h), st AS (SELECT event_type, COUNT(*) AS held, MAX(CASE WHEN rk = 64 THEN h END) AS kth FROM rk WHERE rk <= 64 GROUP BY event_type), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY event_type) SELECT ex.event_type, ex.n_exact, CAST(CASE WHEN st.held < 64 THEN st.held ELSE CAST(ROUND(63 * 1.152921504606846976e18 / st.kth) AS BIGINT) END AS BIGINT) AS kmv_estimate FROM ex JOIN st USING (event_type) ORDER BY ex.event_type",
+    "q41_kmv_rollup" ->
+      "WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, user_id, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), hourly AS (SELECT event_type, hour, list_sort(list_distinct(list(h)))[1:64] AS sk FROM e GROUP BY 1, 2), fl AS (SELECT event_type, unnest(sk) AS h FROM hourly), merged AS (SELECT event_type, list_sort(list_distinct(list(h)))[1:64] AS sk FROM fl GROUP BY 1), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM e GROUP BY 1) SELECT m.event_type, ex.n_exact, CAST(CASE WHEN len(m.sk) < 64 THEN len(m.sk) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / m.sk[64]) AS BIGINT) END AS BIGINT) AS kmv_merged FROM merged m JOIN ex USING (event_type) ORDER BY m.event_type",
     "q39_scd2_history" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
@@ -989,6 +1026,7 @@ object Relational {
     "q29_time_buckets" -> q29TimeBuckets _,
     "q39_scd2_history" -> q39Scd2 _,
     "q40_kmv_distinct" -> q40KmvDistinct _,
+    "q41_kmv_rollup" -> q41KmvRollup _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

@@ -52,4 +52,38 @@ class KmvSpec extends SparkSpec {
     assert(results.distinct.size == 1,
       s"sketch depends on partitioning: $results")
   }
+
+  test("sketch algebra: merging grouped kmv_min_k_set arrays == one-pass sketch") {
+    import spark.implicits._
+    // raw rows with a grouping dimension (the 'hour' of q41)
+    val df = (1 to 3000).map(i => (i % 24, s"v${i % 900 + 1}"))
+      .toDF("cell", "v").repartition(16)
+      .select(col("cell"), graft.functions.Hashing.md5Long(col("v"), 15).as("h"))
+    // path A: one pass over raw rows
+    val direct = df.agg(KmvMinK.kmvMinK(col("h"), K).as("s"))
+      .select(KmvMinK.estimate(col("s"), K).as("est")).collect()(0).getLong(0)
+    // path B: per-cell sketch arrays, then re-aggregate over the sketch
+    // CONTENTS only — the pre-aggregation pattern
+    val perCell = df.groupBy("cell")
+      .agg(KmvMinK.kmvMinKSet(col("h"), K).as("sk"))
+    val merged = perCell.select(explode(col("sk")).as("h"))
+      .agg(KmvMinK.kmvMinKSet(col("h"), K).as("sk"))
+      .select(KmvMinK.estimateFromSet(col("sk"), K).as("est"))
+      .collect()(0).getLong(0)
+    assert(merged == direct,
+      s"sketch union must equal the one-pass sketch: $merged vs $direct")
+    // the arrays themselves are the k minima, sorted ascending, distinct
+    val arr = perCell.select(col("sk")).collect()
+      .map(_.getSeq[Long](0))
+    assert(arr.forall(a => a.length <= K && a == a.sorted &&
+      a.distinct.length == a.length))
+    // SQL surface parity (GraftExtensions registration)
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("kmv_alg_rows")
+    val viaSql = spark.sql(
+      s"SELECT kmv_min_k_set(h, $K) AS sk FROM kmv_alg_rows")
+      .select(KmvMinK.estimateFromSet(col("sk"), K).as("est"))
+      .collect()(0).getLong(0)
+    assert(viaSql == direct)
+  }
 }
