@@ -652,6 +652,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct: state survives checkpointed restart") {
+    import org.apache.spark.sql.types._
+    import graft.functions.KmvMinK
+    val k = 4
+    val srcDir = tmpDir("kmv_src")
+    val ckpt = tmpDir("kmv_ckpt")
+    val schema = StructType(Seq(StructField("etype", StringType),
+      StructField("uid", LongType)))
+    def writeFile(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, name),
+        rows.map { case (e, u) => s"""{"etype":"$e","uid":$u}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def hashed() = spark.readStream.schema(schema).json(srcDir)
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("u:"), col("uid").cast("string")), 15))
+    // memory sink cannot recover a checkpoint; foreachBatch (the real
+    // sink shape) can — keep the latest estimate per group driver-side
+    val latest = scala.collection.mutable.Map.empty[String, Long]
+    def run() =
+      Streaming.streamingKmvDistinct(spark, hashed(), "etype", "h", k)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => latest(r.getString(0)) = r.getLong(1))
+        }.start()
+    val t1 = Seq(("a", 1L), ("a", 2L), ("a", 3L))
+    writeFile("b1.json", t1)
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toMap == Map("a" -> 3L))
+    // restart on the same checkpoint; the new batch is MOSTLY duplicates —
+    // lost state would count them as new, recovered state must fold them
+    // away and extend to the full set
+    val t2 = Seq(("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L), ("a", 6L))
+    writeFile("b2.json", t2)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    import spark.implicits._
+    val want = (t1 ++ t2).toDF("etype", "uid")
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("u:"), col("uid").cast("string")), 15))
+      .groupBy("etype").agg(KmvMinK.kmvMinK(col("h"), k).as("s"))
+      .select(KmvMinK.estimate(col("s"), k).as("est")).collect()(0).getLong(0)
+    assert(latest.toMap == Map("a" -> want),
+      s"restarted sketch must equal the batch sketch over ALL data: " +
+        s"${latest.toMap} vs $want")
+  }
+
   test("streaming KMV distinct: batch-sketch parity across triggers, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.KmvMinK
