@@ -702,14 +702,34 @@ object Similarity {
     ivfAnnOn(emb, cells, nprobe)
   }
 
+  /** ss15 — FILTERED ANN: nearest neighbors UNDER A METADATA PREDICATE
+    * (the production vector-search shape: "similar documents, but only
+    * lang=en / only after 2024 / only this tenant"). The predicate is
+    * pushed into the posting scan — it prunes rows BEFORE the exact
+    * re-rank pays for them — while cell ranking stays corpus-wide (cells
+    * are a geometry property; filtering them would skew the probe order).
+    * The declared query over-probes (nprobe 4 vs ss06's 2) — the standard
+    * compensation for post-filter selectivity thinning each cell's
+    * candidate yield; a highly selective predicate at 100 TB wants
+    * nprobe scaled by ~1/selectivity, or the dedicated partition layout
+    * ([[buildIvfIndex]] with the filter column in the path) when one
+    * predicate dominates the workload. */
+  def ss15FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embCorpus(spark, dir)
+    ivfAnnOn(emb, emb.select(col("vec_id"), col("label").as("cell")),
+      nprobe = 4, filter = Some(col("vec_id") % 3 === 0))
+  }
+
   /** The parameterized IVF core: build centroids of `cells` (one shared
     * recipe with the k-means trainer — the quantizer cannot drift between
     * index and training), rank cells by centroid cosine against the query
     * vector, probe the top `nprobe`, exact-cosine re-rank only their
-    * members. The centroid and probed-cell frames are |cells| and
-    * `nprobe` rows — broadcast by construction at any corpus size. */
+    * members (optionally pre-filtered by a metadata predicate — the
+    * filtered-ANN shape). The centroid and probed-cell frames are |cells|
+    * and `nprobe` rows — broadcast by construction at any corpus size. */
   private def ivfAnnOn(emb: DataFrame, cells: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import graft.functions.ArrayDot.dotLong
     val cent = centroidsOf(emb, cells)
     val query = emb.where(col("vec_id") === 0)
@@ -720,8 +740,9 @@ object Similarity {
       .orderBy(col("ccos").desc, col("clabel"))
       .limit(nprobe)
       .select(col("clabel").as("cell"))
-    emb.join(cells, Seq("vec_id"))
+    val postings = emb.join(cells, Seq("vec_id"))
       .where(col("vec_id") =!= 0)
+    filter.fold(postings)(postings.where)
       .join(broadcast(probed), Seq("cell"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"),

@@ -1737,6 +1737,39 @@ class PipelinesSpec extends SparkSpec {
       TextAnalysis.normalized(col("na")) =!= col("na")).isEmpty)
   }
 
+  test("ss15 filtered ANN: predicate enforced, recall floor vs exact filtered top-k") {
+    val out = Similarity.ss15FilteredAnn(spark, sf).collect()
+    assert(out.length == 10)
+    // every hit satisfies the metadata predicate — the filtered-search contract
+    assert(out.forall(_.getLong(0) % 3 == 0))
+    // deterministic
+    val again = Similarity.ss15FilteredAnn(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // recall floor vs the exact filtered brute force (driver-side on the
+    // small fixture; same integer quantization as the operators)
+    val raw = graft.sources.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.round(f.toDouble * 1000)).toArray)
+      .toMap
+    val q = raw(0L)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val exact = raw.toSeq
+      .filter { case (id, _) => id != 0L && id % 3 == 0 }
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = out.map(_.getLong(0)).toSet
+    assert((exact & got).size >= 7,
+      s"filtered-ANN recall below floor: ${(exact & got).size}/10")
+  }
+
   test("dd17 containment: embedded document scores exactly 1.0") {
     import spark.implicits._
     val inner = (1 to 40).map(i => s"q$i").mkString(" ")

@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     // sp13's broadcast side is the ONE-row DLT threshold τ, attached to
     // the k-row sample (both sides bounded by the sample size, never the
     // corpus — the corpus is reduced by TakeOrderedAndProject first)
-    "sp13_priority_sample")
+    "sp13_priority_sample",
+    // ss15's broadcast side is the ONE-row query vector (ss06's shape;
+    // the filtered postings join is a keyed equi-join, not BNLJ)
+    "ss15_filtered_ann")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
