@@ -321,6 +321,48 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** c11 — DATASET CARD: the per-source datasheet every released training
+    * mix ships with — documents, token volume, mean quality, exact-dup
+    * rate, language spread, and each source's per-mille share of the
+    * corpus, in one frame. This is the report a data release publishes
+    * and a mixing decision (sp03/sp08 weights) reads first; computing it
+    * IN the engine, from the same quality/fingerprint definitions the
+    * pipeline filters on (t02's `quality`, dd01's fingerprint), means
+    * the card can never disagree with the pipeline that produced the mix.
+    *
+    * Scale shape: one map-only scoring pass feeding two aggregations —
+    * the (fp → count) dup census (dd01's 24 B/doc shuffle) and the
+    * per-source rollup (|sources| rows) — plus a 1-row corpus count
+    * broadcast back for the share column. Token sums and dup counts
+    * map-side combine; nothing driver-side grows with the corpus. */
+  def c11DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.quality
+    val docs = graft.sources.Tables.t(spark, dir, "documents")
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("__nt"),
+      quality(col("text")).as("__q"), fp.as("__fp"))
+    val dupCounts = scored.groupBy("__fp").agg(count(lit(1)).as("__nd"))
+    val total = scored.agg(count(lit(1)).as("__total"))
+    scored.join(dupCounts, "__fp")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        // integer-summed mean (t12's recipe): double summation ORDER can
+        // flip a rounded 3rd decimal between engines; ×1000 int sums can't
+        round(sum(expr("CAST(ROUND(__q * 1000) AS BIGINT)"))
+          .cast("double") / 1000.0 / count(lit(1)), 3).as("avg_quality"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        max(col("__total")).as("__t"))
+      .withColumn("share_permille",
+        expr("(n_docs * 1000) div __t"))
+      .drop("__t")
+      .orderBy("source")
+  }
+
   /** c10 — SPLIT-LEAKAGE AUDIT: for a proposed train/val/test assignment,
     * count the near-duplicate pairs that land within and ACROSS each
     * split pair — the off-diagonal rows are eval contamination (the model

@@ -1737,6 +1737,27 @@ class PipelinesSpec extends SparkSpec {
       TextAnalysis.normalized(col("na")) =!= col("na")).isEmpty)
   }
 
+  test("c11 dataset card: conservation laws across sources") {
+    val card = graft.operators.Curation.c11DatasetCard(spark, sf).collect()
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    // every document is accounted to exactly one source row
+    assert(card.map(_.getLong(1)).sum == docs.count())
+    // per-mille shares sum to 1000 minus at most one floor-loss per source
+    val shares = card.map(_.getLong(7)).sum
+    assert(shares <= 1000 && shares > 1000 - card.length)
+    // bounds: english subset within docs, quality within the score range
+    assert(card.forall(r => r.getLong(6) <= r.getLong(1)))
+    assert(card.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // dup accounting: corpus-wide dup docs equal dd01's non-keep count
+    // plus one representative per duplicated group (every member of a
+    // duplicated fingerprint group counts as a dup doc on the card)
+    val dd = Dedup.dd01Exact(spark, sf)
+    val dupGroups = dd.groupBy("fp").count().where(col("count") > 1)
+    val wantDupDocs = dupGroups.agg(coalesce(sum("count"), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(card.map(_.getLong(4)).sum == wantDupDocs)
+  }
+
   test("ss15 filtered ANN: predicate enforced, recall floor vs exact filtered top-k") {
     val out = Similarity.ss15FilteredAnn(spark, sf).collect()
     assert(out.length == 10)

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     "sp13_priority_sample",
     // ss15's broadcast side is the ONE-row query vector (ss06's shape;
     // the filtered postings join is a keyed equi-join, not BNLJ)
-    "ss15_filtered_ann")
+    "ss15_filtered_ann",
+    // c11's broadcast side is the ONE-row corpus count for the
+    // per-mille share column (the fp census joins by key)
+    "c11_dataset_card")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
