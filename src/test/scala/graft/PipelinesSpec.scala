@@ -908,7 +908,7 @@ class PipelinesSpec extends SparkSpec {
     assert(bins.map(_._2).distinct.length >= 3, "degenerate cutoffs")
     val prof = TextAnalysis.t12CorpusProfile(spark, sf)
     val docs = graft.sources.Tables.t(spark, sf, "documents")
-    assert(prof.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(prof.agg(sum("n_docs")).head().getLong(0) == docs.count())
     assert(prof.where(col("mean_quality") < 0 ||
       col("mean_quality") > 1).isEmpty)
   }
@@ -1018,7 +1018,7 @@ class PipelinesSpec extends SparkSpec {
   test("q29 time buckets partition the corpus: counts total, users bounded") {
     val out = graft.operators.Relational.q29TimeBuckets(spark, sf)
     val events = graft.sources.Tables.t(spark, sf, "events")
-    assert(out.agg(sum("n")).head.getLong(0) == events.count())
+    assert(out.agg(sum("n")).head().getLong(0) == events.count())
     // per-bucket distinct users can never exceed the bucket's event count
     assert(out.where(col("users") > col("n")).isEmpty)
   }

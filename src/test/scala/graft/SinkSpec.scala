@@ -116,6 +116,39 @@ class SinkSpec extends SparkSpec {
     assert(e.getMessage.contains(TextCorpus.CorruptCol))
   }
 
+  test("zOrderColumn matches a reference Morton interleave bit-for-bit") {
+    import spark.implicits._
+    // quantizer inputs chosen so quantization is the identity: values
+    // 0..(2^bits - 1) over exactly that range — the test isolates the
+    // INTERLEAVE, the part with shift arithmetic worth pinning
+    val bits = 8
+    val lim = (1 << bits) - 1
+    val rows = for (a <- 0 to lim by 17; b <- 0 to lim by 13)
+      yield (a.toLong, b.toLong)
+    val df = rows.toDF("a", "b").repartition(4)
+    val got = df.withColumn("z",
+        graft.sources.Sink.zOrderColumn(df, "a", "b", bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: the same range quantizer in plain Scala doubles (floor
+    // of a float ratio can land one level off the integer identity — the
+    // reference must share that arithmetic, not idealize it away), then
+    // the textbook bit interleave
+    val (aMax, bMax) = (rows.map(_._1).max, rows.map(_._2).max)
+    def quant(c: Long, hi: Long): Long =
+      math.min(lim.toLong, math.max(0L,
+        math.floor(c.toDouble / hi.toDouble * lim.toDouble).toLong))
+    def morton(a: Long, b: Long): Long = {
+      val (qa, qb) = (quant(a, aMax), quant(b, bMax))
+      (0 until bits).map(i =>
+        (((qa >> i) & 1L) << (2 * i + 1)) | (((qb >> i) & 1L) << (2 * i)))
+        .reduce(_ | _)
+    }
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == morton(a, b),
+        s"z($a, $b): ${got((a, b))} != ${morton(a, b)}")
+    }
+  }
+
   test("writeZOrdered: per-file bounding boxes prune BOTH dimensions") {
     val events = Tables.t(spark, sf, "events")
       .select("event_id", "user_id", "ts")
