@@ -336,12 +336,11 @@ object Curation {
     * broadcast back for the share column. Token sums and dup counts
     * map-side combine; nothing driver-side grows with the corpus. */
   def c11DatasetCard(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextAnalysis.quality
+    import graft.operators.TextAnalysis.{fingerprint, quality}
     val docs = graft.sources.Tables.t(spark, dir, "documents")
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
     val scored = docs.select(col("doc_id"), col("source"), col("lang"),
       size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("__nt"),
-      quality(col("text")).as("__q"), fp.as("__fp"))
+      quality(col("text")).as("__q"), fingerprint(col("text")).as("__fp"))
     val dupCounts = scored.groupBy("__fp").agg(count(lit(1)).as("__nd"))
     val total = scored.agg(count(lit(1)).as("__total"))
     scored.join(dupCounts, "__fp")
