@@ -70,7 +70,23 @@ object GraftExtensions {
           s"kmv_min_k_set: k must be an integer literal, got $other")
       }
       graft.functions.KmvMinKSet(h, k)
-    }))
+    }),
+    // kmv_bottom_k_pairs(hash, payload, k): deterministic bottom-k-by-hash
+    // row sample carrying a double payload — the quantile-sketch
+    // aggregate behind q42; k sizes the state, so it must be a literal
+    (FunctionIdentifier("kmv_bottom_k_pairs"),
+      new ExpressionInfo(classOf[graft.functions.KmvBottomKPairs].getName,
+        "kmv_bottom_k_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"kmv_bottom_k_pairs takes 3 arguments, got ${children.length}")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_bottom_k_pairs: k must be an integer literal, got $other")
+        }
+        graft.functions.KmvBottomKPairs(children.head, children(1), k)
+      }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

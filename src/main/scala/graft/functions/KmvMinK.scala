@@ -176,6 +176,120 @@ case class KmvMinKSet(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** PAYLOAD-carrying sibling of [[KmvMinKSet]]: keeps the k pairs with the
+  * smallest (hash, payload) — i.e. a DETERMINISTIC uniform row sample of
+  * size k per group, keyed by a shared 60-bit hash of a unique row key,
+  * with one double of payload riding along. This is the sketch behind
+  * hash-sample QUANTILE estimation (q42): exact per-group quantiles sort
+  * the whole group (at 100 TB the sort IS the query); a bottom-k-by-hash
+  * sample moves exactly k (hash, value) pairs per partition, map-side
+  * combined and mergeable (insert + truncate, associative/commutative),
+  * and — unlike reservoir sampling, whose content depends on encounter
+  * order — its content is a pure function of the DATA, so Spark and a
+  * DuckDB oracle (row_number over the same hash order) select the exact
+  * same rows and hence the exact same quantile values. Payload ties on
+  * equal hashes are broken by the payload itself, keeping the selection
+  * total-ordered on both engines.
+  *
+  * State: bounded TreeSet of (hash, payload) lexicographic pairs —
+  * O(log k) per row, 16·k bytes between partial and final aggregation.
+  * Returns the sample as an ascending `array<struct<h, v>>` (≤ k rows) —
+  * storable and re-mergeable exactly like [[KmvMinKSet]] arrays. */
+case class KmvBottomKPairs(hash: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 2, s"kmv_bottom_k_pairs needs k >= 2: $k")
+
+  override def prettyName: String = "kmv_bottom_k_pairs"
+  override def nullable: Boolean = false
+  override def left: Expression = hash
+  override def right: Expression = payload
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("v", org.apache.spark.sql.types.DoubleType,
+        nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
+    new java.util.TreeSet[(Long, Double)](KmvBottomKPairs.PairOrd)
+
+  override def update(buf: java.util.TreeSet[(Long, Double)],
+      input: InternalRow): java.util.TreeSet[(Long, Double)] = {
+    val h = hash.eval(input)
+    val v = payload.eval(input)
+    if (h != null && v != null) {
+      buf.add((h.asInstanceOf[Long], v.asInstanceOf[Double]))
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Long, Double)],
+      b2: java.util.TreeSet[(Long, Double)])
+      : java.util.TreeSet[(Long, Double)] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      out(i) = new GenericInternalRow(Array[Any](h, v))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Double)])
+      : Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      bb.putLong(h); bb.putDouble(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[(Long, Double)] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.add((bb.getLong(), bb.getDouble()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : KmvBottomKPairs = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : KmvBottomKPairs = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KmvBottomKPairs =
+    copy(hash = newLeft, payload = newRight)
+}
+
+object KmvBottomKPairs {
+  /** Lexicographic (hash, payload) order — a named Serializable class,
+    * not a SAM lambda (the expression ships to executors inside the
+    * physical plan, and Java lambdas don't serialize). */
+  private object PairOrd extends java.util.Comparator[(Long, Double)]
+      with Serializable {
+    override def compare(a: (Long, Double), b: (Long, Double)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Double.compare(a._2, b._2)
+    }
+  }
+}
+
 object KmvMinK {
   /** Column API: KMV sketch state of a LONG hash column —
     * `struct(held, kth)`; compose with [[estimate]]. */
@@ -189,6 +303,24 @@ object KmvMinK {
   def kmvMinKSet(hash: Column, k: Int): Column =
     Bridge.column(KmvMinKSet(Bridge.expression(hash), k)
       .toAggregateExpression())
+
+  /** Column API for [[KmvBottomKPairs]]: deterministic bottom-k-by-hash
+    * row sample with a double payload, as a storable/mergeable ascending
+    * `array<struct<h, v>>`. Compose with [[sampleQuantile]]. */
+  def kmvBottomKPairs(hash: Column, payload: Column, k: Int): Column =
+    Bridge.column(KmvBottomKPairs(Bridge.expression(hash),
+      Bridge.expression(payload), k).toAggregateExpression())
+
+  /** Nearest-rank quantile of the PAYLOADS held in a [[kmvBottomKPairs]]
+    * sample: sort the sampled values, take element ceil(q·n) (1-based).
+    * Exact below saturation (the sample IS the group); a k-row uniform
+    * sample estimate at it. The value is an ELEMENT of the data, not an
+    * average — so the oracle comparison is exact, no float tolerance. */
+  def sampleQuantile(sample: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val vs = array_sort(transform(sample, x => x.getField("v")))
+    element_at(vs, greatest(lit(1), ceil(lit(q) * size(vs)).cast("int")))
+  }
 
   /** [[estimate]] over a [[kmvMinKSet]] array — the same formula reading
     * the k-th order statistic from the array: exact size below

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Distributed BPE tokenizer TRAINING and application (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units") —
+  * the step of an LLM data pipeline that none of t01–t23 cover: t05 counts
+  * tokens with a FIXED regex; this LEARNS the subword vocabulary from the
+  * corpus itself, the way every production tokenizer (BPE/WordPiece) is
+  * actually built.
+  *
+  * Why the classic algorithm map-reduces cleanly: BPE never trains on the
+  * corpus directly — it trains on the WORD-FREQUENCY table (word, freq),
+  * which is vocabulary-sized, not corpus-sized. At 100 TB of text the
+  * corpus is ~10¹¹ words but the distinct-word table is ~10⁷–10⁸ rows:
+  * one corpus-sized aggregation up front (an exact map-side-combining
+  * groupBy — dd01's shuffle economics over ~10-byte keys), then every
+  * merge iteration touches only the vocabulary table. Per iteration:
+  *   1. adjacent-pair counts — one arrays_zip + explode + sum(freq)
+  *      aggregation over vocab rows (map-side combined; pair cardinality
+  *      is ≤ alphabet² early, ≤ vocab·avg_len total);
+  *   2. argmax pair — a 1-ROW driver collect (bounded by construction;
+  *      the driver never holds the vocabulary);
+  *   3. merge application — a pure per-row array fold (codegen'd
+  *      `aggregate` lambda, no UDF), map-only over vocab rows.
+  * The loop pins the evolving symbol table every iteration
+  * ([[graft.Materialize.pin]]) and unpins the superseded round, so
+  * lineage stays O(1) and executor storage holds exactly one vocabulary
+  * snapshot — the same round-state discipline as dd06's frontier loop.
+  *
+  * Determinism contract: tie-breaks are total ((freq DESC, left ASC,
+  * right ASC)), so the merge list is a pure function of the word-frequency
+  * table — two engines, two cluster sizes, or two runs agree exactly
+  * (asserted against a single-node reference implementation in BpeSpec).
+  * Not SQL-expressible (iterative argmax) — the declared query carries a
+  * rows-only oracle; correctness is the reference-parity spec.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (Sennrich's `</w>`): keeps suffix merges
+    * distinct from interior merges and makes every word's symbol
+    * sequence reconstructable to `word + marker`. */
+  val Marker = "</w>"
+
+  /** The word-frequency table of a (text) frame: lower-cased whitespace
+    * tokens restricted to plain letter runs (the trainer's alphabet is
+    * [a-z] + the marker; punctuation-bearing tokens are a tokenizer
+    * PRE-processing concern, not a vocabulary-learning one). The one
+    * corpus-sized job of the trainer. */
+  def wordFreqOf(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** One left-to-right merge pass of (l, r) → l+r over a symbol array,
+    * as a codegen'd fold: append each symbol unless it completes the
+    * pair with the running output's last element (greedy, non-overlapping
+    * — `aaa` under (a,a) becomes `[aa, a]`). Exactly mirrored by the
+    * single-node [[applyMerge]] used in segmentation and the spec's
+    * reference trainer. */
+  private def mergeExpr(s: Column, l: String, r: String): Column = {
+    val merged = l + r
+    aggregate(s, array().cast("array<string>"), (out, x) =>
+      when(size(out) > 0 && element_at(out, -1) === lit(l) && x === lit(r),
+        concat(slice(out, lit(1), size(out) - 1), array(lit(merged))))
+        .otherwise(concat(out, array(x))))
+  }
+
+  /** Single-node twin of [[mergeExpr]] — segmentation applies the learned
+    * merges with THIS, so a training word's final symbols equal its
+    * segmentation by construction. */
+  def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (x <- syms) {
+      if (out.nonEmpty && out.last == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+    }
+    out.toList
+  }
+
+  /** Segment one word with a rank-ordered merge list: start from
+    * characters + [[Marker]], replay the merges in training order. A word
+    * seen in training segments exactly as it ended training; an unseen
+    * word reuses whatever learned units apply. O(merges · |word|). */
+  def segment(word: String, merges: Seq[(String, String)]): List[String] = {
+    var syms = word.toList.map(_.toString) :+ Marker
+    for ((l, r) <- merges) syms = applyMerge(syms, l, r)
+    syms
+  }
+
+  /** One learned merge: `rank` is training order (0-based), `pair_freq`
+    * the corpus frequency that won the argmax at that rank. */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, pair_freq: Long)
+
+  /** Train `numMerges` BPE merges from a (word, freq) table. Returns the
+    * rank-ordered merge list (driver-held — bounded by `numMerges`, the
+    * only thing the driver ever holds). Stops early when no pair reaches
+    * `minFreq`. */
+  def train(wordFreq: DataFrame, numMerges: Int,
+      minFreq: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges out of range: $numMerges")
+    // chars + end marker; regexp_extract_all('.') = one element per char
+    // (the alphabet is [a-z] by wordFreqOf's filter — no surrogate pairs).
+    // Pin cadence: materializing EVERY round costs one extra job per
+    // merge; letting the plan grow unboundedly re-derives all prior
+    // merges in every count job and grows analysis cost quadratically.
+    // Every-4th-round pinning bounds the lazy suffix at 4 stacked merge
+    // folds — O(1) plan depth, 25% of the per-round pin jobs.
+    val PinEvery = 4
+    var pinned = graft.Materialize.pin(wordFreq.select(col("freq"),
+      concat(regexp_extract_all(col("word"), lit("."), lit(0)),
+        array(lit(Marker))).as("s")))
+    var cur = pinned
+    var sincePin = 0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val best = cur
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+          slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect() // 1 row by construction — the argmax only
+      if (best.isEmpty || best(0).getAs[Long]("cnt") < minFreq) done = true
+      else {
+        val (l, r) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
+        merges += Merge(merges.size, l, r, l + r, best(0).getAs[Long]("cnt"))
+        cur = cur.select(col("freq"), mergeExpr(col("s"), l, r).as("s"))
+        sincePin += 1
+        if (sincePin >= PinEvery) {
+          val np = graft.Materialize.pin(cur)
+          graft.Materialize.unpin(pinned)
+          pinned = np; cur = np; sincePin = 0
+        }
+      }
+    }
+    graft.Materialize.unpin(pinned)
+    merges.toSeq
+  }
+
+  /** t24 — BPE TRAINING over the documents corpus: 30 merges, min pair
+    * frequency 2. Output = the rank-ordered merge table — what a
+    * tokenizer build job persists beside the corpus snapshot it was
+    * trained on. Rows-only oracle (iterative argmax is not
+    * SQL-expressible); exact reference parity asserted in BpeSpec. */
+  def t24BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(wordFreqOf(t(spark, dir, "documents")), numMerges = 30)
+      .toDF().orderBy("rank")
+  }
+
+  /** t25 — BPE APPLICATION: segment every document with the merges t24
+    * learns from the same corpus and report subword counts beside the
+    * whitespace token count. The merge list is `numMerges` rows —
+    * driver-held and broadcast by closure capture; segmentation itself is
+    * a per-row map (one UDF — the replay loop is inherently procedural;
+    * the honest exception to the functions-first rule, O(merges·|word|)
+    * per word with zero shuffle). At 100 TB: train once on the vocab
+    * table, then this map-only pass rides the same scan as t01/t02. */
+  def t25BpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val merges = train(wordFreqOf(t(spark, dir, "documents")),
+      numMerges = 30).map(m => (m.left, m.right))
+    val nBpe = udf((ws: Seq[String]) =>
+      ws.iterator.map(w => segment(w, merges).length.toLong).sum)
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
+        nBpe(col("ws")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 3))
+      .orderBy("doc_id")
+  }
+}

@@ -872,6 +872,38 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q42 — QUANTILE estimation from a deterministic HASH SAMPLE: per
+    * event type, nearest-rank p25/p50/p75/p90 over the k rows with the
+    * smallest 60-bit md5 hash of the (unique) event_id
+    * ([[graft.functions.KmvBottomKPairs]], a payload-carrying sibling of
+    * q40's KMV sketch). Exact per-group quantiles SORT the group — at
+    * 100 TB that sort is the query; this moves exactly k 16-byte pairs
+    * per partition, map-side combined and mergeable across any split
+    * (persist per-hour sample columns, roll up like q41's sketches).
+    * Unlike reservoir sampling or `percentile_approx` (whose state
+    * depends on encounter order / engine internals), bottom-k-by-hash is
+    * a pure DATA property: Spark and the DuckDB oracle select the exact
+    * same k rows, so the reported quantiles — elements of the data, not
+    * interpolations — hash-match exactly, estimator output included.
+    * Sample-quantile error: ±O(1/√k) in rank. */
+  def q42SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    import graft.functions.KmvMinK
+    t(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        graft.functions.Hashing.md5Long(
+          concat(lit("e:"), col("event_id").cast("string")), 15).as("h"))
+      .groupBy("event_type")
+      .agg(KmvMinK.kmvBottomKPairs(col("h"), col("value"), k).as("__s"))
+      .select(col("event_type"),
+        size(col("__s")).cast("long").as("n_held"),
+        KmvMinK.sampleQuantile(col("__s"), 0.25).as("p25"),
+        KmvMinK.sampleQuantile(col("__s"), 0.50).as("p50"),
+        KmvMinK.sampleQuantile(col("__s"), 0.75).as("p75"),
+        KmvMinK.sampleQuantile(col("__s"), 0.90).as("p90"))
+      .orderBy("event_type")
+  }
+
   /** Library surface: SCD2 interval reconstruction over ANY change frame
     * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
     * (already-numeric) change time, `seqCol` the deterministic
@@ -970,6 +1002,8 @@ object Relational {
       "WITH h AS (SELECT DISTINCT event_type, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h), st AS (SELECT event_type, COUNT(*) AS held, MAX(CASE WHEN rk = 64 THEN h END) AS kth FROM rk WHERE rk <= 64 GROUP BY event_type), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY event_type) SELECT ex.event_type, ex.n_exact, CAST(CASE WHEN st.held < 64 THEN st.held ELSE CAST(ROUND(63 * 1.152921504606846976e18 / st.kth) AS BIGINT) END AS BIGINT) AS kmv_estimate FROM ex JOIN st USING (event_type) ORDER BY ex.event_type",
     "q41_kmv_rollup" ->
       "WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, user_id, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), hourly AS (SELECT event_type, hour, list_sort(list_distinct(list(h)))[1:64] AS sk FROM e GROUP BY 1, 2), fl AS (SELECT event_type, unnest(sk) AS h FROM hourly), merged AS (SELECT event_type, list_sort(list_distinct(list(h)))[1:64] AS sk FROM fl GROUP BY 1), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM e GROUP BY 1) SELECT m.event_type, ex.n_exact, CAST(CASE WHEN len(m.sk) < 64 THEN len(m.sk) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / m.sk[64]) AS BIGINT) END AS BIGINT) AS kmv_merged FROM merged m JOIN ex USING (event_type) ORDER BY m.event_type",
+    "q42_sample_quantiles" ->
+      "WITH h AS (SELECT event_type, value, CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rk FROM h), s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_held, list_sort(list(value)) AS vs FROM rk WHERE rk <= 128 GROUP BY 1) SELECT event_type, n_held, vs[greatest(1, CAST(ceil(0.25 * n_held) AS BIGINT))] AS p25, vs[greatest(1, CAST(ceil(0.50 * n_held) AS BIGINT))] AS p50, vs[greatest(1, CAST(ceil(0.75 * n_held) AS BIGINT))] AS p75, vs[greatest(1, CAST(ceil(0.90 * n_held) AS BIGINT))] AS p90 FROM s ORDER BY event_type",
     "q39_scd2_history" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
@@ -1027,6 +1061,7 @@ object Relational {
     "q39_scd2_history" -> q39Scd2 _,
     "q40_kmv_distinct" -> q40KmvDistinct _,
     "q41_kmv_rollup" -> q41KmvRollup _,
+    "q42_sample_quantiles" -> q42SampleQuantiles _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

@@ -86,4 +86,70 @@ class KmvSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(viaSql == direct)
   }
+
+  test("bottom-k pairs: content is the k smallest (h, v), order-independent") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (s"r$i", i * 0.5))
+    val df = rows.toDF("key", "v")
+      .select(graft.functions.Hashing.md5Long(col("key"), 15).as("h"),
+        col("v"))
+    val expected = rows
+      .map { case (key, v) =>
+        // same 60-bit md5 the expression computes, via the hex prefix
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        (java.lang.Long.parseLong(hex, 16), v)
+      }.sorted.take(K)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts)
+        .agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), K).as("s"))
+        .select(explode(col("s")).as("p"))
+        .select(col("p.h"), col("p.v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("bottom-k pairs merge from per-cell samples == one-pass sample") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i % 24, s"r$i", (i * 7 % 101).toDouble))
+      .toDF("cell", "key", "v").repartition(16)
+      .select(col("cell"),
+        graft.functions.Hashing.md5Long(col("key"), 15).as("h"), col("v"))
+    val direct = df
+      .agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), K).as("s"))
+      .select(KmvMinK.sampleQuantile(col("s"), 0.5).as("p50"))
+      .collect()(0).getDouble(0)
+    val merged = df.groupBy("cell")
+      .agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), K).as("s"))
+      .select(explode(col("s")).as("p"))
+      .agg(KmvMinK.kmvBottomKPairs(col("p.h"), col("p.v"), K).as("s"))
+      .select(KmvMinK.sampleQuantile(col("s"), 0.5).as("p50"))
+      .collect()(0).getDouble(0)
+    assert(merged == direct)
+    // SQL surface
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("kmv_pairs_rows")
+    val viaSql = spark.sql(
+      s"SELECT kmv_bottom_k_pairs(h, v, $K) AS s FROM kmv_pairs_rows")
+      .select(KmvMinK.sampleQuantile(col("s"), 0.5).as("p50"))
+      .collect()(0).getDouble(0)
+    assert(viaSql == direct)
+  }
+
+  test("sample quantiles are exact below saturation") {
+    import spark.implicits._
+    // 50 rows < k=64: the sample IS the group, so nearest-rank quantiles
+    // over the sample equal nearest-rank quantiles over the data
+    val vs = (1 to 50).map(_.toDouble)
+    val df = vs.map(v => (s"k$v", v)).toDF("key", "v")
+      .select(graft.functions.Hashing.md5Long(col("key"), 15).as("h"),
+        col("v"))
+    val r = df.agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), K).as("s"))
+      .select(KmvMinK.sampleQuantile(col("s"), 0.5).as("p50"),
+        KmvMinK.sampleQuantile(col("s"), 0.9).as("p90"))
+      .collect()(0)
+    assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 45.0)
+  }
 }
