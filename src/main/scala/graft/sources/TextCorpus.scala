@@ -75,4 +75,74 @@ object TextCorpus {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .json(path)
+
+  /** CSV ingest with the same two commitments as [[readJsonl]]: a
+    * DECLARED schema (CSV inference is a full extra pass AND type-guesses
+    * per shard) and PERMISSIVE corrupt-line routing (a short row, a
+    * stray quote, a type mismatch becomes a [[CorruptCol]] row to count
+    * and quarantine, never a silent drop or a job abort). `multiLine`
+    * stays OFF: multi-line CSV forces one-task-per-file parsing — the
+    * scale posture is "embedded newlines were escaped at export time". */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol — readCsv adds it")
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header)
+      .option("delimiter", delimiter)
+      .csv(path)
+  }
+
+  /** Clean rows + corrupt-line count for CSV — [[readJsonlClean]]'s
+    * contract over [[readCsv]]. */
+  def readCsvClean(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    val raw = readCsv(spark, path, schema, header, delimiter)
+    val bad = raw.agg(
+        coalesce(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("bad"),
+        count(col(schema.fieldNames.head)))
+      .head().getLong(0)
+    (raw.where(col(CorruptCol).isNull).drop(CorruptCol), bad)
+  }
+
+  /** Write CSV shards (header + explicit delimiter; gzip by default —
+    * same one-task-per-gz-shard reality as JSONL, same
+    * `maxRecordsPerFile` knob). Quoting is the writer's job: embedded
+    * delimiters/newlines are escaped so [[readCsv]]'s single-line parse
+    * round-trips. */
+  def writeCsv(df: DataFrame, path: String,
+      maxRecordsPerFile: Long = 1000000L,
+      compression: String = "gzip"): Unit =
+    df.write
+      .option("header", true)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .csv(path)
+
+  /** ORC round-trip — the OTHER columnar format corpora arrive in when
+    * the upstream is a Hive/Trino warehouse. Spark's native ORC reader
+    * gives the same scale properties as parquet: splittable stripes,
+    * column pruning, and predicate pushdown to stripe/row-group level
+    * (asserted against the plan's PushedFilters in SinkSpec) — so an ORC
+    * corpus needs NO conversion step before the pipeline operators run
+    * on it. zstd compression: best ratio at comparable scan speed on
+    * modern Spark. */
+  def writeOrc(df: DataFrame, path: String,
+      compression: String = "zstd"): Unit =
+    df.write
+      .option("compression", compression)
+      .mode("overwrite")
+      .orc(path)
+
+  /** Read ORC. Schema comes from ORC file metadata (self-describing —
+    * no inference pass, unlike text formats; declaring nothing here is
+    * safe). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -116,6 +116,59 @@ class SinkSpec extends SparkSpec {
     assert(e.getMessage.contains(TextCorpus.CorruptCol))
   }
 
+  test("TextCorpus csv: round-trip with quoting; corrupt lines counted, kept") {
+    import graft.sources.TextCorpus
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+    val dir = tmpDir("csv")
+    TextCorpus.writeCsv(docs, dir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".csv.gz")))
+    // the writer quotes embedded delimiters, so the single-line parse
+    // round-trips losslessly (documents contain commas-adjacent text)
+    val (back, bad) = TextCorpus.readCsvClean(spark, dir, docs.schema)
+    assert(bad == 0)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // a shard with a malformed row: counted, quarantined, neighbors kept
+    val dir2 = tmpDir("csv-bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "part-00000.csv"),
+      """doc_id,text,lang
+        |1,ok,en
+        |not_a_long,broken,xx
+        |3,fine,de
+        |""".stripMargin)
+    val (clean, nBad) = TextCorpus.readCsvClean(spark, dir2, docs.schema)
+    assert(nBad == 1)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      TextCorpus.readCsv(spark, dir2, docs.schema
+        .add(TextCorpus.CorruptCol, "string"))
+    }
+    assert(e.getMessage.contains(TextCorpus.CorruptCol))
+  }
+
+  test("TextCorpus orc: lossless round-trip; filters push down to the scan") {
+    import graft.sources.TextCorpus
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val dir = tmpDir("orc")
+    TextCorpus.writeOrc(docs, dir)
+    val back = TextCorpus.readOrc(spark, dir)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // predicate pushdown + column pruning reach the ORC scan — the
+    // properties that make ORC corpora first-class pipeline inputs
+    val q = back.where(col("doc_id") > 100 && col("lang") === "en")
+      .select("doc_id", "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []"), s"no ORC pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"ORC scan reads more than the projection:\n$plan")
+  }
+
   test("zOrderColumn matches a reference Morton interleave bit-for-bit") {
     import spark.implicits._
     // quantizer inputs chosen so quantization is the identity: values
