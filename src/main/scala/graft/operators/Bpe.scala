@@ -146,6 +146,43 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a trained merge list beside the corpus snapshot it was
+    * trained on — the tokenizer-build artifact. One tiny parquet
+    * (numMerges rows); the rank column IS the replay order. */
+  def writeMerges(spark: SparkSession, merges: Seq[Merge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge list in training order — the driver-held,
+    * broadcast-by-closure form [[segment]] and [[t25BpeSegment]] consume.
+    * Bounded driver collect: numMerges rows by construction. */
+  def readMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .orderBy("rank")
+      .collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_freq")))
+      .toSeq
+
+  /** Segment ANY (id, text) frame with an already-trained merge list —
+    * the production shape: train once (nightly, on the vocab table),
+    * persist, then this map-only pass rides every scoring/packing scan.
+    * Emits (id, n_ws_tokens, n_bpe_tokens). */
+  def segmentWith(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBpe = udf((ws: Seq[String]) =>
+      ws.iterator.map(w => segment(w, merges).length.toLong).sum)
+    docs
+      .select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_ws_tokens"),
+        nBpe(col("__ws")).as("n_bpe_tokens"))
+  }
+
   /** t24 — BPE TRAINING over the documents corpus: 30 merges, min pair
     * frequency 2. Output = the rank-ordered merge table — what a
     * tokenizer build job persists beside the corpus snapshot it was
@@ -168,14 +205,7 @@ object Bpe {
   def t25BpeSegment(spark: SparkSession, dir: String): DataFrame = {
     val merges = train(wordFreqOf(t(spark, dir, "documents")),
       numMerges = 30).map(m => (m.left, m.right))
-    val nBpe = udf((ws: Seq[String]) =>
-      ws.iterator.map(w => segment(w, merges).length.toLong).sum)
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("ws"))
-      .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_ws_tokens"),
-        nBpe(col("ws")).as("n_bpe_tokens"))
+    segmentWith(t(spark, dir, "documents"), merges)
       .withColumn("bpe_per_word",
         round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 3))
       .orderBy("doc_id")

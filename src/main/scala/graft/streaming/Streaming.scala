@@ -714,4 +714,60 @@ object Streaming {
         graft.functions.KmvMinK.estimate(
           struct(col("held"), col("kth")), k).as("kmv_estimate"))
   }
+
+  /** Per-group bottom-k-by-hash SAMPLE state (public: state-store codegen
+    * instantiates it): parallel hash/value arrays of the ≤ k
+    * lexicographically-smallest (hash, value) pairs — 16·k bytes, bounded
+    * by construction. */
+  final case class KmvPairBuffer(hs: Seq[Long], vs: Seq[Double])
+
+  /** Streaming quantiles — the continuous form of batch q42: per group, a
+    * live nearest-rank quantile estimate over the deterministic
+    * bottom-k-by-hash row sample of everything seen across ALL triggers,
+    * refreshed in Update mode each micro-batch.
+    *
+    * Same state argument as [[streamingKmvDistinct]]: exact streaming
+    * quantiles hold every value forever; this holds exactly k (hash,
+    * value) pairs per group. And because the sample is a pure function of
+    * the data (the k smallest shared-md5 hashes — encounter order
+    * irrelevant), the batch [[graft.functions.KmvBottomKPairs]] aggregate
+    * over the same rows yields the IDENTICAL sample and quantiles —
+    * backfill and live tail cannot disagree (asserted in StreamingSpec).
+    * No watermark: a cumulative sample never retracts and state is
+    * bounded without TTL.
+    *
+    * The nearest-rank rule is the same one
+    * [[graft.functions.KmvMinK.sampleQuantile]] applies to the batch
+    * sketch: sorted values, element `ceil(q·n)` (1-based). Output:
+    * (group, n_held, quantiles array<double> aligned with `qs`). */
+  def streamingKmvQuantiles(spark: SparkSession, df: DataFrame,
+      groupCol: String, hashCol: String, valueCol: String, k: Int,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(k >= 2, s"streamingKmvQuantiles needs k >= 2: $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    import spark.implicits._
+    val sample = df
+      .select(col(groupCol).cast("string"), col(hashCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvPairBuffer, (String, Int, Seq[Double])](
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[KmvPairBuffer]) =>
+          val set = scala.collection.mutable.TreeSet.empty[(Long, Double)]
+          state.getOption.foreach(b => set ++= b.hs.zip(b.vs))
+          rows.foreach { r =>
+            set += ((r._2, r._3))
+            if (set.size > k) set -= set.last
+          }
+          state.update(KmvPairBuffer(set.toSeq.map(_._1),
+            set.toSeq.map(_._2)))
+          val sorted = set.toSeq.map(_._2).sorted
+          val n = sorted.length
+          (g, n, qs.map(q =>
+            sorted(math.max(1, math.ceil(q * n).toInt) - 1)))
+      }
+    sample.toDF(groupCol, "n_held", "quantiles")
+  }
 }

@@ -70,6 +70,21 @@ class BpeSpec extends SparkSpec {
     assert(words.exists(w => Bpe.segment(w, merges).size < w.length + 1))
   }
 
+  test("merge-list persistence round-trips in training order") {
+    val wf = Bpe.wordFreqOf(spark.read.parquet(s"$sf/documents.parquet"))
+    val merges = Bpe.train(wf, numMerges = 12)
+    val dir = tmpDir("bpe-merges")
+    Bpe.writeMerges(spark, merges, dir)
+    assert(Bpe.readMerges(spark, dir) == merges)
+    // segmenting against the loaded artifact == segmenting live — the
+    // train-once / apply-nightly contract
+    val pairs = merges.map(m => (m.left, m.right))
+    val loaded = Bpe.readMerges(spark, dir).map(m => (m.left, m.right))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    assert(Bpe.segmentWith(docs, loaded).collect().toSeq ==
+      Bpe.segmentWith(docs, pairs).collect().toSeq)
+  }
+
   test("t25 counts match local segmentation on a sample of documents") {
     val merges = Bpe.train(
       Bpe.wordFreqOf(spark.read.parquet(s"$sf/documents.parquet")),

@@ -734,4 +734,48 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains("a" -> 3L) && got.contains("b" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming KMV quantiles: batch-sample parity across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.KmvMinK
+    val k = 8
+    val qs = Seq(0.25, 0.5, 0.9)
+    def hashed(df: org.apache.spark.sql.DataFrame) = df.withColumn("h",
+      graft.functions.Hashing.md5Long(
+        concat(lit("r:"), col("rid").cast("string")), 15))
+    // 30 rows across two triggers — group a saturates (> k), b stays exact
+    val rows = (1 to 30).map(i =>
+      (if (i % 5 == 0) "b" else "a", i.toLong, (i * 13 % 47).toDouble))
+    val (t1, t2) = rows.splitAt(17)
+    val in = MemoryStream[(String, Long, Double)]
+    val out = Streaming.streamingKmvQuantiles(spark,
+      hashed(in.toDF().toDF("g", "rid", "v")), "g", "h", "v", k, qs)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("kmvq").start()
+    try {
+      in.addData(t1: _*); q.processAllAvailable()
+      in.addData(t2: _*); q.processAllAvailable()
+      val got = spark.table("kmvq").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).map { case (g, snaps) => g -> snaps.last }
+      // final snapshot per group ≡ the batch q42-family aggregate over
+      // ALL the data: same sample (pure data property), same rule
+      val batch = hashed(rows.toDF("g", "rid", "v"))
+        .groupBy("g")
+        .agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), k).as("s"))
+        .select(col("g"), size(col("s")).as("n"),
+          array(qs.map(p => KmvMinK.sampleQuantile(col("s"), p)): _*)
+            .as("qv"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getSeq[Double](2))))
+        .toMap
+      for ((g, (n, qv)) <- batch) {
+        val (_, gotN, gotQ) = got(g)
+        assert(gotN == n, s"group $g held $gotN, batch $n")
+        assert(gotQ == qv, s"group $g quantiles $gotQ, batch $qv")
+      }
+      assert(batch("a")._1 == k)      // saturated: bounded state
+      assert(batch("b")._1 == 6)      // sub-saturation: the sample IS b
+    } finally q.stop()
+  }
 }
