@@ -71,6 +71,27 @@ object GraftExtensions {
       }
       graft.functions.KmvMinKSet(h, k)
     }),
+    // kmv_merge_set(sketch_array, k) / kmv_merge_pairs(sample_array, k):
+    // re-aggregate STORED sketch/sample columns directly — the
+    // rollup-maintenance path (q43)
+    binary("kmv_merge_set", classOf[graft.functions.KmvMergeSet],
+      (s, kExpr) => {
+        val k = kExpr match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_merge_set: k must be an integer literal, got $other")
+        }
+        graft.functions.KmvMergeSet(s, k)
+      }),
+    binary("kmv_merge_pairs", classOf[graft.functions.KmvMergePairs],
+      (s, kExpr) => {
+        val k = kExpr match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_merge_pairs: k must be an integer literal, got $other")
+        }
+        graft.functions.KmvMergePairs(s, k)
+      }),
     // kmv_bottom_k_pairs(hash, payload, k): deterministic bottom-k-by-hash
     // row sample carrying a double payload — the quantile-sketch
     // aggregate behind q42; k sizes the state, so it must be a literal

@@ -213,7 +213,7 @@ case class KmvBottomKPairs(hash: Expression, payload: Expression, k: Int,
         nullable = false))), containsNull = false)
 
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
-    new java.util.TreeSet[(Long, Double)](KmvBottomKPairs.PairOrd)
+    new java.util.TreeSet[(Long, Double)](KmvBottomKPairs.pairOrd)
 
   override def update(buf: java.util.TreeSet[(Long, Double)],
       input: InternalRow): java.util.TreeSet[(Long, Double)] = {
@@ -277,12 +277,180 @@ case class KmvBottomKPairs(hash: Expression, payload: Expression, k: Int,
     copy(hash = newLeft, payload = newRight)
 }
 
+/** Merge aggregate over STORED [[KmvMinKSet]] sketch arrays: input is an
+  * `array<long>` column (one persisted sketch per row), state/output are
+  * the same bounded k-minima as building from raw hashes — so a rollup
+  * table with a sketch column re-aggregates DIRECTLY
+  * (`groupBy(coarser).agg(kmv_merge_set(sk))`), no explode, no join, no
+  * raw-row rescan. Insert+truncate is associative/commutative, so any
+  * merge tree ≡ the one-pass sketch (asserted in KmvSpec). */
+case class KmvMergeSet(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_merge_set needs k >= 2: $k")
+
+  override def prettyName: String = "kmv_merge_set"
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val arr = child.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < a.numElements()) {
+        buf.add(a.getLong(i))
+        if (buf.size > k) buf.pollLast()
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeSet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeSet =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : KmvMergeSet = copy(child = newChild)
+}
+
+/** [[KmvMergeSet]]'s sibling for STORED [[KmvBottomKPairs]] sample arrays
+  * (`array<struct<h, v>>` input) — the direct re-aggregation path for a
+  * persisted sample column: any merge tree of samples ≡ the one-pass
+  * sample of the raw rows (asserted in KmvSpec). */
+case class KmvMergePairs(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_merge_pairs needs k >= 2: $k")
+
+  override def prettyName: String = "kmv_merge_pairs"
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("v", org.apache.spark.sql.types.DoubleType,
+        nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
+    new java.util.TreeSet[(Long, Double)](KmvBottomKPairs.pairOrd)
+
+  override def update(buf: java.util.TreeSet[(Long, Double)],
+      input: InternalRow): java.util.TreeSet[(Long, Double)] = {
+    val arr = child.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < a.numElements()) {
+        val row = a.getStruct(i, 2)
+        buf.add((row.getLong(0), row.getDouble(1)))
+        if (buf.size > k) buf.pollLast()
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Long, Double)],
+      b2: java.util.TreeSet[(Long, Double)])
+      : java.util.TreeSet[(Long, Double)] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      out(i) = new GenericInternalRow(Array[Any](h, v))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Double)])
+      : Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      bb.putLong(h); bb.putDouble(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[(Long, Double)] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.add((bb.getLong(), bb.getDouble()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergePairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergePairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : KmvMergePairs = copy(child = newChild)
+}
+
 object KmvBottomKPairs {
   /** Lexicographic (hash, payload) order — a named Serializable class,
     * not a SAM lambda (the expression ships to executors inside the
-    * physical plan, and Java lambdas don't serialize). */
-  private object PairOrd extends java.util.Comparator[(Long, Double)]
-      with Serializable {
+    * physical plan, and Java lambdas don't serialize). Shared with
+    * [[KmvMergePairs]]. */
+  private[functions] object pairOrd
+      extends java.util.Comparator[(Long, Double)] with Serializable {
     override def compare(a: (Long, Double), b: (Long, Double)): Int = {
       val c = java.lang.Long.compare(a._1, b._1)
       if (c != 0) c else java.lang.Double.compare(a._2, b._2)
@@ -310,6 +478,19 @@ object KmvMinK {
   def kmvBottomKPairs(hash: Column, payload: Column, k: Int): Column =
     Bridge.column(KmvBottomKPairs(Bridge.expression(hash),
       Bridge.expression(payload), k).toAggregateExpression())
+
+  /** Column API for [[KmvMergeSet]]: re-aggregate a STORED sketch-array
+    * column directly — the rollup-maintenance path (no explode, no
+    * raw-row rescan). */
+  def kmvMergeSet(sketches: Column, k: Int): Column =
+    Bridge.column(KmvMergeSet(Bridge.expression(sketches), k)
+      .toAggregateExpression())
+
+  /** Column API for [[KmvMergePairs]]: re-aggregate a STORED sample-array
+    * column directly. */
+  def kmvMergePairs(samples: Column, k: Int): Column =
+    Bridge.column(KmvMergePairs(Bridge.expression(samples), k)
+      .toAggregateExpression())
 
   /** Nearest-rank quantile of the PAYLOADS held in a [[kmvBottomKPairs]]
     * sample: sort the sampled values, take element ceil(q·n) (1-based).

@@ -904,6 +904,61 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q43 — INCREMENTAL ROLLUP MAINTENANCE: per-cell aggregate STATE
+    * (count, integer-cents sum, min/max, KMV distinct sketch, bottom-k
+    * value sample) built per (event_type, day) from two disjoint
+    * "nightly" batches that both touch every cell, then MERGED up to
+    * per-type totals — exact parts by algebra (sum of counts, min of
+    * mins), sketch parts by the native merge aggregates
+    * ([[graft.functions.KmvMergeSet]]/[[graft.functions.KmvMergePairs]]
+    * re-aggregating the STORED arrays directly: no explode, no raw-row
+    * rescan). The DuckDB oracle recomputes everything FROM RAW in one
+    * pass — so the hash-match is the load-bearing claim: incremental
+    * maintenance ≡ full recompute, estimator outputs included.
+    *
+    * This is how a 100 TB warehouse actually maintains rollups: tonight's
+    * batch aggregates alone (touching only tonight's rows), the result
+    * merges into the persisted state table by cell key, and every coarser
+    * report reads states — the raw corpus is scanned exactly once per row
+    * ever. Every column here is mergeable BY CONSTRUCTION (algebraic or
+    * sketch); AVG-family outputs derive at report time from (sum, n). */
+  def q43IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    import graft.functions.KmvMinK
+    val e = t(spark, dir, "events").select(
+      col("event_type"),
+      expr("(ts DIV 1000) div 86400000000").as("day"),
+      col("event_id"), col("value"),
+      expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"),
+      graft.functions.Hashing.md5Long(
+        concat(lit("u:"), col("user_id").cast("string")), 15).as("hu"),
+      graft.functions.Hashing.md5Long(
+        concat(lit("e:"), col("event_id").cast("string")), 15).as("he"))
+    def state(batch: DataFrame): DataFrame =
+      batch.groupBy("event_type", "day").agg(
+        count(lit(1)).as("n"),
+        sum("cents").as("cents"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        KmvMinK.kmvMinKSet(col("hu"), k).as("users_sk"),
+        KmvMinK.kmvBottomKPairs(col("he"), col("value"), k).as("vsample"))
+    // two batches split by event_id parity: BOTH contain every cell, so
+    // the merge genuinely combines partial states of the same cell (the
+    // late-arriving-data case, not just disjoint-cell union)
+    val states = state(e.where(col("event_id") % 2 === 0))
+      .unionByName(state(e.where(col("event_id") % 2 === 1)))
+    states.groupBy("event_type").agg(
+        sum("n").cast("long").as("n"),
+        sum("cents").cast("long").as("total_cents"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"),
+        KmvMinK.kmvMergeSet(col("users_sk"), k).as("sk"),
+        KmvMinK.kmvMergePairs(col("vsample"), k).as("vs"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        col("min_v"), col("max_v"),
+        KmvMinK.estimateFromSet(col("sk"), k).as("kmv_users"),
+        KmvMinK.sampleQuantile(col("vs"), 0.5).as("p50"))
+      .orderBy("event_type")
+  }
+
   /** Library surface: SCD2 interval reconstruction over ANY change frame
     * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
     * (already-numeric) change time, `seqCol` the deterministic
@@ -1004,6 +1059,8 @@ object Relational {
       "WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, user_id, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), hourly AS (SELECT event_type, hour, list_sort(list_distinct(list(h)))[1:64] AS sk FROM e GROUP BY 1, 2), fl AS (SELECT event_type, unnest(sk) AS h FROM hourly), merged AS (SELECT event_type, list_sort(list_distinct(list(h)))[1:64] AS sk FROM fl GROUP BY 1), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM e GROUP BY 1) SELECT m.event_type, ex.n_exact, CAST(CASE WHEN len(m.sk) < 64 THEN len(m.sk) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / m.sk[64]) AS BIGINT) END AS BIGINT) AS kmv_merged FROM merged m JOIN ex USING (event_type) ORDER BY m.event_type",
     "q42_sample_quantiles" ->
       "WITH h AS (SELECT event_type, value, CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rk FROM h), s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_held, list_sort(list(value)) AS vs FROM rk WHERE rk <= 128 GROUP BY 1) SELECT event_type, n_held, vs[greatest(1, CAST(ceil(0.25 * n_held) AS BIGINT))] AS p25, vs[greatest(1, CAST(ceil(0.50 * n_held) AS BIGINT))] AS p50, vs[greatest(1, CAST(ceil(0.75 * n_held) AS BIGINT))] AS p75, vs[greatest(1, CAST(ceil(0.90 * n_held) AS BIGINT))] AS p90 FROM s ORDER BY event_type",
+    "q43_incremental_rollup" ->
+      "WITH e AS (SELECT event_type, user_id, event_id, value, CAST(ROUND(value * 100) AS BIGINT) AS cents, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hu, CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS he FROM events), agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents, MIN(value) AS min_v, MAX(value) AS max_v FROM e GROUP BY 1), sk AS (SELECT event_type, list_sort(list_distinct(list(hu)))[1:64] AS sk FROM e GROUP BY 1), samp AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY he, value) AS rk FROM e), vs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS held, list_sort(list(value)) AS vs FROM samp WHERE rk <= 64 GROUP BY 1) SELECT a.event_type, a.n, a.total_cents, a.min_v, a.max_v, CAST(CASE WHEN len(s.sk) < 64 THEN len(s.sk) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / s.sk[64]) AS BIGINT) END AS BIGINT) AS kmv_users, v.vs[greatest(1, CAST(ceil(0.50 * v.held) AS BIGINT))] AS p50 FROM agg a JOIN sk s USING (event_type) JOIN vs v USING (event_type) ORDER BY a.event_type",
     "q39_scd2_history" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
@@ -1062,6 +1119,7 @@ object Relational {
     "q40_kmv_distinct" -> q40KmvDistinct _,
     "q41_kmv_rollup" -> q41KmvRollup _,
     "q42_sample_quantiles" -> q42SampleQuantiles _,
+    "q43_incremental_rollup" -> q43IncrementalRollup _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

@@ -138,6 +138,41 @@ class KmvSpec extends SparkSpec {
     assert(viaSql == direct)
   }
 
+  test("merge aggregates over STORED arrays == one-pass over raw rows") {
+    import spark.implicits._
+    // per-cell persisted state, then a coarser rollup re-aggregating the
+    // stored sketch/sample columns DIRECTLY — the q43 maintenance path
+    val df = (1 to 3000).map(i => (i % 24, s"r$i", (i * 7 % 101).toDouble))
+      .toDF("cell", "key", "v").repartition(16)
+      .select(col("cell"),
+        graft.functions.Hashing.md5Long(col("key"), 15).as("h"), col("v"))
+    val perCell = df.groupBy("cell").agg(
+      KmvMinK.kmvMinKSet(col("h"), K).as("sk"),
+      KmvMinK.kmvBottomKPairs(col("h"), col("v"), K).as("vs"))
+    val merged = perCell.agg(
+        KmvMinK.kmvMergeSet(col("sk"), K).as("sk"),
+        KmvMinK.kmvMergePairs(col("vs"), K).as("vs"))
+      .select(col("sk"), KmvMinK.sampleQuantile(col("vs"), 0.5).as("p50"))
+      .collect()(0)
+    val direct = df.agg(
+        KmvMinK.kmvMinKSet(col("h"), K).as("sk"),
+        KmvMinK.kmvBottomKPairs(col("h"), col("v"), K).as("vs"))
+      .select(col("sk"), KmvMinK.sampleQuantile(col("vs"), 0.5).as("p50"))
+      .collect()(0)
+    assert(merged.getSeq[Long](0) == direct.getSeq[Long](0))
+    assert(merged.getDouble(1) == direct.getDouble(1))
+    // SQL surface
+    GraftExtensions.register(spark)
+    perCell.createOrReplaceTempView("kmv_cells")
+    val viaSql = spark.sql(
+      s"SELECT kmv_merge_set(sk, $K) AS sk, kmv_merge_pairs(vs, $K) AS vs " +
+        "FROM kmv_cells")
+      .select(col("sk"), KmvMinK.sampleQuantile(col("vs"), 0.5).as("p50"))
+      .collect()(0)
+    assert(viaSql.getSeq[Long](0) == direct.getSeq[Long](0))
+    assert(viaSql.getDouble(1) == direct.getDouble(1))
+  }
+
   test("sample quantiles are exact below saturation") {
     import spark.implicits._
     // 50 rows < k=64: the sample IS the group, so nearest-rank quantiles
