@@ -398,4 +398,99 @@ object Curation {
       .groupBy("split_a", "split_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** c12 — CORPUS DRIFT MONITOR: per source, the Population Stability
+    * Index between two corpus snapshots, over two distribution
+    * dimensions — the t02 quality score and the token-length — binned
+    * into 10 fixed buckets. PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B) with
+    * add-one smoothing (so empty bins are defined), the standard
+    * monitoring statistic: <0.1 stable, 0.1–0.2 drifting, >0.2 shifted.
+    * This is the check an ONGOING ingest runs between last month's crawl
+    * and this month's: a source whose quality histogram moved is a
+    * source whose upstream changed (template redesign, spam influx,
+    * parser regression) — caught from two profile tables, before any
+    * model retrains on it.
+    *
+    * Scale shape: one map + count aggregation per snapshot over
+    * (source, dim, bin) — cardinality |sources|·20, map-side combined
+    * from corpus-sized input; the bin spine is generated by nested
+    * EXPLODE from the distinct-source frame (never a join against the
+    * corpus), smoothing and the PSI sum run on spine-sized rows. At
+    * 100 TB: two corpus scans (or zero, when the per-snapshot histogram
+    * tables are already persisted — they are exactly the q43-style
+    * maintainable state), everything downstream is report-sized.
+    *
+    * The declared query splits the fixture by doc_id parity into the
+    * "A/B snapshots" so the oracle can recompute both sides from one
+    * table; [[driftMonitorOf]] is the two-frame library surface. */
+  def c12DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.t(spark, dir, "documents")
+    driftMonitorOf(docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+  }
+
+  /** Library surface: PSI drift between ANY two (source, text) frames. */
+  def driftMonitorOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.quality
+    val NB = 10
+    def binned(df: DataFrame): DataFrame = {
+      val nt = size(split(lower(trim(col("text"))), "\\s+"))
+      df.select(col("source"),
+          least(floor(quality(col("text")) * NB), lit(NB - 1))
+            .cast("int").as("qbin"),
+          least(floor(nt / 16), lit(NB - 1)).cast("int").as("lbin"))
+        .select(col("source"), explode(array(
+          struct(lit("quality").as("dim"), col("qbin").as("bin")),
+          struct(lit("length").as("dim"), col("lbin").as("bin")))).as("db"))
+        .groupBy(col("source"), col("db.dim").as("dim"),
+          col("db.bin").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val ca = binned(snapA)
+    val cb = binned(snapB)
+    // dense (source, dim, bin) spine by EXPLODE from the distinct-source
+    // frame — bounded by construction, no join against the corpus
+    val spine = ca.select("source").union(cb.select("source")).distinct()
+      .select(col("source"),
+        explode(array(lit("quality"), lit("length"))).as("dim"))
+      .select(col("source"), col("dim"),
+        explode(sequence(lit(0), lit(NB - 1))).as("bin"))
+    // per (source, dim) totals; counts are per-dim identical but keeping
+    // the key uniform makes the joins all equi-joins on the spine key
+    val joined = spine
+      .join(ca.withColumnRenamed("cnt", "ca"), Seq("source", "dim", "bin"),
+        "left")
+      .join(cb.withColumnRenamed("cnt", "cb"), Seq("source", "dim", "bin"),
+        "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val withTotals = joined
+      .withColumn("na", sum("ca").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source", "dim")))
+      .withColumn("nb", sum("cb").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source", "dim")))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + NB)
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + NB)
+    // ×1e8-integer PSI terms (t14's recipe): per-term doubles are
+    // deterministic (same IEEE ops both engines), but a 10-term DOUBLE
+    // sum depends on aggregation order — integer sums don't
+    withTotals
+      .select(col("source"), col("dim"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb) * 1e8).cast("long").as("term"))
+      .groupBy("source")
+      .agg(
+        max(when(col("dim") === "quality", col("na"))).cast("long")
+          .as("n_a"),
+        max(when(col("dim") === "quality", col("nb"))).cast("long")
+          .as("n_b"),
+        round(sum(when(col("dim") === "quality", col("term")))
+          .cast("double") / 1e8, 4).as("psi_quality"),
+        round(sum(when(col("dim") === "length", col("term")))
+          .cast("double") / 1e8, 4).as("psi_length"))
+      .withColumn("verdict",
+        when(greatest(col("psi_quality"), col("psi_length")) > 0.2, "shift")
+          .when(greatest(col("psi_quality"), col("psi_length")) > 0.1,
+            "drift")
+          .otherwise("stable"))
+      .orderBy("source")
+  }
 }

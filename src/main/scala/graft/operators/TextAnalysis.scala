@@ -865,4 +865,41 @@ object TextAnalysis {
       .select(col(idCol) +:
         size(col("__b")).cast("long").as("n_tokens") +: fCols: _*)
   }
+
+  /** S-stemmer (Harman 1991, "How effective is suffixing?") as a pure
+    * codegen'd expression: three ordered plural-suffix rules —
+    * `ies→y` (unless e/aies), `es→e` (unless a/e/oes), drop final `s`
+    * (unless us/ss). Deliberately NOT a full Porter stemmer: the
+    * S-stemmer is the rule set with near-zero overstemming risk, which
+    * is the right default for conflating a trillion-token vocabulary
+    * census where every false merge pollutes a count. No lookbehind in
+    * the patterns — plain alternation guards, so the same rules run
+    * verbatim on RE2-class engines (the DuckDB oracle included). */
+  def sStem(w: Column): Column =
+    when(w.rlike("ies$") && !w.rlike("(eies|aies)$"),
+      regexp_replace(w, "ies$", "y"))
+      .when(w.rlike("es$") && !w.rlike("(aes|ees|oes)$"),
+        regexp_replace(w, "es$", "e"))
+      .when(w.rlike("s$") && !w.rlike("(us|ss)$"),
+        regexp_replace(w, "s$", ""))
+      .otherwise(w)
+
+  /** t26 — STEMMED vocabulary census: top-50 stems by occurrence with
+    * their surface-variant counts — the conflated view of the corpus
+    * vocabulary (plural and singular pool into one row), the normalized
+    * key under which IDF tables, stopword candidates, and drift
+    * monitors should aggregate. Scale shape = t09's census: per-token
+    * map (stem is a per-row expression), one map-side-combined count
+    * shuffle over the stem vocabulary, TakeOrdered top-k — no global
+    * sort, no full vocabulary ever on one task. */
+  def t26StemCensus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(toks).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .select(sStem(col("w")).as("stem"), col("w"))
+      .groupBy("stem")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_variants"))
+      .orderBy(col("n_tokens").desc, col("stem"))
+      .limit(50)
 }
