@@ -420,34 +420,52 @@ object Curation {
     * tables are already persisted — they are exactly the q43-style
     * maintainable state), everything downstream is report-sized.
     *
-    * The declared query splits the fixture by doc_id parity into the
-    * "A/B snapshots" so the oracle can recompute both sides from one
-    * table; [[driftMonitorOf]] is the two-frame library surface. */
+    * The declared query splits the fixture by doc_id BLOCK parity
+    * ((doc_id div 20) % 2 — plain parity would correlate perfectly with
+    * the fixture's source assignment and leave every source with one
+    * empty side) into the "A/B snapshots" so the oracle can recompute
+    * both sides from one table; [[driftMonitorOf]] is the two-frame
+    * library surface. */
   def c12DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.t(spark, dir, "documents")
-    driftMonitorOf(docs.where(col("doc_id") % 2 === 0),
-      docs.where(col("doc_id") % 2 === 1))
+    driftMonitorOf(docs.where(expr("(doc_id div 20) % 2") === 0),
+      docs.where(expr("(doc_id div 20) % 2") === 1))
   }
+
+  /** The drift monitor's bin count — 10 buckets per dimension. */
+  val DriftBins = 10
+
+  /** Per-document histogram bins for the drift dimensions — ONE shared
+    * definition consumed by the batch monitor (c12), the streaming
+    * monitor ([[graft.streaming.Streaming.streamingDriftMonitor]] — their
+    * parity depends on binning identically, asserted in StreamingSpec),
+    * and any persisted-profile job. */
+  def driftBinsOf(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.quality
+    val nt = size(split(lower(trim(col("text"))), "\\s+"))
+    docs.select(col("source"),
+      least(floor(quality(col("text")) * DriftBins), lit(DriftBins - 1))
+        .cast("int").as("qbin"),
+      least(floor(nt / 16), lit(DriftBins - 1)).cast("int").as("lbin"))
+  }
+
+  /** (source, dim, bin, cnt) histogram table of a snapshot — the
+    * persistable profile (q43-style maintainable state; a monthly PSI
+    * check against stored profiles touches zero raw rows). */
+  def driftHistogramOf(docs: DataFrame): DataFrame =
+    driftBinsOf(docs)
+      .select(col("source"), explode(array(
+        struct(lit("quality").as("dim"), col("qbin").as("bin")),
+        struct(lit("length").as("dim"), col("lbin").as("bin")))).as("db"))
+      .groupBy(col("source"), col("db.dim").as("dim"),
+        col("db.bin").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Library surface: PSI drift between ANY two (source, text) frames. */
   def driftMonitorOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
-    import graft.operators.TextAnalysis.quality
-    val NB = 10
-    def binned(df: DataFrame): DataFrame = {
-      val nt = size(split(lower(trim(col("text"))), "\\s+"))
-      df.select(col("source"),
-          least(floor(quality(col("text")) * NB), lit(NB - 1))
-            .cast("int").as("qbin"),
-          least(floor(nt / 16), lit(NB - 1)).cast("int").as("lbin"))
-        .select(col("source"), explode(array(
-          struct(lit("quality").as("dim"), col("qbin").as("bin")),
-          struct(lit("length").as("dim"), col("lbin").as("bin")))).as("db"))
-        .groupBy(col("source"), col("db.dim").as("dim"),
-          col("db.bin").as("bin"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-    val ca = binned(snapA)
-    val cb = binned(snapB)
+    val NB = DriftBins
+    val ca = driftHistogramOf(snapA)
+    val cb = driftHistogramOf(snapB)
     // dense (source, dim, bin) spine by EXPLODE from the distinct-source
     // frame — bounded by construction, no join against the corpus
     val spine = ca.select("source").union(cb.select("source")).distinct()

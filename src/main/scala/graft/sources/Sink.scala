@@ -153,4 +153,56 @@ object Sink {
         .bitwiseOR(shiftleft(qb.bitwiseAND(lit(1L << i)), i))
     }.reduce(_ bitwiseOR _)
   }
+
+  /** SMALL-FILE COMPACTION — the maintenance job every long-lived dataset
+    * needs: streaming sinks and nightly appends each leave one file per
+    * (trigger × task), and a year of that turns a table scan into
+    * millions of opens (driver file-listing time + per-file reader setup
+    * dominate the actual I/O). This rewrites `srcPath` into `destPath`
+    * with the [[writeCurated]] layout — partition-directory structure
+    * preserved, files rebuilt to `maxRecordsPerFile` — and returns
+    * (filesBefore, filesAfter).
+    *
+    * Deliberately NON-destructive: the rewrite lands beside the source
+    * and the caller swaps (metastore location flip, directory rename) —
+    * at 100 TB the swap is a catalog operation with its own atomicity
+    * story, and a library that deletes source data inside the same call
+    * that rewrites it turns every transient rewrite failure into data
+    * loss. Readers of `srcPath` are unaffected until the swap. */
+  def compactDataset(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String,
+      partitionCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty,
+      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+    def countFiles(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = countFiles(srcPath)
+    writeCurated(spark.read.parquet(srcPath), destPath,
+      partitionCols = partitionCols, sortCols = sortCols,
+      maxRecordsPerFile = maxRecordsPerFile)
+    (before, countFiles(destPath))
+  }
+
+  /** SCHEMA-EVOLVED read — a year-long corpus is written by a year of
+    * pipeline versions: early snapshots lack columns later ones carry.
+    * `mergeSchema` unions footer schemas across all files (one metadata
+    * pass — not the data-inference pass text formats pay) and null-fills
+    * columns absent from older files, so the reader sees ONE schema and
+    * version drift becomes nullable data instead of a read failure.
+    * Default readers skip the merge (first-footer schema) precisely
+    * because the union costs a footer visit per file — opt in here, at
+    * the seam where snapshot generations actually mix. Incompatible TYPE
+    * changes for the same column still fail loudly — that is schema
+    * DRIFT (the O23 abort-on-change contract), not evolution. */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession,
+      paths: String*): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(paths: _*)
 }

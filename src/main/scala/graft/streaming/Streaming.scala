@@ -770,4 +770,71 @@ object Streaming {
       }
     sample.toDF(groupCol, "n_held", "quantiles")
   }
+
+  /** Per-source drift state: one count per (dimension, bin) — 2·10 longs,
+    * bounded by construction. */
+  final case class DriftBuffer(q: Seq[Long], l: Seq[Long])
+
+  /** Streaming DRIFT MONITOR — the continuous form of batch c12: the
+    * live ingest's per-source quality/length histograms accumulate in
+    * bounded state (20 longs per source) and every trigger re-scores the
+    * Population Stability Index against a REFERENCE snapshot's
+    * histograms (a bounded |sources|·20-row table, collected once and
+    * closure-broadcast). The alarm a crawl pipeline actually wants:
+    * "source X's quality distribution shifted" fires DURING tonight's
+    * ingest, not at next month's batch profile run.
+    *
+    * Parity contract: binning rides [[graft.operators.Curation.driftBinsOf]]
+    * (the same column expressions as batch c12) and the PSI arithmetic
+    * replays c12's ×1e8-integer-term recipe — so after the stream drains,
+    * the emitted (psi_quality, psi_length, verdict) per source equal the
+    * batch monitor over the same two snapshots exactly (asserted in
+    * StreamingSpec). Sources absent from the reference score against its
+    * add-one-smoothed empty histogram, exactly as in batch. No
+    * watermark: cumulative histograms never retract, state is fixed-size
+    * without TTL. */
+  def streamingDriftMonitor(spark: SparkSession, docs: DataFrame,
+      reference: DataFrame): DataFrame = {
+    import spark.implicits._
+    val NB = graft.operators.Curation.DriftBins
+    // reference profile: bounded by |sources|·2·NB rows, by construction
+    val ref: Map[(String, String), Array[Long]] =
+      graft.operators.Curation.driftHistogramOf(reference).collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+        .map { case (k, rows) =>
+          val h = Array.fill(NB)(0L)
+          rows.foreach(r => h(r.getInt(2)) = r.getLong(3))
+          k -> h
+        }
+    def psiAgainst(refH: Array[Long], live: Array[Long]): Double = {
+      val na = refH.sum; val nb = live.sum
+      val terms = (0 until NB).map { i =>
+        val pa = (refH(i) + 1).toDouble / (na + NB)
+        val pb = (live(i) + 1).toDouble / (nb + NB)
+        math.round((pa - pb) * math.log(pa / pb) * 1e8)
+      }.sum
+      BigDecimal(terms.toDouble / 1e8)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val empty = Array.fill(NB)(0L)
+    graft.operators.Curation.driftBinsOf(docs)
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DriftBuffer, (String, Long, Double, Double, String)](
+        GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state: GroupState[DriftBuffer]) =>
+          val q = Array.fill(NB)(0L); val l = Array.fill(NB)(0L)
+          state.getOption.foreach { b =>
+            b.q.copyToArray(q); b.l.copyToArray(l)
+          }
+          rows.foreach { r => q(r._2) += 1; l(r._3) += 1 }
+          state.update(DriftBuffer(q.toSeq, l.toSeq))
+          val pq = psiAgainst(ref.getOrElse((src, "quality"), empty), q)
+          val pl = psiAgainst(ref.getOrElse((src, "length"), empty), l)
+          val verdict = if (math.max(pq, pl) > 0.2) "shift"
+            else if (math.max(pq, pl) > 0.1) "drift" else "stable"
+          (src, q.sum, pq, pl, verdict)
+      }
+      .toDF("source", "n_b", "psi_quality", "psi_length", "verdict")
+  }
 }

@@ -169,6 +169,46 @@ class SinkSpec extends SparkSpec {
       s"ORC scan reads more than the projection:\n$plan")
   }
 
+  test("compactDataset rewrites a small-file mess into few files, losslessly") {
+    import graft.sources.Sink
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+    val src = tmpDir("frag")
+    // simulate a streaming sink's damage: many tiny files per partition dir
+    docs.repartition(24).write.mode("overwrite")
+      .partitionBy("lang").parquet(src)
+    val dest = tmpDir("compact")
+    val (before, after) = Sink.compactDataset(spark, src, dest,
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    assert(before > after,
+      s"compaction must shrink the file count: $before -> $after")
+    val langs = docs.select("lang").distinct().count()
+    assert(after <= langs * 2, s"still fragmented: $after files")
+    // content identical, partition layout preserved (lang dirs exist)
+    assert(spark.read.parquet(dest).orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    assert(new java.io.File(dest).listFiles()
+      .exists(f => f.getName.startsWith("lang=")))
+    // non-destructive: the source is untouched
+    assert(spark.read.parquet(src).count() == docs.count())
+  }
+
+  test("readEvolved merges snapshot schemas; old files null-fill new columns") {
+    import graft.sources.Sink
+    import spark.implicits._
+    val root = tmpDir("evolve")
+    // generation 1: (doc_id, text); generation 2 adds lang
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$root/gen1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$root/gen2")
+    val merged = Sink.readEvolved(spark, s"$root/gen1", s"$root/gen2")
+      .orderBy("doc_id").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(merged.map(r => Option(r.getAs[String]("lang"))).toSeq ==
+      Seq(None, None, Some("en")))
+  }
+
   test("zOrderColumn matches a reference Morton interleave bit-for-bit") {
     import spark.implicits._
     // quantizer inputs chosen so quantization is the identity: values

@@ -778,4 +778,39 @@ class StreamingSpec extends SparkSpec {
       assert(batch("b")._1 == 6)      // sub-saturation: the sample IS b
     } finally q.stop()
   }
+
+  test("streaming drift monitor replays the batch c12 PSI exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // block parity: every source lands in BOTH snapshots (plain doc_id
+    // parity correlates perfectly with the fixture's source assignment)
+    val refSnap = docs.where(expr("(doc_id div 20) % 2") === 0)
+    val liveSnap = docs.where(expr("(doc_id div 20) % 2") === 1)
+    // stream the live snapshot in two triggers
+    val rows = liveSnap.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (t1, t2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val out = Streaming.streamingDriftMonitor(spark,
+      in.toDF().toDF("doc_id", "source", "text"), refSnap)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("drift").start()
+    try {
+      in.addData(t1.toSeq: _*); q.processAllAvailable()
+      in.addData(t2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("drift").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getString(4))))
+        .groupBy(_._1).map { case (s, snaps) => s -> snaps.last._2 }
+      // after the stream drains, each source's row equals the batch
+      // monitor over the same two snapshots — binning and PSI arithmetic
+      // are shared definitions, so this is exact, not approximate
+      val batch = graft.operators.Curation
+        .driftMonitorOf(refSnap, liveSnap).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getString(5)))).toMap
+      assert(got.keySet == batch.keySet)
+      for ((s, b) <- batch) assert(got(s) == b, s"source $s: ${got(s)} vs $b")
+    } finally q.stop()
+  }
 }
