@@ -552,4 +552,56 @@ object Sampling {
       .select("doc_id", "lang", "split", "kept")
       .orderBy("doc_id")
   }
+
+  /** sp14 — PREFERENCE-PAIR construction: per source, pair the i-th best
+    * document with the i-th worst (rank-symmetric pairing by quality),
+    * keeping pairs whose quality margin clears a floor — the
+    * (chosen, rejected) dataset a reward model trains on, built
+    * deterministically from a scored corpus (no sampling noise: the pair
+    * set is a pure data property, re-runs and engines agree exactly).
+    * Rank-symmetric pairing maximizes the summed margin over all perfect
+    * matchings of top-half to bottom-half (sorted-sequence pairing), so
+    * the pairs are the most-informative ones this corpus can yield.
+    *
+    * Scale shape: the per-source quality rank is the sp10/sp11 two-level
+    * trick, NOT a per-source window over the corpus (a single task
+    * buffering a billion-document crawl source is the hazard): within-
+    * (source, score) windows run parallel across score bins, cross-bin
+    * offsets come from a (source, score)-cardinality frame (≤ sources ×
+    * 1001 rounded scores) that BROADCASTS onto the scan; the final
+    * top↔bottom match is an equi-join on (source, pair index). */
+  def sp14PreferencePairs(spark: SparkSession, dir: String): DataFrame =
+    preferencePairsOf(t(spark, dir, "documents"), minMargin = 0.001)
+
+  /** Library surface: rank-symmetric preference pairs over ANY
+    * (doc_id, source, text) frame. */
+  def preferencePairsOf(docs: DataFrame, minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.quality(col("text")).as("q"))
+    val cnt = scored.groupBy("source", "q").agg(count(lit(1)).as("__n"))
+    val off = cnt.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.partitionBy("source")
+        .orderBy(col("q").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("q"), col("__off"))
+    val tot = cnt.groupBy("source").agg(sum("__n").as("__tot"))
+    val ranked = scored
+      .join(broadcast(off), Seq("source", "q"))
+      .withColumn("rk", col("__off") + row_number().over(
+        Window.partitionBy("source", "q").orderBy("doc_id")))
+      .join(broadcast(tot), "source")
+    val top = ranked.where(col("rk") <= floor(col("__tot") / 2))
+      .select(col("source"), col("rk").as("i"),
+        col("doc_id").as("chosen_id"), col("q").as("q_chosen"))
+    val bot = ranked
+      .select(col("source"), (col("__tot") - col("rk") + 1).as("i"),
+        col("doc_id").as("rejected_id"), col("q").as("q_rejected"))
+    top.join(bot, Seq("source", "i"))
+      .withColumn("margin", round(col("q_chosen") - col("q_rejected"), 3))
+      .where(col("margin") >= minMargin)
+      .select(col("source"), col("i"), col("chosen_id"),
+        col("rejected_id"), col("margin"))
+      .orderBy("source", "i")
+  }
 }

@@ -1442,4 +1442,49 @@ object Similarity {
       .select(col("label"), col("n"), col("centroid_norm2"))
       .orderBy("label")
   }
+
+  /** ss16 — TRUNCATED-PREFIX candidate search + exact re-rank (the
+    * matryoshka / MRL serving trick, Kusupati et al. 2022): score the
+    * corpus with only the FIRST 32 of 64 dimensions (MRL-trained
+    * embeddings concentrate signal in the prefix), keep a candidate pool
+    * a few times k, then re-rank candidates with the full vector — the
+    * top-k is exact over the pool, approximation lives only in recall.
+    * This is the third member of the "cheap scan, exact re-rank" family
+    * (ss11 re-ranks PQ candidates, ss14 LSH candidates) and the one that
+    * needs NO index at all: the cheap pass is a plain scan at half the
+    * FLOPs — and at 100 TB the prefix should be PERSISTED as its own
+    * column, so parquet column pruning halves the scanned BYTES too (the
+    * same reason c-store layouts win: the wide column is read only for
+    * the ≤ `candidates` pool rows). Candidate selection plans as
+    * TakeOrderedAndProject (per-partition top-C heaps, driver merge of
+    * C-row lists — bounded at any corpus size). */
+  def ss16TruncatedRerank(spark: SparkSession, dir: String): DataFrame =
+    truncatedRerankOf(t(spark, dir, "embeddings"), queryId = 0L,
+      prefixDims = 32, candidates = 30, k = 10)
+
+  /** Library surface over ANY (id, vector) frame. `prefixDims` is the
+    * cheap-pass width; `candidates` the pool the exact pass re-ranks. */
+  def truncatedRerankOf(vecs: DataFrame, queryId: Long, prefixDims: Int,
+      candidates: Int, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(prefixDims >= 1 && candidates >= k && k >= 1,
+      s"prefixDims=$prefixDims candidates=$candidates k=$k")
+    val qv = vecs.select(col(idCol).as("vec_id"),
+      quantizedOf(col(vecCol)).as("q"))
+      .withColumn("qp", slice(col("q"), 1, prefixDims))
+    val query = qv.where(col("vec_id") === queryId)
+      .select(col("q").as("qq"), col("qp").as("qqp"))
+    val cand = qv.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("q"), col("qq"),
+        dotLong(col("qp"), col("qqp")).as("prefix_dot"))
+      .orderBy(col("prefix_dot").desc, col("vec_id"))
+      .limit(candidates)
+    cand
+      .select(col("vec_id"), dotLong(col("q"), col("qq")).as("dot"),
+        col("prefix_dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
 }

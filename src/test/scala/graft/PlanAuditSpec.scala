@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     // ss15's broadcast side is the ONE-row query vector (ss06's shape;
     // the filtered postings join is a keyed equi-join, not BNLJ)
     "ss15_filtered_ann",
+    // ss16's broadcast side is the ONE-row (full + prefix) query vector —
+    // bounded at any corpus size; the cheap pass is a plain scan
+    "ss16_truncated_rerank",
     // c11's broadcast side is the ONE-row corpus count for the
     // per-mille share column (the fp census joins by key)
     "c11_dataset_card")
