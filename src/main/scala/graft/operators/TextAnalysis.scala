@@ -866,6 +866,87 @@ object TextAnalysis {
         size(col("__b")).cast("long").as("n_tokens") +: fCols: _*)
   }
 
+  /** t27 — linear-probe classifier TRAINING (full-batch gradient descent,
+    * squared loss, integer-quantized weights): the TRAIN step that turns
+    * t23's hashed features into the kind of learned weight vector t15
+    * scores with — the missing middle of the featurize→train→infer arc
+    * (fastText-style quality filters are trained exactly this way, just
+    * bigger). Labels come from the stopword-ratio gate (y = 1 iff
+    * 10·n_stop ≥ n_tok — all-integer, so label assignment is exact in
+    * any engine); features are PRESENCE bits of t23's 16 hashed buckets
+    * (same `md5("feat:"+token) mod width` mapping, so a model trained
+    * here scores t23 vectors with zero re-featurization).
+    *
+    * Determinism is the whole design: weights live in integer
+    * micro-units (×10⁶), every gradient is a sum of integer terms
+    * (order-independent — the cross-engine recipe every float-summing
+    * operator here follows), and the learning-rate divide is
+    * truncate-toward-zero in both engines (the oracle emulates Scala's
+    * `/` on negatives with a negate-floor-negate). The declared output
+    * is the per-dimension weight TRAJECTORY (w after each of 3
+    * iterations) — a hash-exact assertion that two engines ran the same
+    * optimization, which a float-loss plot could never give you.
+    *
+    * Scale shape: the featurized frame (y, present-dims array) pins
+    * once; each iteration is ONE map-only pass (the prediction is
+    * `aggregate` over the dims array against the BROADCAST 16-entry
+    * weight literal — no join, no per-doc shuffle) feeding a 16-cell
+    * map-side-combined gradient aggregation; the driver holds 16 longs
+    * of model state, never data. Full-batch GD at 100 TB is therefore
+    * iters × (scan + 16-cell shuffle) — the same bill as iters runs of
+    * t09's census, and the reason this shape (not SGD, whose sampled
+    * order is engine-private) is the distributed-training baseline.
+    * η = 1/(8N): presence rows bound the Gram spectral norm by
+    * width·N = 16N, so 1/(8N) < 2/λmax is stable by construction.
+    * Gradient magnitudes bound at ~17·10⁶·N ≈ 2⁶⁴/10⁵ at even a
+    * trillion docs — no overflow headroom worries. */
+  def t27LinearProbe(spark: SparkSession, dir: String): DataFrame =
+    linearProbeOf(t(spark, dir, "documents"), width = 16, iters = 3)
+
+  /** Library surface: train a linear probe over ANY (id, text) frame
+    * against the stopword-gate label. Returns one row per feature dim
+    * with the weight after each iteration (micro-units). */
+  def linearProbeOf(docs: DataFrame, width: Int, iters: Int,
+      textCol: String = "text"): DataFrame = {
+    require(width >= 2 && width <= 64, s"width: $width")
+    require(iters >= 1 && iters <= 8, s"iters: $iters")
+    val S = 1000000L
+    val spark = docs.sparkSession
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val feat = docs.select(
+      when(countIn(ws, stopwords) * 10 >= size(ws), 1L).otherwise(0L)
+        .as("y"),
+      array_distinct(transform(ws, w =>
+        (graft.functions.Hashing.md5Long(concat(lit("feat:"), w), 15)
+          % width).cast("int"))).as("dims"))
+      .transform(graft.Materialize.pin)
+    val n = feat.count()
+    val div = 8L * n
+    var w = Array.fill(width)(0L)
+    val traj = (1 to iters).map { _ =>
+      val wLit = array(w.map(lit): _*)
+      // residual r = Σ_d w[d]·x_d − S·y as a pure map expression (the
+      // weight vector is a broadcast literal); gradient g_d = Σ_docs r
+      // over docs where dim d is present — a width-cell aggregation
+      val g = feat
+        .select(col("dims"), (aggregate(col("dims"), lit(0L),
+          (acc, d) => acc + element_at(wLit, d + 1)) - lit(S) * col("y"))
+          .as("r"))
+        .select(explode(col("dims")).as("dim"), col("r"))
+        .groupBy("dim").agg(sum("r").as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = Array.tabulate(width)(d => w(d) - g.getOrElse(d, 0L) / div)
+      w.clone()
+    }
+    import spark.implicits._
+    (0 until width).map(d =>
+        (d.toLong, traj.map(_(d)).toList))
+      .toDF("dim", "ws")
+      .select(col("dim") +: (1 to iters).map(i =>
+        element_at(col("ws"), i).as(s"w$i")): _*)
+      .orderBy("dim")
+  }
+
   /** S-stemmer (Harman 1991, "How effective is suffixing?") as a pure
     * codegen'd expression: three ordered plural-suffix rules —
     * `ies→y` (unless e/aies), `es→e` (unless a/e/oes), drop final `s`

@@ -1887,4 +1887,52 @@ class PipelinesSpec extends SparkSpec {
     assert(b1.length == 1)
     assert(f(1).getLong(2 + b1.head) >= 1)
   }
+
+  test("t27 linear probe: integer GD trajectory matches a local replay") {
+    import spark.implicits._
+    // tiny corpus with a clean label split: stopword-heavy docs (y=1)
+    // vs stopword-free docs (y=0)
+    val docs = Seq(
+      (1L, "the of and the is it the a"),
+      (2L, "the a of to and in is it"),
+      (3L, "quartz lattice phonon drift"),
+      (4L, "baryon flux entropy shear"),
+      (5L, "the quick brown fox"),
+      (6L, "gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val width = 8
+    val out = TextAnalysis.linearProbeOf(docs, width = width, iters = 3)
+      .orderBy("dim").collect()
+    assert(out.length == width)
+    assert(out.map(_.getLong(0)).toSeq == (0L until width.toLong))
+    // local replay of the exact integer arithmetic
+    def bucket(w: String): Int =
+      (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("feat:" + w)
+          .take(15), 16) % width).toInt
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it")
+    val rows = docs.collect().map { r =>
+      val ws = r.getString(1).toLowerCase.trim.split("\\s+").toSeq
+      val y = if (10 * ws.count(stop) >= ws.size) 1L else 0L
+      (y, ws.map(bucket).distinct)
+    }
+    val div = 8L * rows.length
+    var w = Array.fill(width)(0L)
+    val expect = (1 to 3).map { _ =>
+      val g = Array.fill(width)(0L)
+      rows.foreach { case (y, dims) =>
+        val r = dims.map(w(_)).sum - 1000000L * y
+        dims.foreach(d => g(d) += r)
+      }
+      w = Array.tabulate(width)(d => w(d) - g(d) / div)
+      w.clone()
+    }
+    (0 until width).foreach { d =>
+      assert((1 to 3).map(i => out(d).getLong(i)) == expect.map(_(d)),
+        s"dim $d trajectory")
+    }
+    // the probe learned SIGN structure: stopword-bucket weights grew
+    // positive (they predict y=1), and weights move across iterations
+    assert(expect.last.exists(_ > 0))
+    assert(expect.head.toSeq != expect.last.toSeq)
+  }
 }
