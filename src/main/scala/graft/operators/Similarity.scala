@@ -1462,6 +1462,93 @@ object Similarity {
     truncatedRerankOf(t(spark, dir, "embeddings"), queryId = 0L,
       prefixDims = 32, candidates = 30, k = 10)
 
+  /** ss17 — ANN RECALL@k AUDIT: for a panel of query vectors, compare the
+    * LSH index's top-k (ss03's two-table multi-probe candidates, exact
+    * re-rank) against the exact brute-force top-k, and report per-query
+    * candidate volume, hits, and recall — the index-quality gate a
+    * pipeline runs BEFORE swapping an approximate index into production
+    * (recall is a property of the index parameters on YOUR data; the
+    * published p-collision formulas only bound it). Deterministic
+    * hyperplanes make the audit itself engine-exact: the candidate sets,
+    * both top-k lists, and therefore the hit counts hash-match the
+    * oracle — recall measurement with no measurement noise.
+    *
+    * Scale shape: the query panel (5 rows here) broadcasts everywhere;
+    * the exact pass is panel×corpus dot products — embarrassingly
+    * parallel, and the per-query top-k is TWO-LEVEL (per-(query, shard)
+    * heads via a window over ~N/shards rows, then a final window over
+    * shards·k survivors) so NO task ever sorts a corpus-sized partition
+    * (the single-query ss01 gets this from TakeOrderedAndProject; a
+    * per-query window over the whole corpus would be the classic skew
+    * hazard). Candidate generation is ss03's broadcast probe-set
+    * equi-join, panel-wide: probes are |panel|·37·2 rows. The exact pass
+    * prices the audit at one full scan per panel — which is exactly what
+    * an audit is; run it on a sampled shard at 100 TB and the recall
+    * estimate inherits the sample's confidence, not the engine's. */
+  def ss17RecallAudit(spark: SparkSession, dir: String): DataFrame =
+    recallAuditOf(corpus(spark, dir), panel = 5, k = 10, shards = 64)
+
+  /** Library surface: recall audit over a quantized (vec_id, q, n2)
+    * frame; the panel is vec_ids [0, panel). */
+  def recallAuditOf(qv0: DataFrame, panel: Int, k: Int,
+      shards: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    import org.apache.spark.sql.expressions.Window
+    require(panel >= 1 && k >= 1 && shards >= 1, s"$panel/$k/$shards")
+    val qv = qv0
+      .withColumn("b1", hyperplaneBucket(0))
+      .withColumn("b2", hyperplaneBucket(8))
+      .transform(graft.Materialize.pin)
+    val queries = qv.where(col("vec_id") < panel)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"), col("b1").as("qb1"), col("b2").as("qb2"))
+    val cosCol = round(dotLong(col("q"), col("qq")).cast("double") /
+      sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
+    // two-level per-query top-k: no corpus-sized window partition
+    def topK(scored: DataFrame): DataFrame = {
+      val w1 = Window.partitionBy("qid", "shard")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val w2 = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("shard", pmod(col("vec_id"), lit(shards)))
+        .withColumn("r1", row_number().over(w1)).where(col("r1") <= k)
+        .withColumn("r2", row_number().over(w2)).where(col("r2") <= k)
+        .select("qid", "vec_id")
+    }
+    val exactK = topK(qv.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosCol.as("cos")))
+    // ss03's multi-probe candidates, panel-wide: probe frames broadcast
+    def tableCand(bucketCol: String, queryBucket: String): DataFrame = {
+      val probes = queries.select(col("qid"),
+        explode(probeSet(col(queryBucket))).as(bucketCol))
+      qv.join(broadcast(probes), Seq(bucketCol))
+        .where(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id")
+    }
+    val cand = tableCand("b1", "qb1").unionAll(tableCand("b2", "qb2"))
+      .distinct()
+      .transform(graft.Materialize.pin)
+    val approxK = topK(cand
+      .join(qv.select(col("vec_id"), col("q"), col("n2")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("qid"), col("qq"), col("qn2"))),
+        Seq("qid"))
+      .select(col("qid"), col("vec_id"), cosCol.as("cos")))
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val hits = exactK.join(approxK, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    queries.select(col("qid"))
+      .join(nCand, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        // ≤ 100·k in the numerator — exact in double, truncate to long
+        ((coalesce(col("hits"), lit(0L)) * lit(100L)) / lit(k))
+          .cast("long").as("recall_pct"))
+      .orderBy("qid")
+  }
+
   /** Library surface over ANY (id, vector) frame. `prefixDims` is the
     * cheap-pass width; `candidates` the pool the exact pass re-ranks. */
   def truncatedRerankOf(vecs: DataFrame, queryId: Long, prefixDims: Int,

@@ -1888,6 +1888,36 @@ class PipelinesSpec extends SparkSpec {
     assert(f(1).getLong(2 + b1.head) >= 1)
   }
 
+  test("ss17 recall audit: planted duplicates audit at 100, shard-invariant") {
+    import spark.implicits._
+    import graft.functions.ArrayDot.dotLong
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Long] = Seq.fill(64)(rnd.nextInt(2001) - 1000L)
+    val queries = (0 until 3).map(i => (i.toLong, vec()))
+    // 12 exact copies of each query (cos = 1.0 — same bucket in every
+    // hyperplane table by construction), plus 50 unrelated vectors
+    val copies = for {
+      (qid, v) <- queries; j <- 0 until 12
+    } yield (100L + qid * 100 + j, v)
+    val noise = (0 until 50).map(i => (1000L + i, vec()))
+    val qv = (queries ++ copies ++ noise).toDF("vec_id", "q")
+      .withColumn("n2", dotLong(col("q"), col("q")))
+    val out = Similarity.recallAuditOf(qv, panel = 3, k = 10, shards = 8)
+      .orderBy("qid").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(2) == 10L, s"hits for qid ${r.getLong(0)}")
+      assert(r.getLong(3) == 100L)
+    }
+    // the two-level top-k is an implementation detail: shard count must
+    // not change the audit (global top-k ⊆ union of per-shard top-ks)
+    val s1 = Similarity.recallAuditOf(qv, panel = 3, k = 10, shards = 1)
+      .orderBy("qid").collect().toSeq
+    val s7 = Similarity.recallAuditOf(qv, panel = 3, k = 10, shards = 7)
+      .orderBy("qid").collect().toSeq
+    assert(s1 == s7)
+  }
+
   test("t27 linear probe: integer GD trajectory matches a local replay") {
     import spark.implicits._
     // tiny corpus with a clean label split: stopword-heavy docs (y=1)

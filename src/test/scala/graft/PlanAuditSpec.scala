@@ -60,6 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     // ss16's broadcast side is the ONE-row (full + prefix) query vector —
     // bounded at any corpus size; the cheap pass is a plain scan
     "ss16_truncated_rerank",
+    // ss17's broadcast side is the QUERY PANEL (5 rows) — the exact pass
+    // is panel×corpus by definition of a recall audit; candidate joins
+    // are keyed equi-joins on the bucket id
+    "ss17_recall_audit",
     // c11's broadcast side is the ONE-row corpus count for the
     // per-mille share column (the fp census joins by key)
     "c11_dataset_card")
