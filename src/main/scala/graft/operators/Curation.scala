@@ -511,4 +511,75 @@ object Curation {
           .otherwise("stable"))
       .orderBy("source")
   }
+
+  /** c13 — EMBEDDING-SPACE drift monitor: c12 watches scalar feature
+    * histograms; this watches the embedding DISTRIBUTION itself — the
+    * signal that catches "the new crawl looks the same in length/quality
+    * but talks about different things" (or: the embedding model was
+    * silently swapped). Per LSH cell (the deterministic 8-hyperplane
+    * bucket shared with ss03 — 256 cells, engine-exact), two snapshots
+    * are compared on (a) population share and (b) the DIRECTION of the
+    * cell's mean vector: cos(Σ_A q, Σ_B q) — cosine is scale-invariant,
+    * so the sum IS the mean for direction purposes, and integer sums are
+    * order-independent (only the final cosine is a rounded double, the
+    * ss01 recipe). Verdicts: cells that appear/disappear ("new"/"gone"),
+    * rotate (cos < 0.99) or shift share (> 2‰) → "drift".
+    *
+    * Scale shape: ONE map pass per snapshot (bucket + posexplode) into a
+    * (cell, dim)-keyed aggregation of cardinality ≤ 256·64 — map-side
+    * combined, so wire bytes are fixed regardless of corpus size; the
+    * spine/join/verdict all operate on ≤ 256-row frames. Per-side ‰
+    * shares use integer division (n·1000 div N) — exact and portable.
+    * Integer-exactness bound: |q|≤~1000 ⇒ component sums stay exact to
+    * ~9·10¹⁵ rows/cell, but sa·sb in the cosine needs n/cell ≲ 3·10⁶ —
+    * beyond that, rescale the sums (e.g. div 1024) before the cosine;
+    * direction is scale-invariant so the verdict is unchanged. */
+  def c13EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.quantizedOf(col("embedding")).as("q"))
+    embeddingDriftOf(emb.where(expr("(vec_id div 20) % 2") === 0),
+      emb.where(expr("(vec_id div 20) % 2") === 1))
+  }
+
+  /** Library surface: embedding drift between ANY two (vec_id, q) frames
+    * (q = int64-quantized vector, the Similarity contract). */
+  def embeddingDriftOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    def cellSums(snap: DataFrame): DataFrame = snap
+      .withColumn("cell", Similarity.hyperplaneBucket(0))
+      .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("cell", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val a = cellSums(snapA)
+    val b = cellSums(snapB)
+    val j = a.withColumnsRenamed(Map("s" -> "sa", "n" -> "na"))
+      .join(b.withColumnsRenamed(Map("s" -> "sb", "n" -> "nb")),
+        Seq("cell", "i"), "full_outer")
+      .na.fill(0L, Seq("sa", "sb", "na", "nb"))
+    val g = j.groupBy("cell").agg(
+      max("na").as("n_a"), max("nb").as("n_b"),
+      sum(col("sa") * col("sb")).as("dot"),
+      sum(col("sa") * col("sa")).as("a2"),
+      sum(col("sb") * col("sb")).as("b2"))
+    // snapshot totals: a ≤ 256-row aggregate, broadcast by construction
+    val tot = g.agg(sum("n_a").cast("long").as("ta"),
+      sum("n_b").cast("long").as("tb"))
+    val cos = when(col("a2") > 0 && col("b2") > 0,
+      round(col("dot").cast("double") /
+        sqrt(col("a2").cast("double") * col("b2").cast("double")), 4))
+    g.crossJoin(broadcast(tot))
+      .withColumn("cos_shift", cos)
+      .withColumn("dshare_permille",
+        abs(expr("n_a * 1000 div ta") - expr("n_b * 1000 div tb"))
+          .cast("long"))
+      .withColumn("verdict",
+        when(col("n_a") === 0, "new").when(col("n_b") === 0, "gone")
+          .when(col("cos_shift").isNull || col("cos_shift") < 0.99 ||
+            col("dshare_permille") > 2, "drift")
+          .otherwise("stable"))
+      .select(col("cell"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("cos_shift"),
+        col("dshare_permille"), col("verdict"))
+      .orderBy("cell")
+  }
 }

@@ -959,6 +959,83 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q44 — FREQUENCY SKETCH (count-min) + heavy-hitter audit: the
+    * frequency member of the sketch family (q40 distinct, q42 quantiles,
+    * q41/q43 algebra). "How often does key X occur?" answered exactly
+    * needs a full per-key shuffle — at 100 TB the key shuffle IS the
+    * query, and the answer for the 10⁹-key tail is noise anyway. A
+    * count-min sketch is a d×w grid of plain SUMS: one map (d cell ids
+    * per row) + a ≤ d·w-cell map-side-combined aggregation, so the wire
+    * bytes are d·w counters regardless of key cardinality, and two
+    * sketches merge by element-wise ADDITION (associative/commutative —
+    * the same persisted-state pattern as q41/q43, asserted in the spec:
+    * per-type sketches summed cell-wise ≡ the one-pass corpus sketch).
+    * Estimate for a key = MIN over its d cells; collisions only ADD, so
+    * est ≥ exact always (one-sided error — asserted). Because every
+    * counter is an order-independent integer SUM over SHARED md5 cell
+    * hashes, the sketch — and hence the estimates — are bit-identical in
+    * Spark and DuckDB; unlike CountSketch/HLL whose layouts are
+    * engine-private, this one hash-matches an oracle.
+    *
+    * The declared query builds the sketch over event user_ids, then
+    * audits it against the exact top-10 heavy hitters (exact pass = the
+    * audit's honest price, as in ss17's recall audit): output
+    * (user_id, n_exact, cms_estimate). The probe join broadcasts the
+    * 10-row probe set against the d·w-row sketch — no corpus-sized side
+    * anywhere past the one build scan. */
+  def q44CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyHittersOf(
+      t(spark, dir, "events").where(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("key")),
+      depth = 4, width = 1024, topK = 10)
+
+  /** THE shared cell definition: row r's cell for a key (shared md5
+    * recipe — what makes the sketch a pure data property both engines
+    * compute identically). */
+  private def cmsCell(r: Int, key: Column, width: Int): Column =
+    graft.functions.Hashing.md5Long(
+      concat(lit(s"cms$r:"), key), 15) % width
+
+  /** Library surface: the count-min sketch itself — a (r, cell, cnt)
+    * frame of ≤ depth·width rows over ANY `key` STRING frame. Counters
+    * are plain sums, so two sketches over disjoint row sets merge by
+    * unioning and re-summing per (r, cell) — asserted ≡ the one-pass
+    * sketch in KmvSpec; persist per-partition-unit sketch frames and
+    * answer frequency queries forever without rescanning raw rows
+    * (q41/q43's pattern, frequency edition). */
+  def cmsSketchOf(keys: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"$depth/$width")
+    keys
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsCell(r, col("key"), width).as("cell"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Library surface: CMS heavy-hitter audit over ANY single-column
+    * (`key` STRING) frame. Build and probe share one cell definition. */
+  def cmsHeavyHittersOf(keys: DataFrame, depth: Int, width: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"$topK")
+    def cell(r: Int, c: Column): Column = cmsCell(r, c, width)
+    val sketch = cmsSketchOf(keys, depth, width)
+    // audit probes: the exact top-k keys (full key shuffle — the audit's
+    // price, run on a sampled shard at corpus scale)
+    val probes = keys.groupBy("key").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key")).limit(topK)
+    val probeCells = probes.select(col("key"), col("n_exact"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cell(r, col("key")).as("cell"))): _*))
+        .as("rc"))
+      .select(col("key"), col("n_exact"),
+        col("rc.r").as("r"), col("rc.cell").as("cell"))
+    sketch.join(broadcast(probeCells), Seq("r", "cell"))
+      .groupBy("key", "n_exact")
+      .agg(min("cnt").as("cms_estimate"))
+      .orderBy(col("n_exact").desc, col("key"))
+  }
+
   /** Library surface: SCD2 interval reconstruction over ANY change frame
     * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
     * (already-numeric) change time, `seqCol` the deterministic
@@ -1061,6 +1138,8 @@ object Relational {
       "WITH h AS (SELECT event_type, value, CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rk FROM h), s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_held, list_sort(list(value)) AS vs FROM rk WHERE rk <= 128 GROUP BY 1) SELECT event_type, n_held, vs[greatest(1, CAST(ceil(0.25 * n_held) AS BIGINT))] AS p25, vs[greatest(1, CAST(ceil(0.50 * n_held) AS BIGINT))] AS p50, vs[greatest(1, CAST(ceil(0.75 * n_held) AS BIGINT))] AS p75, vs[greatest(1, CAST(ceil(0.90 * n_held) AS BIGINT))] AS p90 FROM s ORDER BY event_type",
     "q43_incremental_rollup" ->
       "WITH e AS (SELECT event_type, user_id, event_id, value, CAST(ROUND(value * 100) AS BIGINT) AS cents, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hu, CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS he FROM events), agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents, MIN(value) AS min_v, MAX(value) AS max_v FROM e GROUP BY 1), sk AS (SELECT event_type, list_sort(list_distinct(list(hu)))[1:64] AS sk FROM e GROUP BY 1), samp AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY he, value) AS rk FROM e), vs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS held, list_sort(list(value)) AS vs FROM samp WHERE rk <= 64 GROUP BY 1) SELECT a.event_type, a.n, a.total_cents, a.min_v, a.max_v, CAST(CASE WHEN len(s.sk) < 64 THEN len(s.sk) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / s.sk[64]) AS BIGINT) END AS BIGINT) AS kmv_users, v.vs[greatest(1, CAST(ceil(0.50 * v.held) AS BIGINT))] AS p50 FROM agg a JOIN sk s USING (event_type) JOIN vs v USING (event_type) ORDER BY a.event_type",
+    "q44_cms_heavy_hitters" ->
+      "WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE user_id IS NOT NULL), cells AS (SELECT key, r.r AS r, CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || key), 1, 15)) AS BIGINT) % 1024 AS cell FROM k, unnest(range(0, 4)) r(r)), sk AS (SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, cell), probes AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact FROM k GROUP BY key ORDER BY n_exact DESC, key LIMIT 10), pc AS (SELECT p.key, p.n_exact, r.r AS r, CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || p.key), 1, 15)) AS BIGINT) % 1024 AS cell FROM probes p, unnest(range(0, 4)) r(r)) SELECT pc.key, pc.n_exact, MIN(s.cnt) AS cms_estimate FROM pc JOIN sk s ON s.r = pc.r AND s.cell = pc.cell GROUP BY pc.key, pc.n_exact ORDER BY pc.n_exact DESC, pc.key",
     "q39_scd2_history" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
@@ -1120,6 +1199,7 @@ object Relational {
     "q41_kmv_rollup" -> q41KmvRollup _,
     "q42_sample_quantiles" -> q42SampleQuantiles _,
     "q43_incremental_rollup" -> q43IncrementalRollup _,
+    "q44_cms_heavy_hitters" -> q44CmsHeavyHitters _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

@@ -31,13 +31,13 @@ import graft.sources.Tables.t
 object Similarity {
 
   /** Quantized vector: array<long> of round(x·1000). */
-  private def quantizedOf(c: Column): Column =
+  private[operators] def quantizedOf(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
   private def quantized: Column = quantizedOf(col("embedding"))
 
   /** Quantized corpus: (vec_id, q: array<long>, n2: |q|²). */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def corpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     t(spark, dir, "embeddings")
       .select(col("vec_id"), quantized.as("q"))
@@ -102,7 +102,7 @@ object Similarity {
     * w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48, planes j = `firstPlane`
     * to `firstPlane`+7. Different `firstPlane` values give independent hash
     * tables from the same formula. */
-  private def hyperplaneBucket(firstPlane: Int = 0, dims: Int = 64): Column = {
+  private[operators] def hyperplaneBucket(firstPlane: Int = 0, dims: Int = 64): Column = {
     import graft.functions.ArrayDot.dotLong
     val planes = (firstPlane until firstPlane + 8).map { j =>
       array((0 until dims).map(i =>

@@ -187,4 +187,38 @@ class KmvSpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 45.0)
   }
+
+  // ---- count-min frequency sketch (q44) ----
+
+  test("cms: estimates are one-sided (est >= exact) and find planted heavy hitters") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // zipfish: key i occurs ceil(600/i) times — k1 dominates
+    val rows = (1 to 200).flatMap(i => Seq.fill(600 / i + 1)(s"k$i"))
+    val keys = rows.toDF("key").repartition(16)
+    val out = Relational.cmsHeavyHittersOf(keys, depth = 4, width = 1024,
+      topK = 5).collect()
+    assert(out.length == 5)
+    assert(out.head.getString(0) == "k1" && out.head.getLong(1) == 601L)
+    // one-sided error: collisions only ADD counts
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}"))
+    // at width 1024 with ~200 keys the top estimate should be near-exact
+    assert(out.head.getLong(2) <= out.head.getLong(1) + 100)
+  }
+
+  test("cms algebra: sketches over disjoint halves sum cell-wise to the one-pass sketch") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val rows = (1 to 3000).map(i => (i, s"k${i % 97}"))
+    val df = rows.toDF("i", "key").repartition(16)
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      Relational.cmsSketchOf(d.select("key"), depth = 4, width = 64)
+    val direct = sk(df).orderBy("r", "cell").collect().toSeq
+    val merged = sk(df.where(col("i") % 2 === 0))
+      .unionByName(sk(df.where(col("i") % 2 === 1)))
+      .groupBy("r", "cell").agg(sum("cnt").cast("long").as("cnt"))
+      .orderBy("r", "cell").collect().toSeq
+    assert(merged == direct)
+  }
 }

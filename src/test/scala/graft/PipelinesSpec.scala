@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Sanity + algebraic properties of the training-data pipeline operators.
   * (Exact value-level correctness is covered by the DuckDB oracle gate —
@@ -1916,6 +1916,28 @@ class PipelinesSpec extends SparkSpec {
     val s7 = Similarity.recallAuditOf(qv, panel = 3, k = 10, shards = 7)
       .orderBy("qid").collect().toSeq
     assert(s1 == s7)
+  }
+
+  test("c13 embedding drift: identical snapshots stable; flipped corpus all moved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Long] = Seq.fill(64)(rnd.nextInt(2001) - 1000L)
+    val vs = (0 until 40).map(i => (i.toLong, vec()))
+    val a = vs.toDF("vec_id", "q")
+    val same = Curation.embeddingDriftOf(a, a).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getString(5) == "stable", r.toString)
+      assert(r.getDouble(3) == 1.0 && r.getLong(4) == 0L)
+    }
+    // negating every vector flips all 8 hyperplane signs: cell c → c^255.
+    // Every A-cell empties and its complement fills — nothing may read
+    // 'stable', and new/gone counts match by the c↔c^255 bijection
+    val b = vs.map { case (id, v) => (id, v.map(-_)) }.toDF("vec_id", "q")
+    val diff = Curation.embeddingDriftOf(a, b).collect()
+    assert(!diff.exists(_.getString(5) == "stable"))
+    assert(diff.count(_.getString(5) == "new") ==
+      diff.count(_.getString(5) == "gone"))
   }
 
   test("t27 linear probe: integer GD trajectory matches a local replay") {

@@ -66,7 +66,10 @@ class PlanAuditSpec extends SparkSpec {
     "ss17_recall_audit",
     // c11's broadcast side is the ONE-row corpus count for the
     // per-mille share column (the fp census joins by key)
-    "c11_dataset_card")
+    "c11_dataset_card",
+    // c13's broadcast side is the ONE-row snapshot-totals frame attached
+    // to the ≤ 256-row per-cell frame — both bounded at any corpus size
+    "c13_embedding_drift")
 
   test("no cartesian products anywhere; no unbounded nested-loop joins") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
