@@ -991,8 +991,9 @@ object Relational {
 
   /** THE shared cell definition: row r's cell for a key (shared md5
     * recipe — what makes the sketch a pure data property both engines
-    * compute identically). */
-  private def cmsCell(r: Int, key: Column, width: Int): Column =
+    * compute identically). Public: a consumer probing a PERSISTED sketch
+    * frame, and the streaming sibling, must use this one definition. */
+  def cmsCell(r: Int, key: Column, width: Int): Column =
     graft.functions.Hashing.md5Long(
       concat(lit(s"cms$r:"), key), 15) % width
 

@@ -715,6 +715,33 @@ object Streaming {
           struct(col("held"), col("kth")), k).as("kmv_estimate"))
   }
 
+  /** Streaming frequency sketch — the continuous form of batch q44: a
+    * live count-min sketch over everything seen across ALL triggers,
+    * refreshed in Update mode each micro-batch. Unlike streaming exact
+    * per-key counts (state grows with the true key cardinality — a
+    * 10⁹-key stream's state store IS the key table), CMS state is
+    * EXACTLY depth·width counters — fixed forever — and because cells
+    * ride [[graft.operators.Relational.cmsCell]] (the shared md5
+    * recipe) and counters are plain sums, the batch
+    * [[graft.operators.Relational.cmsSketchOf]] over the same rows
+    * yields the IDENTICAL sketch (backfill and live tail cannot
+    * disagree; asserted in StreamingSpec incl. checkpointed restart —
+    * counter state is sums, so exactly-once offset tracking is what
+    * keeps restart from double-counting). No watermark: cumulative
+    * counters never retract and state is bounded without TTL. Estimates
+    * read MIN over a key's depth cells from the sink table — one cell
+    * definition, no streaming copy. */
+  def streamingCmsSketch(df: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"$depth/$width")
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          graft.operators.Relational.cmsCell(r, col(keyCol), width)
+            .as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-group bottom-k-by-hash SAMPLE state (public: state-store codegen
     * instantiates it): parallel hash/value arrays of the ≤ k
     * lexicographically-smallest (hash, value) pairs — 16·k bytes, bounded

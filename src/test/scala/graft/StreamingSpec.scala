@@ -700,6 +700,47 @@ class StreamingSpec extends SparkSpec {
         s"${latest.toMap} vs $want")
   }
 
+  test("streaming CMS sketch: checkpointed restart neither drops nor double-counts") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Relational
+    val (depth, width) = (3, 16)
+    val srcDir = tmpDir("cms_src")
+    val ckpt = tmpDir("cms_ckpt")
+    val schema = StructType(Seq(StructField("key", StringType)))
+    def writeFile(name: String, keys: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, name),
+        keys.map(k => s"""{"key":"$k"}""").mkString("\n").getBytes("UTF-8"))
+    // CMS counters are SUMS: a restart that re-read an offset would
+    // double-count, one that lost state would under-count — the cell-for-
+    // cell batch match after restart proves exactly-once on both sides
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    def run() =
+      Streaming.streamingCmsSketch(
+        spark.readStream.schema(schema).json(srcDir), "key", depth, width)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            cells((r.getInt(0), r.getLong(1))) = r.getLong(2))
+        }.start()
+    val t1 = Seq("a", "b", "a", "c", "a")
+    writeFile("b1.json", t1)
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    val t2 = Seq("a", "b", "d", "a")
+    writeFile("b2.json", t2)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    import spark.implicits._
+    val want = Relational.cmsSketchOf(
+        (t1 ++ t2).toDF("key"), depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.toMap == want,
+      s"restarted streaming sketch != batch sketch: ${cells.toMap} vs $want")
+    // fixed-state invariant: the sketch never exceeds depth*width cells
+    assert(cells.size <= depth * width)
+  }
+
   test("streaming KMV distinct: batch-sketch parity across triggers, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.KmvMinK
