@@ -1037,6 +1037,58 @@ object Relational {
       .orderBy(col("n_exact").desc, col("key"))
   }
 
+  /** q45 — SKETCH-BASED SET OVERLAP: per event type, how much do the
+    * even-day and odd-day user populations overlap — answered from two
+    * stored KMV sketch ARRAYS alone. This is the question behind "what
+    * fraction of tonight's crawl is already in the corpus" and "how many
+    * users return": exactly it needs a set-intersection JOIN (at 100 TB,
+    * a full co-shuffle of both key sets); from sketches it needs k longs
+    * per side, because KMV composes: the k smallest hashes of A∪B are a
+    * subset of ska ∪ skb (each side's k smallest), so the union sketch —
+    * and through inclusion-exclusion |A∩B| ≈ |A|+|B|−|A∪B| — derives
+    * from the two STORED arrays with zero raw-row access. Persist q41's
+    * per-snapshot sketch columns and every pairwise overlap question is
+    * answerable forever at O(k) cost. Estimator arithmetic is the shared
+    * q40 formula (double in exactly the same shape both engines, then
+    * rounded to long; ‰ by integer division), so the whole report —
+    * estimates included — hash-matches the oracle. The exact
+    * intersection rides along to keep the error visible (q40's
+    * contract); the estimate columns are the product. */
+  def q45SketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    import graft.functions.KmvMinK
+    val e = t(spark, dir, "events").where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("((ts DIV 1000) div 86400000000) % 2").as("snap"),
+        graft.functions.Hashing.md5Long(
+          concat(lit("u:"), col("user_id").cast("string")), 15).as("h"))
+    val sk = e.groupBy("event_type").agg(
+      KmvMinK.kmvMinKSet(when(col("snap") === 0, col("h")), k).as("ska"),
+      KmvMinK.kmvMinKSet(when(col("snap") === 1, col("h")), k).as("skb"))
+    // union sketch from the stored sketches alone — no raw-row access
+    val unionSk = slice(array_sort(array_union(col("ska"), col("skb"))),
+      1, k)
+    val est = sk.select(col("event_type"),
+        KmvMinK.estimateFromSet(col("ska"), k).as("n_a_est"),
+        KmvMinK.estimateFromSet(col("skb"), k).as("n_b_est"),
+        KmvMinK.estimateFromSet(unionSk, k).as("union_est"))
+      .withColumn("inter_est", greatest(lit(0L),
+        col("n_a_est") + col("n_b_est") - col("union_est")))
+      .withColumn("jaccard_permille",
+        when(col("union_est") > 0,
+          expr("inter_est * 1000 div union_est")).otherwise(lit(0L))
+          .cast("long"))
+    // exact reference: one (type, user) dedup agg + a per-type count
+    val exact = e.groupBy("event_type", "user_id").agg(
+        max(when(col("snap") === 0, 1).otherwise(0)).as("ia"),
+        max(when(col("snap") === 1, 1).otherwise(0)).as("ib"))
+      .where(col("ia") === 1 && col("ib") === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("n_inter_exact"))
+    est.join(exact, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_inter_exact"))
+      .orderBy("event_type")
+  }
+
   /** Library surface: SCD2 interval reconstruction over ANY change frame
     * — `keyCol` the entity, `stateCol` the tracked attribute, `tsCol` the
     * (already-numeric) change time, `seqCol` the deterministic
@@ -1141,6 +1193,8 @@ object Relational {
       "WITH e AS (SELECT event_type, user_id, event_id, value, CAST(ROUND(value * 100) AS BIGINT) AS cents, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hu, CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS he FROM events), agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents, MIN(value) AS min_v, MAX(value) AS max_v FROM e GROUP BY 1), sk AS (SELECT event_type, list_sort(list_distinct(list(hu)))[1:64] AS sk FROM e GROUP BY 1), samp AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY he, value) AS rk FROM e), vs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS held, list_sort(list(value)) AS vs FROM samp WHERE rk <= 64 GROUP BY 1) SELECT a.event_type, a.n, a.total_cents, a.min_v, a.max_v, CAST(CASE WHEN len(s.sk) < 64 THEN len(s.sk) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / s.sk[64]) AS BIGINT) END AS BIGINT) AS kmv_users, v.vs[greatest(1, CAST(ceil(0.50 * v.held) AS BIGINT))] AS p50 FROM agg a JOIN sk s USING (event_type) JOIN vs v USING (event_type) ORDER BY a.event_type",
     "q44_cms_heavy_hitters" ->
       "WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE user_id IS NOT NULL), cells AS (SELECT key, r.r AS r, CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || key), 1, 15)) AS BIGINT) % 1024 AS cell FROM k, unnest(range(0, 4)) r(r)), sk AS (SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, cell), probes AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact FROM k GROUP BY key ORDER BY n_exact DESC, key LIMIT 10), pc AS (SELECT p.key, p.n_exact, r.r AS r, CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || p.key), 1, 15)) AS BIGINT) % 1024 AS cell FROM probes p, unnest(range(0, 4)) r(r)) SELECT pc.key, pc.n_exact, MIN(s.cnt) AS cms_estimate FROM pc JOIN sk s ON s.r = pc.r AND s.cell = pc.cell GROUP BY pc.key, pc.n_exact ORDER BY pc.n_exact DESC, pc.key",
+    "q45_sketch_overlap" ->
+      "WITH e AS (SELECT event_type, user_id, (epoch_us(ts) // 86400000000) % 2 AS snap, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events WHERE user_id IS NOT NULL), sk AS (SELECT event_type, list_sort(list_distinct(COALESCE(list(h) FILTER (snap = 0), CAST([] AS BIGINT[]))))[1:64] AS a, list_sort(list_distinct(COALESCE(list(h) FILTER (snap = 1), CAST([] AS BIGINT[]))))[1:64] AS b FROM e GROUP BY 1), est AS (SELECT event_type, CASE WHEN len(a) < 64 THEN CAST(len(a) AS BIGINT) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / a[64]) AS BIGINT) END AS n_a_est, CASE WHEN len(b) < 64 THEN CAST(len(b) AS BIGINT) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / b[64]) AS BIGINT) END AS n_b_est, CASE WHEN len(list_sort(list_distinct(a || b))[1:64]) < 64 THEN CAST(len(list_sort(list_distinct(a || b))[1:64]) AS BIGINT) ELSE CAST(ROUND(63 * 1.152921504606846976e18 / (list_sort(list_distinct(a || b))[1:64])[64]) AS BIGINT) END AS union_est FROM sk), est2 AS (SELECT event_type, n_a_est, n_b_est, union_est, GREATEST(CAST(0 AS BIGINT), n_a_est + n_b_est - union_est) AS inter_est FROM est), est3 AS (SELECT *, CASE WHEN union_est > 0 THEN inter_est * 1000 // union_est ELSE CAST(0 AS BIGINT) END AS jaccard_permille FROM est2), fl AS (SELECT event_type, user_id, MAX(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS ia, MAX(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS ib FROM e GROUP BY 1, 2), ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM fl WHERE ia = 1 AND ib = 1 GROUP BY 1) SELECT e3.event_type, e3.n_a_est, e3.n_b_est, e3.union_est, e3.inter_est, e3.jaccard_permille, COALESCE(ex.n_inter_exact, CAST(0 AS BIGINT)) AS n_inter_exact FROM est3 e3 LEFT JOIN ex USING (event_type) ORDER BY e3.event_type",
     "q39_scd2_history" ->
       "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events), x AS (SELECT user_id, event_type, tsu, event_id, row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - row_number() OVER (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS isl FROM e), runs AS (SELECT user_id, event_type, isl, MIN(tsu) AS valid_from, COUNT(*) AS n_events FROM x GROUP BY user_id, event_type, isl), fin AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to, n_events FROM runs) SELECT user_id, event_type, valid_from, valid_to, n_events, valid_to IS NULL AS is_current FROM fin ORDER BY user_id, valid_from, event_type",
     "q30_region_rollup" ->
@@ -1201,6 +1255,7 @@ object Relational {
     "q42_sample_quantiles" -> q42SampleQuantiles _,
     "q43_incremental_rollup" -> q43IncrementalRollup _,
     "q44_cms_heavy_hitters" -> q44CmsHeavyHitters _,
+    "q45_sketch_overlap" -> q45SketchOverlap _,
     "q30_region_rollup" -> q30RegionRollup _,
     "q31_window_distribution" -> q31WindowDistribution _,
     "q32_moving_window" -> q32MovingWindow _,

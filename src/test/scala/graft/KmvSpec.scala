@@ -188,6 +188,29 @@ class KmvSpec extends SparkSpec {
     assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 45.0)
   }
 
+  test("kmv overlap: union-of-sketches == sketch-of-union; inclusion-exclusion lands") {
+    import spark.implicits._
+    // A = 1..3000, B = 2000..5000 — true |A∩B| = 1001, |A∪B| = 5000
+    def hashed(lo: Int, hi: Int) = (lo to hi).map(i => s"v$i").toDF("v")
+      .select(graft.functions.Hashing.md5Long(col("v"), 15).as("h"))
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(KmvMinK.kmvMinKSet(col("h"), K).as("s"))
+        .collect()(0).getSeq[Long](0)
+    val (ska, skb) = (sk(hashed(1, 3000)), sk(hashed(2000, 5000)))
+    // q45's claim: the k smallest of A∪B derive from the two stored
+    // arrays alone — no raw-row access
+    val fromStored = (ska ++ skb).distinct.sorted.take(K)
+    val direct = sk(hashed(1, 3000).unionAll(hashed(2000, 5000)))
+    assert(fromStored == direct)
+    def est(s: Seq[Long]): Long =
+      if (s.size < K) s.size
+      else math.round((K - 1).toDouble * 1.152921504606846976e18 / s.last)
+    val inter = est(ska) + est(skb) - est(fromStored)
+    // deterministic (fixed hash); inclusion-exclusion compounds three
+    // ±13% estimators, so allow a wide but non-vacuous band
+    assert(inter > 300 && inter < 1700, s"inter_est=$inter (true 1001)")
+  }
+
   // ---- count-min frequency sketch (q44) ----
 
   test("cms: estimates are one-sided (est >= exact) and find planted heavy hitters") {
