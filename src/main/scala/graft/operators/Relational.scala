@@ -1065,19 +1065,7 @@ object Relational {
     val sk = e.groupBy("event_type").agg(
       KmvMinK.kmvMinKSet(when(col("snap") === 0, col("h")), k).as("ska"),
       KmvMinK.kmvMinKSet(when(col("snap") === 1, col("h")), k).as("skb"))
-    // union sketch from the stored sketches alone — no raw-row access
-    val unionSk = slice(array_sort(array_union(col("ska"), col("skb"))),
-      1, k)
-    val est = sk.select(col("event_type"),
-        KmvMinK.estimateFromSet(col("ska"), k).as("n_a_est"),
-        KmvMinK.estimateFromSet(col("skb"), k).as("n_b_est"),
-        KmvMinK.estimateFromSet(unionSk, k).as("union_est"))
-      .withColumn("inter_est", greatest(lit(0L),
-        col("n_a_est") + col("n_b_est") - col("union_est")))
-      .withColumn("jaccard_permille",
-        when(col("union_est") > 0,
-          expr("inter_est * 1000 div union_est")).otherwise(lit(0L))
-          .cast("long"))
+    val est = overlapFromSketches(sk, k)
     // exact reference: one (type, user) dedup agg + a per-type count
     val exact = e.groupBy("event_type", "user_id").agg(
         max(when(col("snap") === 0, 1).otherwise(0)).as("ia"),
@@ -1087,6 +1075,28 @@ object Relational {
     est.join(exact, Seq("event_type"), "left")
       .na.fill(0L, Seq("n_inter_exact"))
       .orderBy("event_type")
+  }
+
+  /** Library surface: the q45 overlap arithmetic over ANY frame carrying
+    * `ska`/`skb` KMV sketch-array columns (other columns pass through;
+    * the sketch columns are consumed). The union sketch derives from the
+    * two STORED arrays alone — the composability claim asserted in
+    * KmvSpec — so callers can persist per-snapshot sketch columns and
+    * run every overlap report without re-touching raw rows. */
+  def overlapFromSketches(sk: DataFrame, k: Int): DataFrame = {
+    import graft.functions.KmvMinK
+    val unionSk = slice(array_sort(array_union(col("ska"), col("skb"))),
+      1, k)
+    sk.withColumn("n_a_est", KmvMinK.estimateFromSet(col("ska"), k))
+      .withColumn("n_b_est", KmvMinK.estimateFromSet(col("skb"), k))
+      .withColumn("union_est", KmvMinK.estimateFromSet(unionSk, k))
+      .withColumn("inter_est", greatest(lit(0L),
+        col("n_a_est") + col("n_b_est") - col("union_est")))
+      .withColumn("jaccard_permille",
+        when(col("union_est") > 0,
+          expr("inter_est * 1000 div union_est")).otherwise(lit(0L))
+          .cast("long"))
+      .drop("ska", "skb")
   }
 
   /** Library surface: SCD2 interval reconstruction over ANY change frame

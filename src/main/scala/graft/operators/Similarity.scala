@@ -31,7 +31,7 @@ import graft.sources.Tables.t
 object Similarity {
 
   /** Quantized vector: array<long> of round(x·1000). */
-  private[operators] def quantizedOf(c: Column): Column =
+  private[graft] def quantizedOf(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
   private def quantized: Column = quantizedOf(col("embedding"))

@@ -66,4 +66,31 @@ class ExamplesSpec extends SparkSpec {
       .filter(_.getName.startsWith("lang="))
     assert(langDirs.nonEmpty)
   }
+
+  test("CorpusReportExample: identical snapshots read clean; disjoint text is novel") {
+    import graft.examples.CorpusReportExample
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+    // same snapshot on both sides: drift must be zero, novelty must be
+    // zero (every fingerprint of B was seen in A)
+    val same = CorpusReportExample.nightlyReport(docs, docs, emb, emb)
+    same.scalarDrift.collect().foreach(r =>
+      assert(r.getAs[String]("verdict") == "stable", r.toString))
+    same.embeddingDrift.collect().foreach(r =>
+      assert(r.getAs[String]("verdict") == "stable", r.toString))
+    val n0 = same.novelty.collect()(0)
+    assert(n0.getAs[Long]("new_permille") == 0L)
+    assert(n0.getAs[Long]("jaccard_permille") == 1000L)
+    // disjoint halves: the novelty section must see mostly-new content
+    val a = docs.where(expr("(doc_id div 20) % 2") === 0)
+    val b = docs.where(expr("(doc_id div 20) % 2") === 1)
+    val ea = emb.where(expr("(vec_id div 20) % 2") === 0)
+    val eb = emb.where(expr("(vec_id div 20) % 2") === 1)
+    val split = CorpusReportExample.nightlyReport(a, b, ea, eb)
+    val n1 = split.novelty.collect()(0)
+    // block-parity halves share almost no exact text; the estimator is
+    // ±13% at k=64, so "mostly new" is the honest deterministic bound
+    assert(n1.getAs[Long]("new_permille") >= 700L,
+      s"expected mostly-novel, got ${n1.getAs[Long]("new_permille")}")
+  }
 }
