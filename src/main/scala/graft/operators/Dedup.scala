@@ -1145,4 +1145,42 @@ object Dedup {
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .orderBy(idCol)
   }
+
+  /** dd18 — INTRA-document repeated-passage scrub: dd15 removes passages
+    * repeated ACROSS documents; this removes passages a document repeats
+    * WITHIN itself (navigation chrome pasted between every section,
+    * template boilerplate, generator loops — the self-repetition t07
+    * measures but doesn't act on). Each passage survives at its FIRST
+    * occurrence in the document; later copies are cut from the rebuilt
+    * text. Chunking is the shared [[passageChunks]] definition, so
+    * dd07/dd15/dd18 agree on what a passage is.
+    *
+    * Scale shape: the decision needs nothing outside the row, so this is
+    * MAP-ONLY — zero shuffle at any corpus size (the presentation sort is
+    * the one exchange; PlanAuditSpec pins it). First-occurrence is an
+    * in-row `array_position` scan: O(chunks²) string compares per
+    * document, bounded by document size — for pathological megadocs,
+    * posexplode + a (doc_id, passage)-keyed min-index window is the
+    * document-bounded escape hatch (dd15's regroup shape). */
+  def dd18SelfScrub(spark: SparkSession, dir: String): DataFrame =
+    selfScrubOf(graft.sources.Tables.t(spark, dir, "documents"),
+      passageTokens = 20)
+
+  /** Library surface: intra-document scrub over ANY (doc_id, text)
+    * frame. */
+  def selfScrubOf(docs: DataFrame, passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, s"passageTokens: $passageTokens")
+    docs
+      .select(col("doc_id"), TextAnalysis.toks.as("ws"))
+      .select(col("doc_id"), passageChunks(passageTokens).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_passages"),
+        filter(col("ps"), (c, i) =>
+          array_position(col("ps"), c) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(col("doc_id"), col("n_passages"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_out"))
+      .orderBy("doc_id")
+  }
 }

@@ -1918,6 +1918,22 @@ class PipelinesSpec extends SparkSpec {
     assert(s1 == s7)
   }
 
+  test("dd18 self-scrub: first occurrence survives, repeats cut, clean docs intact") {
+    import spark.implicits._
+    // doc 1: chunk A, chunk B, chunk A again (passageTokens=3) — the
+    // second A must be cut and order preserved; doc 2: no repetition
+    val a = "nav home about"; val b = "real body text"
+    val docs = Seq(
+      (1L, s"$a $b $a"),
+      (2L, s"$b $a")).toDF("doc_id", "text")
+    val out = Dedup.selfScrubOf(docs, passageTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(0).getString(3) == s"$a $b")
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 2L)
+    assert(out(1).getString(3) == s"$b $a")
+  }
+
   test("c13 embedding drift: identical snapshots stable; flipped corpus all moved") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -88,7 +88,7 @@ class PlanAuditSpec extends SparkSpec {
     "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
     "t16_normalize", "t21_token_entropy", "m01_decode", "m02_frames",
     "m03_resize", "m04_phash", "sp01_split_sample", "sp07_chunk_windows",
-    "dd11_winnow")
+    "dd11_winnow", "dd18_self_scrub")
 
   test("map-only operators shuffle at most once (the presentation sort)") {
     for (name <- mapOnly) {
