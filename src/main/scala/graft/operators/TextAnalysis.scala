@@ -983,4 +983,52 @@ object TextAnalysis {
         countDistinct(col("w")).as("n_variants"))
       .orderBy(col("n_tokens").desc, col("stem"))
       .limit(50)
+
+  /** t28 — COLLOCATION MINING (pointwise mutual information over
+    * adjacent bigrams): the phrase-discovery pass behind word2vec's
+    * phrase step and tokenizer-vocabulary curation — "new york" scores
+    * high because it co-occurs far beyond what its parts' frequencies
+    * predict; "of the" scores low despite its raw count. PMI =
+    * ln(p(w1w2) / (p(w1)·p(w2))), computed in ×1e6 integer micro-nats
+    * (t14's recipe: one double expression of identical IEEE shape in
+    * both engines, rounded once) so the ranking hash-matches the oracle.
+    *
+    * Scale shape: the unigram and bigram censuses are map-side-combined
+    * count aggregations over the (bounded) vocabulary — the t09/t26
+    * economics; the min-count floor prunes the bigram tail BEFORE the
+    * unigram attach (keyed equi-joins, AQE picks broadcast when the
+    * census fits); corpus totals are ONE-row broadcasts and the top-k
+    * is TakeOrdered — no global sort, no vocabulary on one task. */
+  def t28Collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(t(spark, dir, "documents"), minCount = 5L, k = 20)
+
+  /** Library surface: PMI collocations over ANY (doc_id, text) frame.
+    * `minCount` floors bigram support (PMI is noise below it: a pair
+    * seen once scores arbitrarily high); `k` the report size. */
+  def collocationsOf(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"$minCount/$k")
+    val arr = docs.select(col("doc_id"), toks.as("__ws"))
+      .transform(graft.Materialize.pin)
+    val tok = arr.select(explode(col("__ws")).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = tok.agg(count(lit(1)).as("n1"))
+    val bg = arr.where(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val n2 = bg.agg(count(lit(1)).as("n2"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    bgc
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("CAST(ROUND(ln((CAST(c12 AS DOUBLE) / n2) / " +
+          "((CAST(c1 AS DOUBLE) / n1) * (CAST(c2 AS DOUBLE) / n1))) " +
+          "* 1000000) AS BIGINT)").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

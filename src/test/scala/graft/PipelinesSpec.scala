@@ -1918,6 +1918,24 @@ class PipelinesSpec extends SparkSpec {
     assert(s1 == s7)
   }
 
+  test("t28 collocations: a bound pair outranks a frequent independent pair") {
+    import spark.implicits._
+    // "san francisco" always adjacent; "the" everywhere (so "the cat" /
+    // "the dog" are frequent but predictable from the parts)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"the cat saw san francisco and the dog ran to the end $i")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsOf(docs, minCount = 5L, k = 50)
+      .collect()
+    val pmi = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(pmi(("san", "francisco")) > pmi(("the", "cat")),
+      s"bound pair must outrank chance pair: $pmi")
+    // PMI of a pair that ALWAYS co-occurs with unique parts is maximal
+    assert(out.head.getString(0) == "san" || pmi(("san", "francisco")) ==
+      out.map(_.getLong(3)).max)
+  }
+
   test("dd18 self-scrub: first occurrence survives, repeats cut, clean docs intact") {
     import spark.implicits._
     // doc 1: chunk A, chunk B, chunk A again (passageTokens=3) — the

@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     // no hint)
     "t13_tfidf", "t14_unigram_logprob", "t19_dsir_weights",
     "t20_bigram_logprob",
+    // t28's broadcast sides are the ONE-row unigram/bigram totals; the
+    // census attaches are keyed equi-joins
+    "t28_collocations",
     // the PQ/SQ probes attach the ONE-row query-norm frame (and ss11 the
     // query vector itself — 1 row); codebook, LUT, and per-dimension
     // stats attaches are keyed equi-joins, not BNLJ
