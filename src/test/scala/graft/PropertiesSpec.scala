@@ -106,4 +106,52 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("CMS one-sided error holds on arbitrary key multisets (seeded sampling)") {
+    import org.apache.spark.sql.functions._
+    val keysGen: Gen[List[String]] = for {
+      n <- Gen.choose(1, 400)
+      ks <- Gen.listOfN(n, Gen.choose(0, 60).map(i => s"k$i"))
+    } yield ks
+    for (seed <- 1L to 5L) {
+      val ks = sample(keysGen, seed)
+      withClue(s"seed=$seed") {
+        val df = ks.toDF("key")
+        val exact = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val out = graft.operators.Relational
+          .cmsHeavyHittersOf(df, depth = 3, width = 32,
+            topK = exact.size)
+          .collect()
+        // every key audited: estimate >= exact, and the exact column is
+        // the true multiplicity
+        assert(out.length == exact.size)
+        out.foreach { r =>
+          assert(r.getLong(1) == exact(r.getString(0)))
+          assert(r.getLong(2) >= r.getLong(1), r.toString)
+        }
+      }
+    }
+  }
+
+  test("KMV union-from-sketches == sketch-of-union on arbitrary sets (seeded)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvMinK
+    val k = 8
+    val setGen: Gen[Set[Int]] = Gen.choose(0, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 500)).map(_.toSet))
+    def sk(vs: Set[Int]): Seq[Long] =
+      if (vs.isEmpty) Seq.empty
+      else vs.map(i => s"v$i").toList.toDF("v")
+        .select(graft.functions.Hashing.md5Long(col("v"), 15).as("h"))
+        .agg(KmvMinK.kmvMinKSet(col("h"), k).as("s"))
+        .collect()(0).getSeq[Long](0)
+    for (seed <- 1L to 4L) {
+      val (a, b) = (sample(setGen, seed), sample(setGen, seed + 50))
+      withClue(s"seed=$seed") {
+        val fromStored = (sk(a) ++ sk(b)).distinct.sorted.take(k)
+        assert(fromStored == sk(a ++ b),
+          "k-minima of the union must derive from the stored arrays")
+      }
+    }
+  }
 }
