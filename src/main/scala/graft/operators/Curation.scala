@@ -542,16 +542,28 @@ object Curation {
       emb.where(expr("(vec_id div 20) % 2") === 1))
   }
 
+  /** The PERSISTABLE per-snapshot profile the embedding monitor
+    * compares: (cell, i, s, n) — ≤ 256·64 rows regardless of corpus
+    * size. A nightly job stores one of these beside each snapshot;
+    * [[embeddingDriftFromProfiles]] then answers any pairwise drift
+    * question without re-touching raw vectors (c12's
+    * `driftHistogramOf` pattern, embedding edition — asserted ≡ the
+    * raw-frame monitor in PipelinesSpec). */
+  def embeddingProfileOf(snap: DataFrame): DataFrame = snap
+    .withColumn("cell", Similarity.hyperplaneBucket(0))
+    .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+    .groupBy("cell", "i")
+    .agg(sum("v").as("s"), count(lit(1)).as("n"))
+
   /** Library surface: embedding drift between ANY two (vec_id, q) frames
     * (q = int64-quantized vector, the Similarity contract). */
-  def embeddingDriftOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
-    def cellSums(snap: DataFrame): DataFrame = snap
-      .withColumn("cell", Similarity.hyperplaneBucket(0))
-      .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
-      .groupBy("cell", "i")
-      .agg(sum("v").as("s"), count(lit(1)).as("n"))
-    val a = cellSums(snapA)
-    val b = cellSums(snapB)
+  def embeddingDriftOf(snapA: DataFrame, snapB: DataFrame): DataFrame =
+    embeddingDriftFromProfiles(
+      embeddingProfileOf(snapA), embeddingProfileOf(snapB))
+
+  /** Drift from two STORED [[embeddingProfileOf]] frames — the
+    * recompute-free monthly monitor. */
+  def embeddingDriftFromProfiles(a: DataFrame, b: DataFrame): DataFrame = {
     val j = a.withColumnsRenamed(Map("s" -> "sa", "n" -> "na"))
       .join(b.withColumnsRenamed(Map("s" -> "sb", "n" -> "nb")),
         Seq("cell", "i"), "full_outer")

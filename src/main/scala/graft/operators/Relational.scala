@@ -1014,26 +1014,42 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Library surface: probe a (possibly persisted) [[cmsSketchOf]]
+    * frame for arbitrary keys — estimate = MIN over each key's depth
+    * cells (one-sided: ≥ the true count). `probes` is any frame with a
+    * `key` STRING column; `depth`/`width` must match the build. The
+    * probe side broadcasts against the ≤ depth·width-row sketch, so a
+    * stored sketch answers frequency questions forever at O(d·w). */
+  def cmsEstimateOf(sketch: DataFrame, probes: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"$depth/$width")
+    val pc = probes.select(col("key"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsCell(r, col("key"), width).as("cell"))): _*))
+        .as("rc"))
+      .select(col("key"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+    // LEFT join: a cell with no sketch row is a ZERO counter — an inner
+    // join would silently drop it and the min would overestimate (a
+    // never-seen key must estimate 0, not the min of its nonzero cells)
+    pc.join(broadcast(sketch), Seq("r", "cell"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("key").agg(min("cnt").as("cms_estimate"))
+  }
+
   /** Library surface: CMS heavy-hitter audit over ANY single-column
     * (`key` STRING) frame. Build and probe share one cell definition. */
   def cmsHeavyHittersOf(keys: DataFrame, depth: Int, width: Int,
       topK: Int): DataFrame = {
     require(topK >= 1, s"$topK")
-    def cell(r: Int, c: Column): Column = cmsCell(r, c, width)
     val sketch = cmsSketchOf(keys, depth, width)
     // audit probes: the exact top-k keys (full key shuffle — the audit's
     // price, run on a sampled shard at corpus scale)
     val probes = keys.groupBy("key").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("key")).limit(topK)
-    val probeCells = probes.select(col("key"), col("n_exact"),
-      explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), cell(r, col("key")).as("cell"))): _*))
-        .as("rc"))
-      .select(col("key"), col("n_exact"),
-        col("rc.r").as("r"), col("rc.cell").as("cell"))
-    sketch.join(broadcast(probeCells), Seq("r", "cell"))
-      .groupBy("key", "n_exact")
-      .agg(min("cnt").as("cms_estimate"))
+      .transform(graft.Materialize.pin)
+    cmsEstimateOf(sketch, probes, depth, width)
+      .join(broadcast(probes), Seq("key"))
+      .select(col("key"), col("n_exact"), col("cms_estimate"))
       .orderBy(col("n_exact").desc, col("key"))
   }
 

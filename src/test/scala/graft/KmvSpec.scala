@@ -230,6 +230,26 @@ class KmvSpec extends SparkSpec {
     assert(out.head.getLong(2) <= out.head.getLong(1) + 100)
   }
 
+  test("cms probe of a persisted sketch: present keys one-sided, absent key reads 0") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val keys = (1 to 300).map(i => s"k${i % 12}").toDF("key")
+    val path = java.nio.file.Files
+      .createTempDirectory("cms_store").toString + "/sk"
+    Relational.cmsSketchOf(keys, depth = 4, width = 1024)
+      .write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val probes = ((0 until 12).map(i => s"k$i") :+ "never-seen").toDF("key")
+    val est = Relational.cmsEstimateOf(stored, probes, depth = 4,
+      width = 1024).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = (1 to 300).map(i => s"k${i % 12}")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (0 until 12).foreach(i => assert(est(s"k$i") >= exact(s"k$i")))
+    // a never-seen key's cells are all empty at this width — the LEFT
+    // join must read them as ZERO counters, not drop them
+    assert(est("never-seen") == 0L)
+  }
+
   test("cms algebra: sketches over disjoint halves sum cell-wise to the one-pass sketch") {
     import spark.implicits._
     import graft.operators.Relational

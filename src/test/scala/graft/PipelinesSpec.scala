@@ -1974,6 +1974,24 @@ class PipelinesSpec extends SparkSpec {
       diff.count(_.getString(5) == "gone"))
   }
 
+  test("c13 profiles survive a parquet round-trip: stored-profile drift == raw drift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec(): Seq[Long] = Seq.fill(64)(rnd.nextInt(2001) - 1000L)
+    val a = (0 until 30).map(i => (i.toLong, vec())).toDF("vec_id", "q")
+    val b = (100 until 125).map(i => (i.toLong, vec())).toDF("vec_id", "q")
+    val dir = java.nio.file.Files
+      .createTempDirectory("c13_profiles").toString
+    Curation.embeddingProfileOf(a).write.parquet(s"$dir/a")
+    Curation.embeddingProfileOf(b).write.parquet(s"$dir/b")
+    val fromStored = Curation.embeddingDriftFromProfiles(
+      spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"))
+      .collect().toSeq
+    val fromRaw = Curation.embeddingDriftOf(a, b).collect().toSeq
+    assert(fromStored == fromRaw,
+      "the persisted profile must be the monitor's exact input")
+  }
+
   test("t27 linear probe: integer GD trajectory matches a local replay") {
     import spark.implicits._
     // tiny corpus with a clean label split: stopword-heavy docs (y=1)
