@@ -102,7 +102,7 @@ object Similarity {
     * w(i,j) = ((i+1)(j+7)·2654435761 mod 97) − 48, planes j = `firstPlane`
     * to `firstPlane`+7. Different `firstPlane` values give independent hash
     * tables from the same formula. */
-  private[operators] def hyperplaneBucket(firstPlane: Int = 0, dims: Int = 64): Column = {
+  private[graft] def hyperplaneBucket(firstPlane: Int = 0, dims: Int = 64): Column = {
     import graft.functions.ArrayDot.dotLong
     val planes = (firstPlane until firstPlane + 8).map { j =>
       array((0 until dims).map(i =>

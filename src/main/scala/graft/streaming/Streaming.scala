@@ -715,6 +715,75 @@ object Streaming {
           struct(col("held"), col("kth")), k).as("kmv_estimate"))
   }
 
+  /** Per-cell embedding-profile state (public: state-store codegen
+    * instantiates it): 64 component sums + a count — bounded by
+    * construction, ≤ 256 cells total. */
+  final case class EmbCellBuffer(s: Seq[Long], n: Long)
+
+  /** Streaming embedding-drift monitor — the continuous form of batch
+    * c13: per LSH cell, the live corpus's mean DIRECTION against a
+    * reference snapshot's stored profile, refreshed each micro-batch.
+    * State is [[EmbCellBuffer]] per cell (64 longs + a count, ≤ 256
+    * cells — fixed at any stream length), and because the sums are the
+    * same order-independent integers [[graft.operators.Curation
+    * .embeddingProfileOf]] aggregates, the drained stream's cosines
+    * equal the batch monitor's for every cell present in both (asserted
+    * in StreamingSpec). The SHARE-delta alarm needs cross-cell totals a
+    * per-group state cannot see — that alarm stays batch (c13); this is
+    * the ROTATION alarm, the one that catches a swapped embedding model
+    * mid-stream. Verdicts: "new" (cell absent from the reference),
+    * "drift" (cos < 0.99 or degenerate), "stable". */
+  def streamingEmbeddingDrift(spark: SparkSession, vecs: DataFrame,
+      reference: DataFrame): DataFrame = {
+    import spark.implicits._
+    // reference profile: ≤ 256·64 rows by construction — driver-held
+    val ref: Map[Long, (Array[Long], Long)] =
+      graft.operators.Curation.embeddingProfileOf(reference).collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val s = Array.fill(64)(0L); var n = 0L
+          rows.foreach { r => s(r.getInt(1)) = r.getLong(2)
+            n = r.getLong(3) }
+          cell -> (s, n)
+        }
+    // the batch monitor's cosine shape exactly: integer dot/norms, one
+    // double division, HALF_UP to 4 — parity is by arithmetic identity
+    def cos(a: Array[Long], b: Array[Long]): Option[Double] = {
+      var dot = 0L; var a2 = 0L; var b2 = 0L; var i = 0
+      while (i < 64) {
+        dot += a(i) * b(i); a2 += a(i) * a(i); b2 += b(i) * b(i); i += 1
+      }
+      if (a2 > 0 && b2 > 0)
+        Some(BigDecimal(dot.toDouble / math.sqrt(a2.toDouble * b2.toDouble))
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    vecs
+      .withColumn("cell",
+        graft.operators.Similarity.hyperplaneBucket(0))
+      .select(col("cell"), col("q")).as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[EmbCellBuffer,
+        (Long, Long, Long, Option[Double], String)](
+        GroupStateTimeout.NoTimeout()) {
+        case (cell, rows, state: GroupState[EmbCellBuffer]) =>
+          val s = Array.fill(64)(0L); var n = 0L
+          state.getOption.foreach { b => b.s.copyToArray(s); n = b.n }
+          rows.foreach { r =>
+            val q = r._2; var i = 0
+            while (i < 64) { s(i) += q(i); i += 1 }
+            n += 1
+          }
+          state.update(EmbCellBuffer(s.toSeq, n))
+          val (rs, rn) = ref.getOrElse(cell, (Array.fill(64)(0L), 0L))
+          val c = cos(rs, s)
+          val verdict = if (rn == 0) "new"
+            else if (c.isEmpty || c.get < 0.99) "drift" else "stable"
+          (cell, rn, n, c, verdict)
+      }
+      .toDF("cell", "n_a", "n_b", "cos_shift", "verdict")
+  }
+
   /** Streaming frequency sketch — the continuous form of batch q44: a
     * live count-min sketch over everything seen across ALL triggers,
     * refreshed in Update mode each micro-batch. Unlike streaming exact

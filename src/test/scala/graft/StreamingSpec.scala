@@ -741,6 +741,45 @@ class StreamingSpec extends SparkSpec {
     assert(cells.size <= depth * width)
   }
 
+  test("streaming embedding drift: drained cosines equal the batch c13 monitor") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Curation
+    val rnd = new scala.util.Random(31)
+    def vec(): Seq[Long] = Seq.fill(64)(rnd.nextInt(2001) - 1000L)
+    val ref = (0 until 25).map(i => (i.toLong, vec()))
+    val live = (100 until 130).map(i => (100L + i, vec()))
+    val refDf = ref.toDF("vec_id", "q")
+    val in = MemoryStream[(Long, Seq[Long])]
+    val out = Streaming.streamingEmbeddingDrift(spark,
+      in.toDF().toDF("vec_id", "q"), refDf)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("edrift").start()
+    try {
+      in.addData(live.take(15): _*); q.processAllAvailable()
+      in.addData(live.drop(15): _*); q.processAllAvailable()
+      // newest emission per cell (Update mode re-emits touched cells)
+      val got = spark.table("edrift").collect()
+        .map(r => (r.getLong(0), (r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))))
+        .groupBy(_._1).map { case (c, rows) =>
+          c -> rows.map(_._2).maxBy(_._1) }
+      val batch = Curation.embeddingDriftOf(refDf, live.toDF("vec_id", "q"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getString(5)))
+        .toMap
+      // every live cell: final streamed (n, cos) == the batch monitor's
+      batch.foreach { case (cell, (nB, cosB, _)) =>
+        if (nB > 0) {
+          val (nS, cosS) = got(cell)
+          assert(nS == nB, s"cell $cell n: $nS vs $nB")
+          assert(cosS == cosB, s"cell $cell cos: $cosS vs $cosB")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct: batch-sketch parity across triggers, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.KmvMinK
