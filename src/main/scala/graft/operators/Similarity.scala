@@ -1132,16 +1132,22 @@ object Similarity {
   def probeIvfIndex(spark: SparkSession, path: String,
       query: Array[Float], nprobe: Int, k: Int,
       excludeIds: Seq[Long] = Seq.empty): DataFrame = {
-    import graft.functions.ArrayDot.dotLong
-    require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
-    // versioned roots resolve to their live version; flat paths to
-    // themselves. Resolution is per-probe, so a pointer flip between two
-    // probes is picked up without restarting the caller.
-    val path0 = resolveIndexDir(spark, path)
     // HALF_UP to match Spark's round() on negatives (Math.round would
     // differ at -x.5: floor(x+0.5) rounds toward positive infinity)
     val q = query.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
+    probeIvfIndexQ(spark, path, q, nprobe, k, excludeIds)
+  }
+
+  /** The probe core over an ALREADY-QUANTIZED query vector — what
+    * [[auditIvfIndex]] uses so a stored vector probes as exactly itself
+    * (a float round-trip could move a component by one quantum). */
+  def probeIvfIndexQ(spark: SparkSession, path: String,
+      q: Seq[Long], nprobe: Int, k: Int,
+      excludeIds: Seq[Long] = Seq.empty): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
+    val path0 = resolveIndexDir(spark, path)
     val qn2 = q.map(x => x * x).sum
     val qlit = typedLit(q)
     val cells = spark.read.parquet(s"$path0/_centroids")
@@ -1162,6 +1168,81 @@ object Similarity {
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** RECALL AUDIT of a persisted IVF index (ss17's audit, index
+    * edition): for a panel of the index's OWN stored vectors, measured
+    * recall@k of the probe path (nprobe cells) against exact search over
+    * all postings. The panel probes via [[probeIvfIndexQ]] so a stored
+    * vector queries as exactly itself. Output per panel member:
+    * (qid, hits, recall_pct). The exact pass is one postings scan per
+    * panel member — the audit's honest price (ss17's argument); the
+    * panel is bounded, so so is the audit. */
+  def auditIvfIndex(spark: SparkSession, path: String,
+      panelIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    import spark.implicits._
+    require(panelIds.nonEmpty, "empty audit panel")
+    val path0 = resolveIndexDir(spark, path)
+    val postings = spark.read.parquet(path0)
+    // bounded collect: |panel| stored vectors
+    val panel = postings.where(col("vec_id").isInCollection(panelIds))
+      .select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(panel.length == panelIds.distinct.length,
+      s"audit panel ids missing from the index: wanted ${panelIds.size}, " +
+        s"found ${panel.length}")
+    panel.map { case (id, q) =>
+      val approx = probeIvfIndexQ(spark, path0, q, nprobe, k,
+        excludeIds = Seq(id)).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val qlit = typedLit(q)
+      val qn2 = q.map(x => x * x).sum
+      val exact = postings.where(col("vec_id") =!= id)
+        .select(col("vec_id"),
+          round(guardedCos(dotLong(col("q"), qlit), lit(qn2), col("n2")), 4)
+            .as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+      val hits = (approx & exact).size.toLong
+      (id, hits, hits * 100L / k)
+    }.toSeq.toDF("qid", "hits", "recall_pct").orderBy("qid")
+  }
+
+  /** One gated deployment round's outcome. */
+  final case class IvfGateResult(version: Long, meanRecallPct: Double,
+      deployed: Boolean)
+
+  /** GATED versioned deployment — the production loop around
+    * [[buildIvfIndexVersionedOf]]: build the NEXT version WITHOUT
+    * flipping the `_current` pointer, audit ITS recall on a panel of its
+    * own vectors, and flip only if mean recall ≥ `floorPct`; a failing
+    * candidate is deleted and the previous version keeps serving (no
+    * reader ever sees the bad index). This is the gate that stops a
+    * mis-parameterized retrain (too few cells, too few Lloyd rounds, a
+    * garbage batch folded in) from silently replacing a good index —
+    * recall is a property of the quantizer on YOUR data, so it is
+    * measured, not assumed. */
+  def deployGatedIvfIndex(vecs: DataFrame, root: String, iters: Int,
+      panelIds: Seq[Long], nprobe: Int, k: Int, floorPct: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      cells: Int = 10): IvfGateResult = {
+    val spark = vecs.sparkSession
+    val fs = fsOf(spark, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val next = versionsOf(fs, rootP).lastOption.map(_._1 + 1).getOrElse(1L)
+    val candidate = s"$root/v$next"
+    buildIvfIndexOf(vecs, candidate, iters, idCol, embCol, None, cells)
+    val audit = auditIvfIndex(spark, candidate, panelIds, nprobe, k)
+      .agg(avg("recall_pct")).head()
+    val mean = if (audit.isNullAt(0)) 0.0 else audit.getDouble(0)
+    if (mean >= floorPct) {
+      writePointer(fs, rootP, s"v$next")
+      IvfGateResult(next, mean, deployed = true)
+    } else {
+      fs.delete(new org.apache.hadoop.fs.Path(candidate), true)
+      IvfGateResult(next, mean, deployed = false)
+    }
   }
 
   // ---- IVF+PQ: codes beside the postings (the FAISS IVFPQ shape) -------

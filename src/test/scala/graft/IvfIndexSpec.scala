@@ -285,4 +285,28 @@ class IvfIndexSpec extends SparkSpec {
     val out = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
     assert(out.count() == 5)
   }
+
+  test("gated deployment: passing audit flips the pointer; failing audit never serves") {
+    val all = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val root = tmpDir("ivf-gated")
+    val panel = Seq(0L, 1L, 2L)
+    // candidate v1 audited at nprobe = all cells: the probe path scans
+    // everything, so recall is exactly 100 and the gate must pass
+    val r1 = Similarity.deployGatedIvfIndex(all, root, iters = 1,
+      panelIds = panel, nprobe = 10, k = 5, floorPct = 100.0)
+    assert(r1.deployed && r1.version == 1L && r1.meanRecallPct == 100.0)
+    assert(Similarity.resolveIndexDir(spark, root).endsWith("/v1"))
+    // candidate v2 against an unreachable floor: REFUSED — the pointer
+    // keeps serving v1 and the bad build is gone from disk
+    val r2 = Similarity.deployGatedIvfIndex(all, root, iters = 1,
+      panelIds = panel, nprobe = 1, k = 5, floorPct = 100.5)
+    assert(!r2.deployed && r2.version == 2L)
+    assert(Similarity.resolveIndexDir(spark, root).endsWith("/v1"))
+    assert(!new java.io.File(s"$root/v2").exists())
+    // the surviving index still audits clean through the pointer
+    val audit = Similarity.auditIvfIndex(spark, root, panel,
+      nprobe = 10, k = 5).collect()
+    assert(audit.length == 3)
+    audit.foreach(r => assert(r.getLong(2) == 100L, r.toString))
+  }
 }
