@@ -67,6 +67,38 @@ class ExamplesSpec extends SparkSpec {
     assert(langDirs.nonEmpty)
   }
 
+  test("SketchStateExample: nightly states through parquet merge to the one-shot report") {
+    import graft.examples.SketchStateExample
+    val events = graft.sources.Tables.t(spark, sf, "events")
+    // two "nights" split by event_id parity — both touch every cell, so
+    // the merge genuinely combines partial states of the same cell
+    val n1 = SketchStateExample.nightly(
+      events.where(col("event_id") % 2 === 0))
+    val n2 = SketchStateExample.nightly(
+      events.where(col("event_id") % 2 === 1))
+    val dir = tmpDir("sketch_state")
+    n1.write.parquet(s"$dir/n1"); n2.write.parquet(s"$dir/n2")
+    val incremental = SketchStateExample.report(
+      SketchStateExample.mergeStates(
+        spark.read.parquet(s"$dir/n1")
+          .unionByName(spark.read.parquet(s"$dir/n2")))).collect().toSeq
+    val oneShot = SketchStateExample.report(
+      SketchStateExample.mergeStates(SketchStateExample.nightly(events)))
+      .collect().toSeq
+    assert(incremental == oneShot,
+      "incremental state maintenance must equal the full recompute")
+    // CMS state: per-night frames summed cell-wise == the one-pass sketch
+    val cmsInc = SketchStateExample
+      .nightlyCms(events.where(col("event_id") % 2 === 0))
+      .unionByName(SketchStateExample.nightlyCms(
+        events.where(col("event_id") % 2 === 1)))
+      .groupBy("r", "cell").agg(sum("cnt").cast("long").as("cnt"))
+      .orderBy("r", "cell").collect().toSeq
+    val cmsFull = SketchStateExample.nightlyCms(events)
+      .orderBy("r", "cell").collect().toSeq
+    assert(cmsInc == cmsFull)
+  }
+
   test("CorpusReportExample: identical snapshots read clean; disjoint text is novel") {
     import graft.examples.CorpusReportExample
     val docs = graft.sources.Tables.t(spark, sf, "documents")
