@@ -41,7 +41,8 @@ import graft.sources.Sink
 object NightlyIngestExample {
 
   final case class NightReport(admitted: Long, rejected: Long,
-      belowQuality: Long, indexRetrained: Boolean)
+      belowQuality: Long, indexRetrained: Boolean,
+      nearDupRejected: Long = 0L)
 
   /** Hadoop-FS existence probe — `java.io.File` would always answer
     * "absent" for hdfs:///s3a:// paths, silently resetting the ledger
@@ -52,10 +53,22 @@ object NightlyIngestExample {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** `nearDupLedger`: name of a [[Dedup.writeNearDupLedger]] bucketed
+    * table pair — when set, EXACT admission is followed by banded
+    * NEAR-dup admission against the standing MinHash ledger (the dd16
+    * production path: only tonight's batch shuffles; the ledger reads
+    * pre-bucketed), survivors grow the ledger for tomorrow, and
+    * near-duplicates of any prior night's admission are rejected before
+    * the store/index writes. Night 1 bootstraps the ledger from the
+    * night's survivors. Intra-night near-dups are NOT cross-checked
+    * (both admitted tonight, both in the ledger tomorrow) — the
+    * full-corpus dd06 clustering is the backfill tool for that. */
   def ingestNight(spark: SparkSession, newDocs: DataFrame,
       newVecs: DataFrame, curatedDir: String, indexDir: String,
       minQuality: Double = 0.3,
-      retrainBelow: Double = Double.NegativeInfinity): NightReport = {
+      retrainBelow: Double = Double.NegativeInfinity,
+      nearDupLedger: Option[String] = None,
+      nearDupThreshold: Double = 0.3): NightReport = {
     val fp = TextAnalysis.fingerprint(col("text"))
     val incoming = newDocs.select(col("doc_id"), fp.as("fp"))
     // The fingerprint LEDGER is separate from the curated store: a doc
@@ -81,6 +94,7 @@ object NightlyIngestExample {
     // strand the first one's materialized blocks.
     var decisions: DataFrame = null
     var survivors: DataFrame = null
+    var nearDupKept: DataFrame = null
     try {
       // bloomAdmit ≡ incrementalAdmit row-for-row (proven in
       // PipelinesSpec), but the ledger side — the part that grows with
@@ -98,9 +112,30 @@ object NightlyIngestExample {
       val nSurvive = survivors.count()
       val nAdmit = decisions.where(col("admitted")).count()
       val nTotal = decisions.count()
-      Sink.writeCurated(survivors, curatedDir,
+      // near-dup admission: tonight's exact-admitted, quality-passing
+      // docs against the STANDING banded ledger — only the batch side
+      // shuffles; the ledger reads pre-bucketed (dd16's scale shape)
+      val (finalDocs, nFinal, nNearDup) = nearDupLedger match {
+        case Some(name) if spark.catalog.tableExists(s"${name}_bands") =>
+          val adm = Dedup.nearDupAdmitAgainstLedger(spark, survivors,
+            name, nearDupThreshold)
+          nearDupKept = graft.Materialize.pin(survivors.join(
+            adm.where(col("admitted")).select("doc_id"), "doc_id"))
+          val nKept = nearDupKept.count()
+          (nearDupKept, nKept, nSurvive - nKept)
+        case _ => (survivors, nSurvive, 0L)
+      }
+      Sink.writeCurated(finalDocs, curatedDir,
         partitionCols = Seq("lang"), sortCols = Seq("quality"),
         mode = "append")
+      // the near-dup ledger learns tonight's KEPT docs (after the
+      // admission above ran — nearDupKept is already materialized, so
+      // tonight's own bands cannot reject tonight's batch)
+      nearDupLedger.foreach { name =>
+        if (spark.catalog.tableExists(s"${name}_bands"))
+          Dedup.growNearDupLedger(finalDocs, name)
+        else if (nFinal > 0) Dedup.writeNearDupLedger(finalDocs, name)
+      }
       // remember every fingerprint this night ADMITTED (quality-rejects
       // included — they were processed and must not return); null fps are
       // never recorded, matching incrementalAdmit's admit-verbatim rule
@@ -117,14 +152,14 @@ object NightlyIngestExample {
       //    vectors; fail loudly and let the operator restore the .old /
       //    .retrain directory maintainIvfIndex staged.
       val vecs = newVecs
-        .join(survivors.select(col("doc_id").as("vec_id")), "vec_id")
+        .join(finalDocs.select(col("doc_id").as("vec_id")), "vec_id")
       // resolveIndexDir: a FLAT index resolves to itself, a VERSIONED root
       // (built with buildIvfIndexVersionedOf — the layout to prefer when
       // probes can't be quiesced during retrains) to its live version, so
       // either layout passes the liveness probe here
       val liveIndex = Similarity.resolveIndexDir(spark, indexDir)
       val retrained =
-        if (nSurvive == 0) false
+        if (nFinal == 0) false
         else if (dirExists(spark, s"$liveIndex/_centroids"))
           Similarity.maintainIvfIndex(spark, indexDir, vecs,
             retrainBelow).retrained
@@ -142,10 +177,12 @@ object NightlyIngestExample {
       // retrained) postings are ADC-invisible until re-encoded. No-op on
       // an index that was never PQ-augmented, so the call is
       // unconditional rather than an operator runbook step.
-      if (nSurvive > 0) Similarity.refreshPqCodes(spark, indexDir)
+      if (nFinal > 0) Similarity.refreshPqCodes(spark, indexDir)
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
-        belowQuality = nAdmit - nSurvive, indexRetrained = retrained)
+        belowQuality = nAdmit - nSurvive, indexRetrained = retrained,
+        nearDupRejected = nNearDup)
     } finally {
+      if (nearDupKept != null) graft.Materialize.unpin(nearDupKept)
       if (survivors != null) graft.Materialize.unpin(survivors)
       if (decisions != null) graft.Materialize.unpin(decisions)
     }

@@ -42,7 +42,12 @@ object SketchStateExample {
       expr("(ts DIV 1000) div 86400000000").as("day"),
       col("user_id"), col("value"),
       Hashing.md5Long(concat(lit("u:"), col("user_id").cast("string")), 15)
-        .as("hu"))
+        .as("hu"),
+      // the value-sample key must be unique PER ROW (KmvBottomKPairs
+      // contract): hash the event id, as q42/q43 do — keying by hu would
+      // collapse duplicate (user, value) pairs and bias the quantile
+      Hashing.md5Long(concat(lit("e:"), col("event_id").cast("string")), 15)
+        .as("he"))
 
   /** One night's batch → per-(type, day) state rows. Touches ONLY the
     * night's raw rows; output cardinality = |types|·1. */
@@ -51,7 +56,7 @@ object SketchStateExample {
       count(lit(1)).as("n"),
       min("value").as("min_v"), max("value").as("max_v"),
       KmvMinK.kmvMinKSet(col("hu"), K).as("users_sk"),
-      KmvMinK.kmvBottomKPairs(col("hu"), col("value"), K).as("vsample"))
+      KmvMinK.kmvBottomKPairs(col("he"), col("value"), K).as("vsample"))
 
   /** The night's CMS frame (q44's sketch as its own persisted state):
     * ≤ depth·width rows, merged across nights by summing per cell. */

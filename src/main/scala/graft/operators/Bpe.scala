@@ -33,9 +33,10 @@ import graft.sources.Tables.t
   * Determinism contract: tie-breaks are total ((freq DESC, left ASC,
   * right ASC)), so the merge list is a pure function of the word-frequency
   * table — two engines, two cluster sizes, or two runs agree exactly
-  * (asserted against a single-node reference implementation in BpeSpec).
-  * Not SQL-expressible (iterative argmax) — the declared query carries a
-  * rows-only oracle; correctness is the reference-parity spec.
+  * (asserted against a single-node reference implementation in BpeSpec,
+  * AND against a DuckDB oracle that replays the same training loop as
+  * 30 unrolled CTE rounds — see PipelineOracle.bpeTrainSql: greedy pair
+  * merging is `replace()` on a separator-wrapped symbol string).
   */
 object Bpe {
 
@@ -186,8 +187,9 @@ object Bpe {
   /** t24 — BPE TRAINING over the documents corpus: 30 merges, min pair
     * frequency 2. Output = the rank-ordered merge table — what a
     * tokenizer build job persists beside the corpus snapshot it was
-    * trained on. Rows-only oracle (iterative argmax is not
-    * SQL-expressible); exact reference parity asserted in BpeSpec. */
+    * trained on. Oracle: the full training loop unrolled as chained
+    * DuckDB CTEs (PipelineOracle.bpeTrainSql); reference parity also
+    * asserted in BpeSpec. */
   def t24BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     train(wordFreqOf(t(spark, dir, "documents")), numMerges = 30)

@@ -617,6 +617,23 @@ object Dedup {
       buckets, bucketCols = Seq("doc_id"))
   }
 
+  /** GROW a [[writeNearDupLedger]] ledger with a night's admitted docs:
+    * append their band and set rows into the same bucketing (Spark
+    * verifies the bucket spec against the existing tables), so tomorrow's
+    * admission join still reads the ledger pre-bucketed with zero
+    * Exchange. This is the lifecycle step between nightly runs — without
+    * it the ledger is frozen at bootstrap and a near-dup of LAST night's
+    * admission sails through tonight. */
+  def growNearDupLedger(docs: DataFrame, name: String,
+      buckets: Int = 32): Unit = {
+    val sig = minhashSigOf(docs)
+    graft.sources.Sink.writeBucketed(bandsOfSig(sig), s"${name}_bands",
+      buckets, bucketCols = Seq("band", "k1", "k2"), mode = "append")
+    graft.sources.Sink.writeBucketed(
+      sig.select(col("doc_id"), col("set")), s"${name}_sets",
+      buckets, bucketCols = Seq("doc_id"), mode = "append")
+  }
+
   /** Near-dup admission against a [[writeNearDupLedger]] ledger — result
     * is row-identical to [[nearDupAdmitOf]] on the same corpus (asserted
     * in PipelinesSpec); only the ledger's cost disappears. */

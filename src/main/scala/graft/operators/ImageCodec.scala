@@ -190,6 +190,169 @@ object ImageCodec {
       payloadCol: String = "payload"): DataFrame =
     Multimodal.framesWith(docs, gifFrames, idCol, payloadCol)
 
+  // ---- Composed (viewer-accurate) frame decode -------------------------
+
+  /** Per-frame GIF placement + disposal, parsed from the reader's native
+    * image metadata; non-GIF multi-page formats fall back to full-frame
+    * placement with no disposal. */
+  private final case class FramePlacement(x: Int, y: Int, disposal: String)
+
+  private def placementOf(reader: javax.imageio.ImageReader,
+      i: Int): FramePlacement =
+    try {
+      val meta = reader.getImageMetadata(i)
+      // native GIF image metadata ("javax_imageio_gif_image_1.0") — ask
+      // the metadata object for ITS name rather than hardcoding, so a
+      // multi-page TIFF (different native format) takes the catch-all
+      // full-frame fallback instead of throwing per frame
+      val tree = meta.getAsTree(meta.getNativeMetadataFormatName)
+        .asInstanceOf[org.w3c.dom.Element]
+      def attr(node: String, name: String, dflt: String): String = {
+        val nodes = tree.getElementsByTagName(node)
+        if (nodes.getLength == 0) dflt
+        else {
+          val v = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute(name)
+          if (v.isEmpty) dflt else v
+        }
+      }
+      FramePlacement(
+        attr("ImageDescriptor", "imageLeftPosition", "0").toInt,
+        attr("ImageDescriptor", "imageTopPosition", "0").toInt,
+        attr("GraphicControlExtension", "disposalMethod", "none"))
+    } catch { case _: Exception => FramePlacement(0, 0, "none") }
+
+  /** The composition core: decode every frame AND its placement, replay
+    * the GIF disposal state machine over a logical-screen canvas, and
+    * return each frame's fully-composed canvas (what a viewer displays
+    * at that frame). `None` per slot = that frame failed mid-stream
+    * (composition continues on the prior canvas state). Exposed
+    * private[graft] so specs can hash a composed canvas directly. */
+  private[graft] def composedCanvases(
+      payload: Array[Byte]): Option[Seq[(Int, Option[BufferedImage])]] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          // ignoreMetadata=false: composition NEEDS the per-frame
+          // placement + disposal blocks ([[gifFrames]] skips them)
+          reader.setInput(in, false, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            val decoded = (0 until n).map { i =>
+              try Some((reader.read(i), placementOf(reader, i)))
+              catch { case _: Exception => None }
+            }
+            // logical screen: stream metadata if present, else the
+            // bounding box of every placed frame (single-frame formats
+            // degrade to the frame's own size)
+            val screen =
+              try {
+                val sm = reader.getStreamMetadata
+                val t = sm.getAsTree(sm.getNativeMetadataFormatName)
+                  .asInstanceOf[org.w3c.dom.Element]
+                val lsd = t.getElementsByTagName("LogicalScreenDescriptor")
+                if (lsd.getLength == 0) None
+                else {
+                  val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+                  Some((e.getAttribute("logicalScreenWidth").toInt,
+                    e.getAttribute("logicalScreenHeight").toInt))
+                }
+              } catch { case _: Exception => None }
+            val (w, h) = screen.getOrElse {
+              val boxes = decoded.flatten.map { case (img, p) =>
+                (p.x + img.getWidth, p.y + img.getHeight) }
+              if (boxes.isEmpty) (1, 1)
+              else (boxes.map(_._1).max, boxes.map(_._2).max)
+            }
+            val canvas = new BufferedImage(math.max(w, 1), math.max(h, 1),
+              BufferedImage.TYPE_INT_RGB)
+            val out = decoded.zipWithIndex.map {
+              case (None, i) => (i, None)
+              case (Some((img, p)), i) =>
+                // restoreToPrevious needs the pre-draw canvas back after
+                // this frame is emitted
+                val saved =
+                  if (p.disposal == "restoreToPrevious") {
+                    val c = new BufferedImage(canvas.getWidth,
+                      canvas.getHeight, BufferedImage.TYPE_INT_RGB)
+                    val g = c.createGraphics()
+                    try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+                    Some(c)
+                  } else None
+                val g = canvas.createGraphics()
+                try g.drawImage(img, p.x, p.y, null) finally g.dispose()
+                val snap = new BufferedImage(canvas.getWidth,
+                  canvas.getHeight, BufferedImage.TYPE_INT_RGB)
+                val gs = snap.createGraphics()
+                try gs.drawImage(canvas, 0, 0, null) finally gs.dispose()
+                // disposal runs AFTER the frame shows
+                p.disposal match {
+                  case "restoreToBackgroundColor" =>
+                    val gd = canvas.createGraphics()
+                    try {
+                      gd.setColor(java.awt.Color.BLACK)
+                      gd.fillRect(p.x, p.y, img.getWidth, img.getHeight)
+                    } finally gd.dispose()
+                  case "restoreToPrevious" =>
+                    val gd = canvas.createGraphics()
+                    try gd.drawImage(saved.get, 0, 0, null)
+                    finally gd.dispose()
+                  case _ => () // none / doNotDispose: keep
+                }
+                (i, Some(snap))
+            }
+            Some(out)
+          }
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** Viewer-accurate sibling of [[gifFrames]] (r9 directive #5): frames
+    * composed onto the running logical-screen canvas per the GIF
+    * disposal metadata, so a delta-optimized GIF's later frames report
+    * what a viewer SEES (full canvas), not the stored patch rectangle —
+    * the right input for phash-over-frames dedup, where hashing a
+    * 12×8 patch would never match the full scene it belongs to.
+    * Contract mirrors [[gifFrames]] with one documented divergence:
+    * `n_bytes` is the CANVAS pixel count (constant across frames) and
+    * `checksum` the composed canvas's mean luma. Undecodable payload →
+    * sentinel frame (−1, 0, −1); a frame that fails mid-stream reports
+    * (i, 0, −1) and composition continues on the prior canvas. */
+  def gifFramesComposed(id: Long, payload: Array[Byte]): Iterator[Frame] =
+    composedCanvases(payload) match {
+      case None => Iterator.single(Frame(id, -1, 0, -1))
+      case Some(frames) => frames.map {
+        case (i, None) => Frame(id, i, 0, -1)
+        case (i, Some(canvas)) =>
+          var sum = 0L
+          var y = 0
+          while (y < canvas.getHeight) {
+            var x = 0
+            while (x < canvas.getWidth) {
+              sum += luma(canvas.getRGB(x, y)); x += 1
+            }
+            y += 1
+          }
+          val np = canvas.getWidth.toLong * canvas.getHeight
+          Frame(id, i, math.min(np, Int.MaxValue.toLong).toInt,
+            (sum / math.max(np, 1L)).toInt)
+      }.iterator
+    }
+
+  /** Frame-extract with viewer-accurate composition — the
+    * [[extractFrames]] sibling a phash-over-frames pipeline should scan. */
+  def extractFramesComposed(docs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    Multimodal.framesWith(docs, gifFramesComposed, idCol, payloadCol)
+
   // ---- DCT perceptual hash ---------------------------------------------
 
   /** Hash geometry: resample to SIDE×SIDE grayscale, 2-D DCT-II, keep the
@@ -228,7 +391,14 @@ object ImageCodec {
   def imagePhash(id: Long, payload: Array[Byte]): PHash =
     readImage(payload) match {
       case None => PHash(id, 0L)
-      case Some(img) =>
+      case Some(img) => PHash(id, dctHashOf(img))
+    }
+
+  /** The DCT-hash core over an already-decoded image — shared by
+    * [[imagePhash]] and callers that compose frames in memory first
+    * (e.g. hashing a [[gifFramesComposed]] canvas). */
+  private[graft] def dctHashOf(img: BufferedImage): Long = {
+    {
         val small = bilinearFit(img, SIDE)
         // exact-fit to SIDE×SIDE: bilinearFit preserves aspect, the hash
         // wants a fixed grid — stretch with the same bilinear resampler
@@ -290,6 +460,7 @@ object ImageCodec {
           if (ac(b) > med) h |= 1L << b
           b += 1
         }
-        PHash(id, h)
+        h
     }
+  }
 }

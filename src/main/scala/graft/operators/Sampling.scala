@@ -604,4 +604,51 @@ object Sampling {
         col("rejected_id"), col("margin"))
       .orderBy("source", "i")
   }
+
+  /** sp15 — TEMPERATURE-BASED mixture sampling: per-source keep rates
+    * ∝ n^α relative to the largest source (the multilingual/multi-corpus
+    * rebalancing rule — α < 1 upweights small sources without discarding
+    * the big ones wholesale; α = 0.5 here). Keep decisions are salted-
+    * hash acceptance per doc (the sp01 rule) — deterministic, re-run- and
+    * engine-stable, no rand().
+    *
+    * α is deliberately 1/2: sqrt is IEEE-correctly-rounded, so
+    * `floor(10⁶·√n/√nmax)` is bit-identical across engines — a pow(n, α)
+    * temperature would round differently engine-to-engine at the ppm
+    * boundary. (For other temperatures, precompute the ppm table
+    * driver-side and broadcast it — the acceptance rule is unchanged.)
+    *
+    * Scale shape: source cardinalities are one map-side-combined
+    * aggregation to a |sources|-row table; rates broadcast back onto the
+    * scan; acceptance is a codegen'd per-row predicate; the report is a
+    * second |sources|-row aggregation. No window, no corpus shuffle. */
+  def sp15TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    // lang, not source: the fixture's sources are uniform (temperature
+    // mixing would be the identity); languages are skewed (en ≈ 2.7× de)
+    // — and language rebalancing IS the canonical use of this rule
+    temperatureMixOf(t(spark, dir, "documents"), groupCol = "lang")
+      .orderBy("lang")
+
+  /** Library surface: temperature mix over ANY frame with a group column
+    * and a unique id. Output per group: size, keep rate (ppm), kept. */
+  def temperatureMixOf(docs: DataFrame, groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val n = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val mx = n.agg(max("n_docs").as("__mx"))
+    val rates = n.crossJoin(broadcast(mx))
+      .withColumn("rate_ppm",
+        floor(lit(1000000.0) * sqrt(col("n_docs").cast("double")) /
+          sqrt(col("__mx").cast("double"))).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("rate_ppm"))
+    val kept = docs.select(col(groupCol), col(idCol))
+      .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
+        Seq(groupCol))
+      .where(graft.functions.Hashing.md5Long(
+        concat(lit("mix:"), col(idCol).cast("string")), 15) % 1000000L
+        < col("rate_ppm"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -1139,9 +1139,10 @@ object Similarity {
     probeIvfIndexQ(spark, path, q, nprobe, k, excludeIds)
   }
 
-  /** The probe core over an ALREADY-QUANTIZED query vector — what
-    * [[auditIvfIndex]] uses so a stored vector probes as exactly itself
-    * (a float round-trip could move a component by one quantum). */
+  /** The probe core over an ALREADY-QUANTIZED query vector — the
+    * arithmetic [[auditIvfIndex]] replays plan-side, kept callable for
+    * single-query probes where a stored vector must probe as exactly
+    * itself (a float round-trip could move a component by one quantum). */
   def probeIvfIndexQ(spark: SparkSession, path: String,
       q: Seq[Long], nprobe: Int, k: Int,
       excludeIds: Seq[Long] = Seq.empty): DataFrame = {
@@ -1173,40 +1174,90 @@ object Similarity {
   /** RECALL AUDIT of a persisted IVF index (ss17's audit, index
     * edition): for a panel of the index's OWN stored vectors, measured
     * recall@k of the probe path (nprobe cells) against exact search over
-    * all postings. The panel probes via [[probeIvfIndexQ]] so a stored
+    * all postings. Panel members score with [[probeIvfIndexQ]]'s exact
+    * arithmetic (already-quantized vectors, round-then-rank) so a stored
     * vector queries as exactly itself. Output per panel member:
-    * (qid, hits, recall_pct). The exact pass is one postings scan per
-    * panel member — the audit's honest price (ss17's argument); the
-    * panel is bounded, so so is the audit. */
+    * (qid, hits, recall_pct).
+    *
+    * ONE plan, not a driver loop (r9 directive #4): the whole panel
+    * rides a single job — broadcast panel × centroids for per-qid cell
+    * ranking, a cell equi-join for the approx arm, one shared full
+    * postings scan for the exact arm, and recallAuditOf's two-level
+    * top-k so no task ever windows a corpus-sized partition. A
+    * 1000-member audit is one job; the old shape was 2000 serial ones.
+    * The single driver collect is the bounded panel fetch. */
   def auditIvfIndex(spark: SparkSession, path: String,
       panelIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
     import graft.functions.ArrayDot.dotLong
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     require(panelIds.nonEmpty, "empty audit panel")
+    require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
+    // Two-level top-k shard count (recallAuditOf's trick): output is
+    // shard-count-invariant, so this is purely a parallelism knob.
+    val Shards = 64
     val path0 = resolveIndexDir(spark, path)
     val postings = spark.read.parquet(path0)
-    // bounded collect: |panel| stored vectors
-    val panel = postings.where(col("vec_id").isInCollection(panelIds))
-      .select("vec_id", "q").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    require(panel.length == panelIds.distinct.length,
+    // THE one bounded driver collect of the audit: |panel| stored
+    // vectors, fetched once so the panel becomes a local relation (the
+    // exact-search probe set) instead of re-filtering the postings scan
+    // per use — and so the missing-id validation rides the same job.
+    val panelRows = postings.where(col("vec_id").isInCollection(panelIds))
+      .select("vec_id", "q", "n2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    require(panelRows.length == panelIds.distinct.length,
       s"audit panel ids missing from the index: wanted ${panelIds.size}, " +
-        s"found ${panel.length}")
-    panel.map { case (id, q) =>
-      val approx = probeIvfIndexQ(spark, path0, q, nprobe, k,
-        excludeIds = Seq(id)).select("vec_id")
-        .collect().map(_.getLong(0)).toSet
-      val qlit = typedLit(q)
-      val qn2 = q.map(x => x * x).sum
-      val exact = postings.where(col("vec_id") =!= id)
-        .select(col("vec_id"),
-          round(guardedCos(dotLong(col("q"), qlit), lit(qn2), col("n2")), 4)
-            .as("cos"))
-        .orderBy(col("cos").desc, col("vec_id")).limit(k)
-        .collect().map(_.getLong(0)).toSet
-      val hits = (approx & exact).size.toLong
-      (id, hits, hits * 100L / k)
-    }.toSeq.toDF("qid", "hits", "recall_pct").orderBy("qid")
+        s"found ${panelRows.length}")
+    val panel = panelRows.toSeq.toDF("qid", "qq", "qn2")
+    // Panel-wide cell ranking: centroids × panel is (cells · |panel|)
+    // rows — the per-qid nprobe cut is a window over ≤ cells rows.
+    val cellRank = Window.partitionBy("qid")
+      .orderBy(col("ccos").desc, col("clabel"))
+    val probeCells = spark.read.parquet(s"$path0/_centroids")
+      .crossJoin(broadcast(panel))
+      .select(col("qid"),
+        guardedCos(dotLong(col("cvec"), col("qq")), col("cn2"), col("qn2"))
+          .as("ccos"),
+        col("clabel"))
+      .withColumn("rk", row_number().over(cellRank))
+      .where(col("rk") <= nprobe)
+      .select(col("qid"), col("clabel").as("cell"))
+    // probeIvfIndexQ's score, panel-wide: round BEFORE ranking, as the
+    // probe path does, so the audit replays the served ordering exactly
+    val cosCol = round(
+      guardedCos(dotLong(col("q"), col("qq")), col("qn2"), col("n2")), 4)
+    def topK(scored: DataFrame): DataFrame = {
+      val w1 = Window.partitionBy("qid", "shard")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val w2 = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("shard", pmod(col("vec_id"), lit(Shards)))
+        .withColumn("r1", row_number().over(w1)).where(col("r1") <= k)
+        .withColumn("r2", row_number().over(w2)).where(col("r2") <= k)
+        .select("qid", "vec_id")
+    }
+    // approx arm: only the nprobe cells' postings per qid (the equi-join
+    // on cell prunes partitions — the same pruning the probe path gets
+    // from its IN list); exact arm: the full postings scan, once, for
+    // ALL panel members together — |panel|× cheaper than the old
+    // 2-jobs-per-member driver loop.
+    val approxK = topK(postings
+      .join(broadcast(probeCells), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(panel), Seq("qid"))
+      .select(col("qid"), col("vec_id"), cosCol.as("cos")))
+    val exactK = topK(postings.crossJoin(broadcast(panel))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosCol.as("cos")))
+    val hits = exactK.join(approxK, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    panel.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        ((coalesce(col("hits"), lit(0L)) * lit(100L)) / lit(k))
+          .cast("long").as("recall_pct"))
+      .orderBy("qid")
   }
 
   /** One gated deployment round's outcome. */

@@ -920,24 +920,30 @@ object TextAnalysis {
         (graft.functions.Hashing.md5Long(concat(lit("feat:"), w), 15)
           % width).cast("int"))).as("dims"))
       .transform(graft.Materialize.pin)
-    val n = feat.count()
-    val div = 8L * n
-    var w = Array.fill(width)(0L)
-    val traj = (1 to iters).map { _ =>
-      val wLit = array(w.map(lit): _*)
-      // residual r = Σ_d w[d]·x_d − S·y as a pure map expression (the
-      // weight vector is a broadcast literal); gradient g_d = Σ_docs r
-      // over docs where dim d is present — a width-cell aggregation
-      val g = feat
-        .select(col("dims"), (aggregate(col("dims"), lit(0L),
-          (acc, d) => acc + element_at(wLit, d + 1)) - lit(S) * col("y"))
-          .as("r"))
-        .select(explode(col("dims")).as("dim"), col("r"))
-        .groupBy("dim").agg(sum("r").as("g"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      w = Array.tabulate(width)(d => w(d) - g.getOrElse(d, 0L) / div)
-      w.clone()
-    }
+    // The returned frame is rebuilt from the driver-held trajectory, so
+    // the pinned corpus-sized block is unreachable to callers — release
+    // it here once the last gradient collect is done (try/finally: a
+    // failed iteration must not leak the localCheckpoint blocks either).
+    val traj = try {
+      val n = feat.count()
+      val div = 8L * n
+      var w = Array.fill(width)(0L)
+      (1 to iters).map { _ =>
+        val wLit = array(w.map(lit): _*)
+        // residual r = Σ_d w[d]·x_d − S·y as a pure map expression (the
+        // weight vector is a broadcast literal); gradient g_d = Σ_docs r
+        // over docs where dim d is present — a width-cell aggregation
+        val g = feat
+          .select(col("dims"), (aggregate(col("dims"), lit(0L),
+            (acc, d) => acc + element_at(wLit, d + 1)) - lit(S) * col("y"))
+            .as("r"))
+          .select(explode(col("dims")).as("dim"), col("r"))
+          .groupBy("dim").agg(sum("r").as("g"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        w = Array.tabulate(width)(d => w(d) - g.getOrElse(d, 0L) / div)
+        w.clone()
+      }
+    } finally graft.Materialize.unpin(feat)
     import spark.implicits._
     (0 until width).map(d =>
         (d.toLong, traj.map(_(d)).toList))
@@ -1030,5 +1036,54 @@ object TextAnalysis {
           "* 1000000) AS BIGINT)").as("pmi_micro"))
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** t29 — SEQUENCE PACKING (the pretraining concat-and-chunk step):
+    * documents concatenate in doc_id order into one token stream, which
+    * is cut into fixed `seqLen`-token training windows; each doc reports
+    * its global token offset and the window span it lands in — the
+    * placement map a trainer (or a packing-aware shuffler / attention-
+    * mask builder) consumes, and the provenance record that maps a
+    * training window back to its documents.
+    *
+    * Scale shape: the global running offset is NOT one corpus-sized
+    * window (the classic single-task trap) — it is the sp14 two-level
+    * trick on the doc axis: per-BLOCK token sums (one map-side-combined
+    * aggregation to a blocks-count table), an exclusive cumulative sum
+    * over that SMALL table (one bounded window — pick `blockSize` so
+    * #blocks stays ~10⁵ at your corpus size), broadcast back, plus an
+    * intra-block window partitioned by block. Every corpus-sized window
+    * is partitioned; the only unpartitioned one runs over #blocks rows. */
+  def t29SequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackOf(t(spark, dir, "documents"), seqLen = 128, blockSize = 50)
+      .orderBy("doc_id")
+
+  /** Library surface: packing map over ANY (id, text) frame. Offsets are
+    * exclusive prefix sums in `idCol` order; `first_seq`/`last_seq` are
+    * the seqLen-token window indices the doc's tokens span. */
+  def sequencePackOf(docs: DataFrame, seqLen: Int, blockSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1 && blockSize >= 1, s"$seqLen/$blockSize")
+    val n = docs.select(col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
+      expr(s"CAST($idCol AS BIGINT) div $blockSize").as("__blk"))
+    val blocks = n.groupBy("__blk").agg(sum("n_tokens").as("__bn"))
+    // bounded window: #blocks rows (corpus/blockSize), not the corpus
+    val blockOff = blocks.withColumn("__boff",
+      coalesce(sum(col("__bn")).over(Window.orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__blk", "__boff")
+    n.join(broadcast(blockOff), Seq("__blk"))
+      .withColumn("start_off", col("__boff") +
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy("__blk").orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("first_seq", expr(s"start_off div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(start_off + n_tokens - 1) div $seqLen"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .select(col(idCol), col("n_tokens"), col("start_off"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
   }
 }

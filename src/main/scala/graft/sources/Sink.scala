@@ -64,9 +64,11 @@ object Sink {
     * Bucketed output requires the table catalog (`saveAsTable`) — bucket
     * metadata lives there, plain `.parquet(path)` cannot carry it. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {
+      bucketCols: Seq[String], sortCols: Seq[String] = Seq.empty,
+      mode: String = "overwrite"): Unit = {
     require(buckets > 0 && bucketCols.nonEmpty,
       s"need buckets > 0 and at least one bucket column: $buckets/$bucketCols")
+    require(mode == "overwrite" || mode == "append", s"mode: $mode")
     // route rows to their bucket BEFORE the write: repartition(n, cols)
     // uses the same murmur3 pmod assignment as bucketing, so each task
     // holds exactly one bucket's rows and writes exactly one file — left
@@ -78,9 +80,13 @@ object Sink {
     // sort metadata. File size AND write parallelism are both governed by
     // ONE knob — `buckets` (more buckets = smaller files = more write
     // tasks); a hot bucket is one task, inherent to bucketing itself.
+    // append keeps one-file-per-bucket-per-BATCH (Spark verifies the
+    // bucket spec matches the existing table); the read side still
+    // trusts the bucketing — only per-file sortBy metadata weakens once
+    // a bucket spans files, which the ledger consumers don't rely on
     val routed = df.repartition(buckets, bucketCols.map(col): _*)
     val w = routed.write.format("parquet")
-      .mode("overwrite")
+      .mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

@@ -29,4 +29,16 @@ class EntrySmokeSpec extends SparkSpec {
     assert(coverage.contains(s"$n/$n queries match"),
       s"COVERAGE.md correctness-gate count is stale; expected '$n/$n queries match'")
   }
+
+  // Round-9 verdict lesson: t24/t25 were registered without oracle SQL, so
+  // the driver recorded err=no_oracle while COVERAGE still claimed N/N —
+  // the "N/N match" pin above was vacuously counting unverified queries.
+  // Close the loophole structurally: every registered query MUST carry
+  // DuckDB oracle SQL, so the driver's hard gate covers the whole surface.
+  test("every registered query has DuckDB oracle SQL") {
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.oracleSql.contains)
+    assert(missing.isEmpty,
+      s"queries with no oracle (driver would record err=no_oracle): ${missing.mkString(", ")}")
+  }
 }

@@ -255,6 +255,83 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.extractFrames(png).count() == 1)
   }
 
+  /** Animated GIF with PER-FRAME placement offsets via the writer's
+    * image-metadata tree (ImageDescriptor imageLeft/TopPosition) — the
+    * delta-optimized layout real GIF optimizers emit: later frames store
+    * only the changed rectangle. */
+  private def deltaGif(
+      frames: Seq[(BufferedImage, (Int, Int))]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, (ox, oy)) =>
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      desc.setAttribute("imageLeftPosition", ox.toString)
+      desc.setAttribute("imageTopPosition", oy.toString)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def meanLuma(img: BufferedImage): Int = {
+    var sum = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      sum += (77 * ((p >> 16) & 255) + 150 * ((p >> 8) & 255) +
+        29 * (p & 255)) >> 8
+    }
+    (sum / (img.getWidth.toLong * img.getHeight)).toInt
+  }
+
+  test("composed GIF frames: a delta frame recovers the full-canvas phash") {
+    import spark.implicits._
+    // base scene 32×24 (two solid grays — palette-exact through the GIF
+    // writer, like the lumas-test); delta frame = 12×8 patch at (10, 8)
+    val base = renderImg(32, 24)((x, _) =>
+      if (x < 16) (60, 60, 60) else (180, 180, 180))
+    val patch = renderImg(12, 8)((_, _) => (220, 220, 220))
+    val gif = deltaGif(Seq((base, (0, 0)), (patch, (10, 8))))
+    // what a viewer shows at frame 1: the base with the patch applied
+    val expect = renderImg(32, 24) { (x, y) =>
+      if (x >= 10 && x < 22 && y >= 8 && y < 16) (220, 220, 220)
+      else if (x < 16) (60, 60, 60) else (180, 180, 180)
+    }
+    val docs = Seq((1L, gif)).toDF("doc_id", "payload")
+    // as-stored decode reports the PATCH rectangle for frame 1…
+    val stored = ImageCodec.extractFrames(docs).orderBy("frame_no").collect()
+    assert(stored.length == 2 && stored(1).getInt(2) == 12 * 8,
+      s"as-stored frame 1 should be the patch: ${stored.toSeq}")
+    // …the composed decode reports the full viewer canvas
+    val composed = ImageCodec.extractFramesComposed(docs)
+      .orderBy("frame_no").collect()
+    assert(composed.length == 2)
+    assert(composed.forall(_.getInt(2) == 32 * 24),
+      s"composed n_bytes must be the canvas: ${composed.toSeq}")
+    assert(math.abs(composed(1).getInt(3) - meanLuma(expect)) <= 2,
+      s"composed frame-1 luma ${composed(1).getInt(3)} vs ${meanLuma(expect)}")
+    // and the composed canvas phashes as the full scene — the dedup
+    // signal a patch-rectangle hash can never produce
+    val canvases = ImageCodec.composedCanvases(gif).get
+    val hComposed = ImageCodec.dctHashOf(canvases(1)._2.get)
+    assert(hComposed == ImageCodec.dctHashOf(expect),
+      "composed frame must hash as the viewer's full scene")
+    assert(hComposed != ImageCodec.dctHashOf(patch),
+      "composed frame must not hash as the bare patch")
+  }
+
   /** 16-bit mono little-endian WAV from raw sample values. */
   private def wav(samples: Seq[Short]): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,

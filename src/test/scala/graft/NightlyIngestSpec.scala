@@ -60,4 +60,66 @@ class NightlyIngestSpec extends SparkSpec {
       index: String): org.apache.spark.sql.Row =
     graft.operators.Similarity.probeIvfIndex(spark, index, qv,
       nprobe = 10, k = 1).head()
+
+  test("near-dup ledger lifecycle: night 2's near-duplicate of a night-1 doc is caught") {
+    import spark.implicits._
+    val docs = t(spark, sf, "documents")
+    val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val curated = tmpDir("nightly-ndl") + "/curated"
+    val index = tmpDir("nightly-ndl") + "/index"
+    val ledger = "nightly_ndl_spec"
+    // self-clean: a prior crashed run can leave the warehouse DIRECTORY
+    // behind after the catalog forgot the table — DROP alone then fails
+    // with LOCATION_ALREADY_EXISTS (the shared-spark-warehouse state
+    // class of cross-run flake). Remove both.
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    Seq(s"${ledger}_bands", s"${ledger}_sets").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmRf(new java.io.File(s"spark-warehouse/$t"))
+    }
+
+    // night 1 bootstraps the banded ledger from its survivors
+    val n1 = docs.where(col("doc_id") < 100)
+    val r1 = NightlyIngestExample.ingestNight(spark, n1,
+      vecs.where(col("vec_id") < 100), curated, index,
+      nearDupLedger = Some(ledger))
+    assert(r1.nearDupRejected == 0L) // no standing ledger on night 1
+    assert(spark.catalog.tableExists(s"${ledger}_bands"))
+    val store1 = spark.read.parquet(curated)
+    val bands1 = spark.table(s"${ledger}_bands").count()
+
+    // night 2: a NEAR-duplicate of a night-1 CURATED doc — same text with
+    // one mid-text token swapped, so the exact fingerprint differs (it
+    // passes the fp ledger) but 2-gram Jaccard stays ≈0.9 — plus one
+    // genuinely fresh doc (id 150, unseen in night 1)
+    // donor with quality headroom: the one-token swap moves quality by
+    // ≤ 0.5/len, so ≥ 0.4 guarantees the mutant passes the 0.3 gate too
+    val donor = store1.where(col("quality") >= 0.4).orderBy("doc_id")
+      .limit(1).select("doc_id", "lang", "source", "text").head()
+    val ws = donor.getString(3).trim.split("\\s+")
+    val mutated = (ws.take(ws.length / 2) ++ Array("zzzmutant") ++
+      ws.drop(ws.length / 2 + 1)).mkString(" ")
+    val n2 = docs.where(col("doc_id") === 150)
+      .select("doc_id", "lang", "source", "text")
+      .unionByName(Seq((1000L, donor.getString(1), donor.getString(2),
+        mutated)).toDF("doc_id", "lang", "source", "text"))
+    val r2 = NightlyIngestExample.ingestNight(spark, n2,
+      vecs.where(col("vec_id") === 150), curated, index,
+      nearDupLedger = Some(ledger))
+    assert(r2.nearDupRejected == 1L,
+      s"the planted near-dup must be caught by the standing ledger: $r2")
+    val store2 = spark.read.parquet(curated)
+    assert(store2.where(col("doc_id") === 1000L).isEmpty,
+      "near-dup must not reach the curated store")
+    // the ledger grew by night 2's KEPT docs only (near-dup excluded)
+    val kept2 = store2.count() - store1.count()
+    assert(spark.table(s"${ledger}_bands")
+      .where(col("doc_id") === 1000L).isEmpty,
+      "a rejected near-dup must not enter the ledger")
+    assert(spark.table(s"${ledger}_bands").count() == bands1 + kept2 * 8,
+      "ledger bands must grow by exactly the kept docs' 8 bands each")
+  }
 }

@@ -835,24 +835,29 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(t1: _*); q.processAllAvailable()
       in.addData(t2: _*); q.processAllAvailable()
+      // memory-sink row ORDER across micro-batches is not a guaranteed
+      // API (and group a saturates in trigger 1, so "max n held" cannot
+      // disambiguate either) — assert order-free: the emission SET per
+      // group equals {batch aggregate over trigger 1, batch over all}.
       val got = spark.table("kmvq").collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2)))
-        .groupBy(_._1).map { case (g, snaps) => g -> snaps.last }
-      // final snapshot per group ≡ the batch q42-family aggregate over
-      // ALL the data: same sample (pure data property), same rule
-      val batch = hashed(rows.toDF("g", "rid", "v"))
-        .groupBy("g")
-        .agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), k).as("s"))
-        .select(col("g"), size(col("s")).as("n"),
-          array(qs.map(p => KmvMinK.sampleQuantile(col("s"), p)): _*)
-            .as("qv"))
-        .collect()
-        .map(r => r.getString(0) -> ((r.getInt(1), r.getSeq[Double](2))))
-        .toMap
-      for ((g, (n, qv)) <- batch) {
-        val (_, gotN, gotQ) = got(g)
-        assert(gotN == n, s"group $g held $gotN, batch $n")
-        assert(gotQ == qv, s"group $g quantiles $gotQ, batch $qv")
+        .map(r => (r.getString(0), (r.getInt(1), r.getSeq[Double](2))))
+        .groupBy(_._1).map { case (g, snaps) => g -> snaps.map(_._2).toSet }
+      def batchOf(data: Seq[(String, Long, Double)]) =
+        hashed(data.toDF("g", "rid", "v"))
+          .groupBy("g")
+          .agg(KmvMinK.kmvBottomKPairs(col("h"), col("v"), k).as("s"))
+          .select(col("g"), size(col("s")).as("n"),
+            array(qs.map(p => KmvMinK.sampleQuantile(col("s"), p)): _*)
+              .as("qv"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getInt(1), r.getSeq[Double](2))))
+          .toMap
+      val batch1 = batchOf(t1)
+      val batch = batchOf(rows)
+      for ((g, all) <- batch) {
+        val expected = batch1.get(g).toSet + all
+        assert(got(g) == expected,
+          s"group $g emissions ${got(g)} != expected $expected")
       }
       assert(batch("a")._1 == k)      // saturated: bounded state
       assert(batch("b")._1 == 6)      // sub-saturation: the sample IS b
@@ -878,10 +883,13 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(t1.toSeq: _*); q.processAllAvailable()
       in.addData(t2.toSeq: _*); q.processAllAvailable()
+      // pick the final emission by max n_b (live-doc count grows
+      // monotonically per source across triggers), not collect order —
+      // memory-sink row order across micro-batches is not guaranteed
       val got = spark.table("drift").collect()
         .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
           r.getDouble(3), r.getString(4))))
-        .groupBy(_._1).map { case (s, snaps) => s -> snaps.last._2 }
+        .groupBy(_._1).map { case (s, snaps) => s -> snaps.maxBy(_._2._1)._2 }
       // after the stream drains, each source's row equals the batch
       // monitor over the same two snapshots — binning and PSI arithmetic
       // are shared definitions, so this is exact, not approximate
