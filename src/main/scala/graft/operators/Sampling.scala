@@ -605,12 +605,17 @@ object Sampling {
       .orderBy("source", "i")
   }
 
-  /** sp15 — TEMPERATURE-BASED mixture sampling: per-source keep rates
-    * ∝ n^α relative to the largest source (the multilingual/multi-corpus
-    * rebalancing rule — α < 1 upweights small sources without discarding
-    * the big ones wholesale; α = 0.5 here). Keep decisions are salted-
-    * hash acceptance per doc (the sp01 rule) — deterministic, re-run- and
-    * engine-stable, no rand().
+  /** sp15 — EXPONENT-SMOOTHED mixture rates (the multilingual α-smoothing
+    * rule: sampling probability ∝ n^α normalized to the LARGEST group, so
+    * the dominant language keeps everything and smaller ones are damped
+    * toward it — the rebalancing used to train multilingual encoders).
+    * Distinct from [[sp03TemperatureMix]], which is the BUDGET rule
+    * (absolute per-doc keep cap c/√n, reported per doc): sp15 computes
+    * the relative mixture WEIGHTS (per-group ppm rates + realized kept
+    * counts — the report a mix designer reads), anchored so α only
+    * reshapes the ratio between groups, never the ceiling. Keep decisions
+    * are salted-hash acceptance per doc (sp01's rule) — deterministic,
+    * re-run- and engine-stable, no rand().
     *
     * α is deliberately 1/2: sqrt is IEEE-correctly-rounded, so
     * `floor(10⁶·√n/√nmax)` is bit-identical across engines — a pow(n, α)
@@ -644,10 +649,12 @@ object Sampling {
       .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
         Seq(groupCol))
       .where(graft.functions.Hashing.md5Long(
-        concat(lit("mix:"), col(idCol).cast("string")), 15) % 1000000L
+        concat(lit("alpha:"), col(idCol).cast("string")), 15) % 1000000L
         < col("rate_ppm"))
       .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq(groupCol), "left")
+    // kept is a |groups|-row aggregate — broadcast it explicitly (post-agg
+    // frames carry no size stats, so the static planner would SMJ here)
+    rates.join(broadcast(kept), Seq(groupCol), "left")
       .select(col(groupCol), col("n_docs"), col("rate_ppm"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }

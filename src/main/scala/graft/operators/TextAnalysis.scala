@@ -1038,13 +1038,20 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** t29 — SEQUENCE PACKING (the pretraining concat-and-chunk step):
-    * documents concatenate in doc_id order into one token stream, which
-    * is cut into fixed `seqLen`-token training windows; each doc reports
-    * its global token offset and the window span it lands in — the
-    * placement map a trainer (or a packing-aware shuffler / attention-
-    * mask builder) consumes, and the provenance record that maps a
-    * training window back to its documents.
+  /** t29 — GLOBAL-STREAM sequence packing (the pretraining
+    * concat-and-chunk step over ONE corpus-wide token stream): documents
+    * concatenate in doc_id order, the stream is cut into fixed
+    * `seqLen`-token training windows, and each doc reports its global
+    * token offset and the full window SPAN it covers — the placement map
+    * a trainer (or attention-mask builder) consumes, and the provenance
+    * record that maps a training window back to its documents.
+    * Complements [[Sampling.packSequencesOf]] (sp04), which packs
+    * PER-SOURCE streams with a source-partitioned window and reports
+    * only the starting bin: sp04 is the sharded-by-source layout; t29 is
+    * the single global stream — where no partition column exists to lean
+    * on, the running offset needs the two-level decomposition below to
+    * avoid the corpus-wide single-task window sp04 sidesteps by
+    * partitioning.
     *
     * Scale shape: the global running offset is NOT one corpus-sized
     * window (the classic single-task trap) — it is the sp14 two-level

@@ -37,6 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     // t28's broadcast sides are the ONE-row unigram/bigram totals; the
     // census attaches are keyed equi-joins
     "t28_collocations",
+    // sp15's broadcast side is the ONE-row max-group-size frame (the
+    // temperature anchor); rate attaches are keyed broadcast equi-joins
+    "sp15_temperature_mix",
     // the PQ/SQ probes attach the ONE-row query-norm frame (and ss11 the
     // query vector itself — 1 row); codebook, LUT, and per-dimension
     // stats attaches are keyed equi-joins, not BNLJ
@@ -181,6 +184,41 @@ class PlanAuditSpec extends SparkSpec {
       assert(wins.forall(_.partitionSpec.nonEmpty),
         s"$name plans an unpartitioned window over the corpus")
     }
+  }
+
+  test("t29: the only unpartitioned window runs over the aggregated block table") {
+    // the two-level prefix-sum guarantee as a plan gate: the corpus-sized
+    // window is partitioned by block; the ONE unpartitioned window (the
+    // cross-block cumulative) must consume an AGGREGATE (the #blocks-row
+    // sum table), never the raw documents scan — that would be the
+    // single-task global-cumsum trap this operator exists to avoid
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("t29_sequence_pack")(spark, sf)
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "t29: expected windows")
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty, "t29: corpus window lost its block partitioning")
+    assert(unpart.size == 1,
+      s"t29: expected exactly one cross-block window, got ${unpart.size}")
+    val belowUnpart = unpart.head.child.collect { case n => n.nodeName }
+    assert(belowUnpart.exists(_.contains("HashAggregate")),
+      s"t29: cross-block window does not read an aggregate: $belowUnpart")
+    assert(!belowUnpart.exists(_.contains("Window")),
+      "t29: window stacked below the cross-block window")
+  }
+
+  test("sp15: no sort-merge join — rates attach by broadcast") {
+    // the |groups|-row rate table must broadcast onto the scan; a
+    // sort-merge join here would shuffle the corpus by group (the skew
+    // hazard temperature mixing is meant to correct, not create)
+    val plan = SparkEntry.queries("sp15_temperature_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"sp15: no broadcast join in plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sp15: corpus-shuffling sort-merge join:\n$plan")
   }
 
   test("q01: column pruning reaches the scan (untouched columns unread)") {
