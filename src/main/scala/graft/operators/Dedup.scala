@@ -238,6 +238,60 @@ object Dedup {
       .transform(graft.Materialize.pin)
   }
 
+  /** MAP-ONLY per-row MinHash signature — value-identical to
+    * [[minhashSigOf]] (same word-bigram shingles, same md5→permutation
+    * hash chain, same (a_j, b_j) constants, same sorted xxhash64 shingle
+    * set) but computed entirely WITHIN each row: no explode, no groupBy,
+    * no Materialize pin — the formulation a STREAMING frame can carry
+    * through a stream-static candidate join. Appends `set` + m1..mK to
+    * the input columns. Docs with < 2 tokens have an empty `set` and
+    * NULL minhashes (array_min of empty) — callers filter them out; a
+    * shingle-less doc cannot near-dup anything. Identity with the batch
+    * signature is asserted in StreamingSpec (same docs → same sets,
+    * same minhashes). */
+  private[graft] def rowSigOf(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.toks
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val sigCols = (1 to K).map { j =>
+      val a = (j * 2654435761L) % P
+      val b = (j * 40503L + 7) % P
+      array_min(transform(col("__hm"),
+        h => (lit(a) * h + lit(b)) % P)).as(s"m$j")
+    }
+    val keep = docs.columns.map(col).toSeq
+    docs
+      .withColumn("__g", array_distinct(grams))
+      .withColumn("__hm", transform(col("__g"),
+        s => graft.functions.Hashing.md5Long(s, 15) % P))
+      .select(keep ++ Seq(sort_array(array_distinct(
+        transform(col("__g"), s => xxhash64(s)))).as("set")) ++ sigCols: _*)
+  }
+
+  /** Band explode of a [[rowSigOf]]/[[minhashSigOf]] frame that CARRIES
+    * caller columns (the streaming path needs `set` to ride along to the
+    * verify join — a batch frame would just re-join it, a stream cannot
+    * self-join). */
+  private[graft] def rowBandsOf(sig: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val bandStructs = (0 until K / R).map { b =>
+      struct(lit(b).as("band"), col(s"m${2 * b + 1}").as("k1"),
+        col(s"m${2 * b + 2}").as("k2"))
+    }
+    sig.select(keep.map(col) :+
+      explode(array(bandStructs: _*)).as("bd"): _*)
+      .select(keep.map(col) :+ col("bd.band") :+ col("bd.k1") :+
+        col("bd.k2"): _*)
+  }
+
+  /** Scored pair stream for the streaming alert path: candidates with
+    * both sets attached → size-prefiltered exact Jaccard (the
+    * [[scoredPairs]] machinery, exposed for graft.streaming). */
+  private[graft] def scoredPairsOf(pairs: DataFrame,
+      threshold: Double): DataFrame = scoredPairs(pairs, threshold)
+
   /** Banded LSH keys of a sig frame: (doc_id, band, k1, k2) — K/R rows
     * per document, the 32 B tuples that ARE the only thing the candidate
     * join shuffles. */

@@ -933,4 +933,51 @@ object Streaming {
       }
       .toDF("source", "n_b", "psi_quality", "psi_length", "verdict")
   }
+
+  /** Streaming NEAR-dup ALERTS against a persistent banded ledger —
+    * dd16's live-tail edition, and the stream-static-join showcase of
+    * the family: each arriving document is MinHash-signed IN ROW
+    * ([[graft.operators.Dedup.rowSigOf]] — a map-only reformulation of
+    * the batch signature, value-identical, so no streaming aggregation
+    * and no unbounded state), its 8 band keys stream-static join the
+    * bucketed `<name>_bands` table (the static side reads PRE-BUCKETED —
+    * the same zero-Exchange layout the nightly batch admission rides),
+    * candidates exact-verify by sorted-set intersection against
+    * `<name>_sets`, and every pair at J ≥ threshold emits
+    * (doc_id, idb, jaccard, `tsCol`) — the quarantine/alert stream a
+    * live crawl tails between nightly ledger rebuilds.
+    *
+    * State story: the ONLY stateful operator is the
+    * (doc_id, idb)-within-watermark dedup (one doc's 8 bands can match
+    * the same ledger doc several times — without it each alert would
+    * repeat per colliding band). State is bounded by alert volume inside
+    * the watermark, not by corpus or stream length. The static side is
+    * re-resolved every micro-batch, so nightly ledger growth
+    * (`Dedup.growNearDupLedger`) is visible from the next batch on —
+    * no restart needed. Batch parity (alert pairs ≡ the batch
+    * admission's rejection evidence on the same data) is asserted in
+    * StreamingSpec. */
+  def streamingNearDupAlerts(spark: SparkSession, docs: DataFrame,
+      ledgerName: String, threshold: Double, tsCol: String,
+      watermark: String): DataFrame = {
+    import graft.operators.Dedup
+    val sig = Dedup.rowSigOf(docs).where(size(col("set")) > 0)
+    val cand = Dedup.rowBandsOf(sig, keep = Seq("doc_id", "set", tsCol))
+      .join(spark.table(s"${ledgerName}_bands")
+        .select(col("doc_id").as("idb"), col("band"), col("k1"),
+          col("k2")),
+        Seq("band", "k1", "k2"))
+      .select(col("doc_id").as("ida"), col("idb"),
+        col("set").as("seta"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("ida", "idb")
+    Dedup.scoredPairsOf(
+      cand.join(spark.table(s"${ledgerName}_sets")
+          .select(col("doc_id").as("idb"), col("set").as("setb")),
+        Seq("idb")),
+      threshold)
+      .where(col("jraw") >= threshold)
+      .select(col("ida").as("doc_id"), col("idb"),
+        round(col("jraw"), 3).as("jaccard"), col(tsCol))
+  }
 }

@@ -309,4 +309,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(audit.length == 3)
     audit.foreach(r => assert(r.getLong(2) == 100L, r.toString))
   }
+
+  test("audit is ONE plan: Spark job count does not scale with panel size") {
+    // the r9 finding this guards: the audit used to run 2 driver-looped
+    // jobs PER panel member (a 1000-query audit = 2000 serial jobs). The
+    // single-plan rewrite must make job count a property of the PLAN, not
+    // the panel. Job groups isolate this test's jobs from concurrent
+    // suites sharing the SparkContext; the status tracker is fed
+    // asynchronously, so poll until the group's job list stops growing.
+    val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val path = tmpDir("ivf-audit-jobs")
+    Similarity.buildIvfIndexOf(vecs, path, iters = 1, cells = 4)
+    def jobsOf(groupId: String, panel: Seq[Long]): Int = {
+      spark.sparkContext.setJobGroup(groupId, "audit job-count probe")
+      try Similarity.auditIvfIndex(spark, path, panel, nprobe = 2, k = 3)
+        .collect()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 15000000000L
+      def n() = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(groupId).length
+      var last = -1
+      var cur = n()
+      while ((cur != last || cur == 0) && System.nanoTime() < deadline) {
+        last = cur
+        Thread.sleep(200)
+        cur = n()
+      }
+      cur
+    }
+    val j1 = jobsOf("ivf-audit-p1", Seq(0L))
+    val j3 = jobsOf("ivf-audit-p3", Seq(0L, 1L, 2L))
+    assert(j1 >= 1, "status tracker never saw the audit's jobs")
+    assert(j3 <= j1 + 1,
+      s"audit job count grew with panel size: panel=1 → $j1, panel=3 → $j3")
+  }
 }

@@ -901,4 +901,64 @@ class StreamingSpec extends SparkSpec {
       for ((s, b) <- batch) assert(got(s) == b, s"source $s: ${got(s)} vs $b")
     } finally q.stop()
   }
+
+  test("streaming near-dup alerts replay the batch admission evidence from the bucketed ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3"))
+      .mkString(" ")
+    val near2 = (4 to 60).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+    // self-clean stale warehouse state (the cross-run LOCATION flake class)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    Seq("snd_test_bands", "snd_test_sets").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmRf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Dedup.writeNearDupLedger(Seq((2L, base)).toDF("doc_id", "text"),
+      "snd_test", buckets = 4)
+    try {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val out = Streaming.streamingNearDupAlerts(spark,
+        in.toDF().toDF("doc_id", "text", "ts"), "snd_test",
+        threshold = 0.3, tsCol = "ts", watermark = "10 seconds")
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ndalerts").start()
+      try {
+        val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+        in.addData((1L, near, ts), (3L, novel, ts))
+        q.processAllAvailable()
+        in.addData((5L, near2, ts))
+        q.processAllAvailable()
+        val got = spark.table("ndalerts").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // exactly the two planted near-dups alert, against the ledger
+        // doc, ONCE each — multi-band collisions must not repeat pairs
+        assert(got.length == 2,
+          s"expected 2 alerts (band-collision dups leaked?): ${got.toSeq}")
+        assert(got.map(x => (x._1, x._2)).toSet == Set((1L, 2L), (5L, 2L)))
+        got.foreach(x => assert(x._3 >= 0.3 && x._3 <= 1.0, x.toString))
+        // batch parity: the SAME docs through the batch admission against
+        // the SAME ledger content reject exactly the alerted doc ids —
+        // and because the ledger's band/set tables were written by the
+        // BATCH signature, any drift between rowSigOf and minhashSigOf
+        // would have broken the candidate join outright
+        val batch = Dedup.nearDupAdmitOf(
+          Seq((1L, near), (3L, novel), (5L, near2)).toDF("doc_id", "text"),
+          Seq((2L, base)).toDF("doc_id", "text"), 0.3).collect()
+        val rejected = batch.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+        assert(got.map(_._1).toSet == rejected,
+          s"stream alerts ${got.map(_._1).toSet} != batch rejections $rejected")
+      } finally q.stop()
+    } finally {
+      Seq("snd_test_bands", "snd_test_sets").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    }
+  }
 }
