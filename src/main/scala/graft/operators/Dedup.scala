@@ -223,7 +223,7 @@ object Dedup {
     * recomputable after executor loss — right for this bounded
     * |docs|-row aggregate); spot-instance deployments flip
     * spark.graft.reliableCheckpoint=true. */
-  private def minhashSigOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSigOf(docs: DataFrame): DataFrame = {
     val sh = ngramsOf(docs, 2)
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("hs"),
       (md5Long(col("s"), 15) % P).as("hm"))

@@ -154,4 +154,42 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: rowSigOf (map-only, streaming) ≡ minhashSigOf (groupBy) on random corpora") {
+    // the streaming near-dup path signs documents IN ROW; the batch path
+    // (and the persisted ledger) signs via explode+groupBy. The two MUST
+    // agree value-for-value — a drift would silently empty the
+    // stream-static candidate join. Random corpora: repeated words
+    // (duplicate shingles exercise the distinct semantics), empty and
+    // sub-shingle docs (the null-minhash edge), multi-space whitespace.
+    import graft.operators.Dedup
+    val wordGen = Gen.oneOf((1 to 25).map(i => s"w$i"))
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, wordGen)
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+    } yield ws.mkString(sep)
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(12, docGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val cols = Seq("doc_id", "set") ++ (1 to 16).map(i => s"m$i")
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .select(cols.head, cols.tail: _*).collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Long](1), (2 until 18).map(j =>
+            if (r.isNullAt(j)) None else Some(r.getLong(j)))))
+        .toMap
+      val row = snap(Dedup.rowSigOf(docs))
+      val batch = snap(Dedup.minhashSigOf(docs))
+      // batch drops shingle-less docs at the explode; row keeps them
+      // with empty set — compare on the batch's domain, and check the
+      // row-only extras are exactly the shingle-less ones
+      for ((id, b) <- batch)
+        assert(row(id) == b, s"seed=$seed doc=$id: ${row(id)} vs $b")
+      val extras = row.keySet -- batch.keySet
+      assert(extras.forall(id => row(id)._1.isEmpty),
+        s"seed=$seed: non-empty row-sig docs missing from batch: $extras")
+    }
+  }
 }
