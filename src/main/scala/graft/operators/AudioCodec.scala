@@ -82,4 +82,60 @@ object AudioCodec {
   def extractWindows(docs: DataFrame, windowSamples: Int,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
     Multimodal.framesWith(docs, wavWindows(windowSamples), idCol, payloadCol)
+
+  /** REAL audio fingerprint (m05's PCM edition): decode channel 0, cut
+    * the sample stream into 61 equal windows, energy per window =
+    * Σ|sample| (exact integer), and emit the 60-bit energy-delta
+    * signature ([[Multimodal.energyDeltaBits]] — bit b = window b+1
+    * louder than window b, cross-multiplied so unequal window sizes stay
+    * exact). Exactly invariant to amplitude scaling: every |sample|
+    * scales by the same factor, so no comparison flips — a volume-
+    * normalized copy fingerprints IDENTICALLY (spec-pinned with a
+    * half-amplitude clone); small additive noise moves few bits and
+    * lands within [[Dedup.hammingPairsOf]]'s radius. Undecodable or
+    * non-PCM-16 payloads → the 0L sentinel, the quarantine posture of
+    * every codec here. */
+  def audioFingerprint(windows: Int = 61)(id: Long,
+      payload: Array[Byte]): Multimodal.PHash = {
+    require(windows >= 2 && windows <= 61, s"windows: $windows")
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) Multimodal.PHash(id, 0L)
+        else {
+          val bytes = in.readAllBytes()
+          val channels = fmt.getChannels
+          val big = fmt.isBigEndian
+          val stride = 2 * channels
+          val n = bytes.length / stride
+          if (n == 0) Multimodal.PHash(id, 0L)
+          else {
+            val sums = new Array[Long](windows)
+            val cnts = new Array[Long](windows)
+            var i = 0
+            while (i < n) {
+              val o = i * stride
+              val s =
+                if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+              val b = ((i.toLong * windows) / n).toInt
+              sums(b) += math.abs(s.toInt); cnts(b) += 1
+              i += 1
+            }
+            Multimodal.PHash(id, Multimodal.energyDeltaBits(sums, cnts))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => Multimodal.PHash(id, 0L) }
+  }
+
+  /** Fingerprint a whole (id, payload) binary frame with the real PCM
+    * fingerprinter — the audio sibling of phash-over-images; the output
+    * rides `Dedup.hammingPairsOf(sigCol = "phash")` unchanged. */
+  def fingerprintAudio(docs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    Multimodal.phashWith(docs, audioFingerprint(), idCol, payloadCol)
 }

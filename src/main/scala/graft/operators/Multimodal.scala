@@ -265,6 +265,61 @@ object Multimodal {
     PHash(id, h)
   }
 
+  /** m05 — AUDIO fingerprinting (the Haitsma–Kalker energy-delta shape,
+    * time-axis edition): the payload's "amplitude" stream is cut into 61
+    * equal windows and bit b records whether window b+1's mean level
+    * RISES above window b's — a 60-bit signature that is exactly
+    * invariant to amplitude scaling (both sides of each comparison scale
+    * together) and rides [[graft.operators.Dedup.hammingPairsOf]]'s
+    * banded join unchanged, completing the audio leg of the multimodal
+    * dedup story (m04 = images). The declared query runs the
+    * deterministic byte-stub (the m04 pattern — the oracle computes the
+    * identical integer comparisons over text bytes); the REAL PCM
+    * edition is [[AudioCodec.audioFingerprint]], same bit rule over
+    * decoded channel-0 |sample| energies, spec-verified on generated
+    * WAVs (half-amplitude copy → identical fingerprint). */
+  def m05AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    phashWith(binaryDocs(spark, dir), audioFpStub(61))
+      .withColumnRenamed("phash", "afp")
+      .orderBy("doc_id")
+
+  /** Deterministic stub: 61 positional windows over payload bytes, bit
+    * b ∈ [0, 60) set iff mean(window b+1) > mean(window b), compared as
+    * the exact cross-product `sum(b+1)·cnt(b) > sum(b)·cnt(b+1)` (windows
+    * differ by ≤ 1 in size; no division, no floats). Payloads shorter
+    * than the window count leave gaps — a bit is computed only where
+    * BOTH adjacent windows hold bytes, mirroring the oracle's
+    * consecutive-bucket join. */
+  private[graft] def audioFpStub(windows: Int)(id: Long,
+      payload: Array[Byte]): PHash = {
+    val n = payload.length
+    if (n == 0) return PHash(id, 0L)
+    val sums = new Array[Long](windows)
+    val cnts = new Array[Long](windows)
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * windows) / n).toInt
+      sums(b) += payload(i) & 0xff; cnts(b) += 1
+      i += 1
+    }
+    PHash(id, energyDeltaBits(sums, cnts))
+  }
+
+  /** The shared bit rule of the stub and [[AudioCodec.audioFingerprint]]:
+    * one comparison per adjacent window pair, skipped where either side
+    * is empty. */
+  private[graft] def energyDeltaBits(sums: Array[Long],
+      cnts: Array[Long]): Long = {
+    var h = 0L
+    var b = 0
+    while (b < sums.length - 1) {
+      if (cnts(b) > 0 && cnts(b + 1) > 0 &&
+          sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
     * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).
     * Same typed-mapPartitions plan as [[decodeWith]]. */

@@ -369,4 +369,34 @@ class MultimodalSpec extends SparkSpec {
     val bad = out.filter(_.getLong(0) == 2L)
     assert(bad.length == 1 && bad(0).getInt(1) == -1 && bad(0).getInt(3) == -1)
   }
+
+  test("audio fingerprint: volume-scaled clone identical, distinct clip distinct, pair recovered") {
+    import spark.implicits._
+    import graft.operators.{AudioCodec, Dedup}
+    // a distinctive loudness CONTOUR: per-window amplitude follows a
+    // zig-zag, so the energy-delta bits carry real structure
+    val contour = (0 until 61).map(w =>
+      (500 + 400 * (w % 7) + 30 * (w % 3)).toShort)
+    def clip(amps: Seq[Short], scale: Int): Seq[Short] =
+      amps.flatMap(a => Seq.fill(100)((a / scale).toShort))
+    val original = wav(clip(contour, 1))
+    val halfVolume = wav(clip(contour, 2)) // exact /2 — no comparison flips
+    val different = wav(clip(contour.reverse, 1))
+    val docs = Seq((1L, original), (2L, halfVolume), (3L, different),
+      (9L, "static noise?".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val sigs = AudioCodec.fingerprintAudio(docs)
+    val rows = sigs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact scale invariance: the fingerprint is IDENTICAL, not just near
+    assert(rows(1L) != 0L && rows(1L) == rows(2L),
+      s"half-volume clone must fingerprint identically: $rows")
+    assert(rows(3L) != rows(1L), "reversed contour must differ")
+    assert(rows(9L) == 0L, "non-audio must sentinel to 0L")
+    // and the near-dup machinery recovers exactly the planted pair
+    val pairs = Dedup.hammingPairsOf(
+      sigs.where(col("phash") =!= 0L), maxHamming = 4, sigCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"planted audio pair: $pairs")
+  }
 }

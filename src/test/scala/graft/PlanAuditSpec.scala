@@ -93,7 +93,8 @@ class PlanAuditSpec extends SparkSpec {
   private val mapOnly = Seq("t01_token_count", "t02_quality", "t03_langid",
     "t04_fingerprint", "t05_bpe_tokens", "t07_repetition", "t08_scrub",
     "t16_normalize", "t21_token_entropy", "m01_decode", "m02_frames",
-    "m03_resize", "m04_phash", "sp01_split_sample", "sp07_chunk_windows",
+    "m03_resize", "m04_phash", "m05_audio_fingerprint",
+    "sp01_split_sample", "sp07_chunk_windows",
     "dd11_winnow", "dd18_self_scrub")
 
   test("map-only operators shuffle at most once (the presentation sort)") {
