@@ -37,11 +37,24 @@ import graft.streaming.Streaming
   */
 object StreamingCurationExample {
 
+  /** `nearDupLedger` + `quarantineDir`: when a
+    * [[graft.operators.Dedup.writeNearDupLedger]] bucketed ledger exists,
+    * each micro-batch's quality survivors also pass banded NEAR-dup
+    * admission against it (the dd16 rule at micro-batch cadence — the
+    * same call the nightly batch makes, so live and nightly agree on
+    * what "near-duplicate" means); rejected docs append to the
+    * quarantine store instead of the curated one. The ledger is only as
+    * fresh as the last nightly grow — intra-day near-dups of today's own
+    * admissions are the nightly reconcile's job (or tail
+    * [[Streaming.streamingNearDupAlerts]] for the observability feed). */
   def start(spark: SparkSession, docs: DataFrame, checkpointDir: String,
       curatedDir: String, profileDir: String,
       quota: Int = 1000, minQuality: Double = 0.3,
       watermark: String = "10 minutes",
-      profileWindow: String = "1 hour"): StreamingQuery = {
+      profileWindow: String = "1 hour",
+      nearDupLedger: Option[String] = None,
+      nearDupThreshold: Double = 0.3,
+      quarantineDir: Option[String] = None): StreamingQuery = {
     val deduped = Streaming.streamingDedup(docs, "ts", watermark)
     val admitted = Streaming.streamingQuotaDocs(spark, deduped, quota)
       .where(col("admitted"))
@@ -57,9 +70,23 @@ object StreamingCurationExample {
           .select("doc_id", "source", "text", "ts", "quality")
         survivors.persist()
         try {
-          survivors.write.mode("append").parquet(curatedDir)
+          val clean = nearDupLedger match {
+            case Some(name)
+                if spark.catalog.tableExists(s"${name}_bands") =>
+              val adm = graft.operators.Dedup.nearDupAdmitAgainstLedger(
+                spark, survivors, name, nearDupThreshold)
+              quarantineDir.foreach { qd =>
+                survivors.join(adm.where(!col("admitted"))
+                  .select("doc_id"), "doc_id")
+                  .write.mode("append").parquet(qd)
+              }
+              survivors.join(adm.where(col("admitted"))
+                .select("doc_id"), "doc_id")
+            case _ => survivors
+          }
+          clean.write.mode("append").parquet(curatedDir)
           // additive windowed profile rows for this batch — reader sums
-          survivors
+          clean
             .groupBy(window(col("ts"), profileWindow), col("source"))
             .agg(count(lit(1)).as("n_docs"),
               sum(col("quality")).as("sum_quality"))

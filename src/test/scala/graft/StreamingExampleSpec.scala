@@ -77,4 +77,56 @@ class StreamingExampleSpec extends SparkSpec {
     // every curated row clears the gate
     assert(out2.where(col("quality") < 0.3).isEmpty)
   }
+
+  test("streaming curation with a near-dup ledger: live near-dups quarantine, fresh docs pass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val srcDir = tmpDir("scur2_src")
+    val ckpt = tmpDir("scur2_ckpt")
+    val curated = tmpDir("scur2_out") + "/curated"
+    val profile = tmpDir("scur2_out") + "/profile"
+    val quarantine = tmpDir("scur2_out") + "/quarantine"
+    val ledger = "scur2_ndl"
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    Seq(s"${ledger}_bands", s"${ledger}_sets").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmRf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    // the standing ledger knows one curated doc; the stream carries a
+    // NEAR-duplicate of it (different exact fingerprint, J ≈ 0.9) and a
+    // genuinely fresh doc
+    graft.operators.Dedup.writeNearDupLedger(
+      Seq((100L, goodText + " five")).toDF("doc_id", "text"), ledger,
+      buckets = 4)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+        Seq(
+          s"""{"doc_id":201,"source":"s1","text":"$goodText six","ts":"2026-01-01T10:00:00Z"}""",
+          s"""{"doc_id":202,"source":"s1","text":"fresh words entirely and the day is a good one for a long walk in the new town by the sea","ts":"2026-01-01T10:01:00Z"}""")
+          .mkString("\n").getBytes("UTF-8"))
+      val q = StreamingCurationExample.start(spark,
+        spark.readStream.schema(schema).json(srcDir),
+        ckpt, curated, profile, quota = 10, minQuality = 0.3,
+        nearDupLedger = Some(ledger), quarantineDir = Some(quarantine))
+      try q.processAllAvailable() finally q.stop()
+      val kept = spark.read.parquet(curated)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val quarantined = spark.read.parquet(quarantine)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(quarantined == Set(201L),
+        s"the live near-dup of a ledger doc must quarantine: $quarantined")
+      assert(kept == Set(202L), s"fresh doc must pass: $kept")
+      // profile rows count only the CLEAN admissions
+      assert(StreamingCurationExample.profile(spark, profile)
+        .agg(org.apache.spark.sql.functions.sum("n_docs"))
+        .head().getLong(0) == 1L)
+    } finally {
+      Seq(s"${ledger}_bands", s"${ledger}_sets").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    }
+  }
 }
