@@ -28,10 +28,13 @@ import graft.streaming.Streaming
   *
   * Restart contract: stop the query and call [[start]] again with the same
   * `checkpointDir` — dedup/quota state recovers from the state store, the
-  * source resumes from committed offsets, and `foreachBatch` re-delivery is
-  * at-least-once (the curated write appends; dedup downstream on doc_id if
-  * the sink must be exactly-once — same contract as
-  * [[Streaming.compactedConsume]]).
+  * source resumes from committed offsets, and every store write is a
+  * batch-id-keyed [[graft.sources.Sink.idempotentAppend]]: a re-delivered
+  * micro-batch (foreachBatch's at-least-once window) finds its `batch=<id>`
+  * directory already published and no-ops, so the curated, quarantine, and
+  * profile stores are effectively EXACTLY-once with no downstream dedup.
+  * The batch id surfaces as a `batch` partition column — write provenance
+  * for free.
   *
   * Input schema: (doc_id long, source string, text string, ts timestamp).
   */
@@ -62,7 +65,7 @@ object StreamingCurationExample {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .queryName("graft-streaming-curation")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // quality gate: the ONE quality definition the batch pipeline uses
         val scored = batch.withColumn("quality",
           graft.operators.TextAnalysis.quality(col("text")))
@@ -76,23 +79,27 @@ object StreamingCurationExample {
               val adm = graft.operators.Dedup.nearDupAdmitAgainstLedger(
                 spark, survivors, name, nearDupThreshold)
               quarantineDir.foreach { qd =>
-                survivors.join(adm.where(!col("admitted"))
-                  .select("doc_id"), "doc_id")
-                  .write.mode("append").parquet(qd)
+                graft.sources.Sink.idempotentAppend(
+                  survivors.join(adm.where(!col("admitted"))
+                    .select("doc_id"), "doc_id"), qd, batchId)
               }
               survivors.join(adm.where(col("admitted"))
                 .select("doc_id"), "doc_id")
             case _ => survivors
           }
-          clean.write.mode("append").parquet(curatedDir)
+          // batch-id-keyed idempotent publishes: a re-delivered batch
+          // (restart replaying uncommitted offsets) no-ops, so all three
+          // stores are effectively EXACTLY-once — no downstream dedup
+          graft.sources.Sink.idempotentAppend(clean, curatedDir, batchId)
           // additive windowed profile rows for this batch — reader sums
-          clean
+          graft.sources.Sink.idempotentAppend(clean
             .groupBy(window(col("ts"), profileWindow), col("source"))
             .agg(count(lit(1)).as("n_docs"),
               sum(col("quality")).as("sum_quality"))
             .select(col("window.start").as("window_start"), col("source"),
-              col("n_docs"), col("sum_quality"))
-            .write.mode("append").parquet(profileDir)
+              col("n_docs"), col("sum_quality")),
+            profileDir, batchId)
+          ()
         } finally { survivors.unpersist(); () }
       }
       .start()

@@ -211,4 +211,47 @@ object Sink {
   def readEvolved(spark: org.apache.spark.sql.SparkSession,
       paths: String*): DataFrame =
     spark.read.option("mergeSchema", true).parquet(paths: _*)
+
+  /** IDEMPOTENT foreachBatch append — upgrades a streaming sink's
+    * delivery contract from foreachBatch's at-least-once to effectively
+    * EXACTLY-ONCE without any downstream dedup: each micro-batch writes
+    * into its own `batch=<id>` subdirectory, staged in a hidden temp dir
+    * and published by one atomic FS rename, and a RE-delivered batch id
+    * (restart replaying uncommitted offsets — the documented foreachBatch
+    * behavior) finds its directory already published and becomes a no-op.
+    * The Spark engine re-delivers a batch with the SAME id and the SAME
+    * data (offsets are checkpointed before execution), so skip-if-present
+    * is correct, not lossy. Returns true iff this call published.
+    *
+    * Crash anatomy: die mid-stage → only `.staging-<id>` exists; the
+    * re-delivery deletes and rewrites it, then renames. Die between
+    * rename and checkpoint commit → the re-delivery no-ops. Readers scan
+    * `dir` with partition discovery (the batch id surfaces as a `batch`
+    * column — provenance for free); `.staging-*` dirs are dot-prefixed,
+    * so readers never see a partial batch.
+    *
+    * At 100 TB scale: one directory per micro-batch is the natural
+    * small-file governor (compactDataset folds old batches), and the
+    * atomic-rename contract holds on HDFS and on object stores with
+    * directory-rename semantics; for plain S3, point `dir` at an
+    * S3A-committer-backed path or a table format. */
+  def idempotentAppend(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) false
+    else {
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$dir/.staging-$batchId")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      df.write.mode("overwrite").parquet(staging.toString)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"idempotentAppend: publish rename failed for $target " +
+            s"(staged data left at $staging)")
+      true
+    }
+  }
 }

@@ -299,4 +299,29 @@ class SinkSpec extends SparkSpec {
       .sum / tProbes.size
     assert(tTouch <= 0.75, s"z-layout must prune ts probes on average: $tTouch")
   }
+
+  test("idempotentAppend: re-delivered batch no-ops; crashed staging recovers; reads see no partials") {
+    import spark.implicits._
+    val dir = tmpDir("idemp")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(graft.sources.Sink.idempotentAppend(b0, dir, 0L))
+    // re-delivery of batch 0 — even with DIFFERENT data (which the
+    // engine never does, but the sink must not trust that) — no-ops
+    assert(!graft.sources.Sink.idempotentAppend(
+      Seq((9L, "dup")).toDF("id", "v"), dir, 0L))
+    assert(spark.read.parquet(dir).count() == 2)
+    // a crash mid-stage leaves only .staging-<id>: plant one, then the
+    // re-delivery must clean it, publish, and the dot-dir stays invisible
+    val staged = Seq((3L, "c")).toDF("id", "v")
+    staged.write.parquet(s"$dir/.staging-1")
+    assert(spark.read.parquet(dir).count() == 2,
+      "a staged (uncommitted) batch must be invisible to readers")
+    assert(graft.sources.Sink.idempotentAppend(staged, dir, 1L))
+    assert(!new java.io.File(s"$dir/.staging-1").exists())
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 3)
+    // batch provenance surfaces as a partition column
+    assert(all.columns.contains("batch"))
+    assert(all.where(col("batch") === 1).select("id").head().getLong(0) == 3L)
+  }
 }

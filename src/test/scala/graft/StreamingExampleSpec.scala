@@ -51,8 +51,9 @@ class StreamingExampleSpec extends SparkSpec {
     // exercised cross-batch: doc 15 in batch 2 repeats doc 10's text)
     assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(10L, 12L))
+    // data columns + the idempotent sink's batch-provenance partition
     assert(out1.columns.toSeq ==
-      Seq("doc_id", "source", "text", "ts", "quality"))
+      Seq("doc_id", "source", "text", "ts", "quality", "batch"))
 
     // restart on the same checkpoint: recovered dedup state still knows
     // goodText's fingerprint; recovered quota state knows s1 is FULL —
