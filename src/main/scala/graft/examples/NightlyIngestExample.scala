@@ -29,11 +29,15 @@ import graft.sources.Sink
   * Night 1 (no store yet) degrades gracefully: nothing is "seen", so
   * admission is first-in-batch only, and the index is built fresh.
   *
-  * Crash-recovery contract: the store append and the ledger append are
-  * two writes with no cross-FS transaction — ordered store-first so a
-  * crash between them can DUPLICATE (never lose) documents on the
-  * re-run; reconcile by rebuilding `_fingerprints` from the store's fp
-  * column before re-running a failed night. A crash inside the index
+  * Crash-recovery contract: the store append, the fingerprint-ledger
+  * append, the index maintenance, and the near-dup-ledger grow are
+  * separate writes with no cross-FS transaction — ordered store-first,
+  * near-dup-ledger LAST, so a crash between them can DUPLICATE (never
+  * lose) documents on the re-run and can never make tonight's docs
+  * self-reject against their own freshly-grown bands; reconcile a
+  * failed night by rebuilding `_fingerprints` from the store's fp
+  * column (and, if the near-dup leg is on, `Dedup.writeNearDupLedger`
+  * over the curated corpus) before re-running. A crash inside the index
   * retrain swap leaves `indexDir` without `_centroids` — this method
   * then fails loudly with the restore instructions rather than
   * rebuilding from one night's vectors.
@@ -128,14 +132,6 @@ object NightlyIngestExample {
       Sink.writeCurated(finalDocs, curatedDir,
         partitionCols = Seq("lang"), sortCols = Seq("quality"),
         mode = "append")
-      // the near-dup ledger learns tonight's KEPT docs (after the
-      // admission above ran — nearDupKept is already materialized, so
-      // tonight's own bands cannot reject tonight's batch)
-      nearDupLedger.foreach { name =>
-        if (spark.catalog.tableExists(s"${name}_bands"))
-          Dedup.growNearDupLedger(finalDocs, name)
-        else if (nFinal > 0) Dedup.writeNearDupLedger(finalDocs, name)
-      }
       // remember every fingerprint this night ADMITTED (quality-rejects
       // included — they were processed and must not return); null fps are
       // never recorded, matching incrementalAdmit's admit-verbatim rule
@@ -178,6 +174,22 @@ object NightlyIngestExample {
       // an index that was never PQ-augmented, so the call is
       // unconditional rather than an operator runbook step.
       if (nFinal > 0) Similarity.refreshPqCodes(spark, indexDir)
+      // the near-dup ledger grows LAST, deliberately: tonight's docs are
+      // already materialized in nearDupKept (their own bands cannot
+      // reject them this run), and crash-ORDERING matters — growing the
+      // ledger before the fp-ledger append would make a crash between
+      // the two turn the RE-RUN against tonight's own bands (every doc
+      // self-rejects at J=1 and never reaches the index). Grown last, a
+      // crash anywhere earlier re-runs cleanly (at worst duplicating
+      // store rows per the contract above), and the only gap — crash
+      // after the fp append but before this grow — is repaired by the
+      // same reconcile: rebuild the ledger from the store
+      // (writeNearDupLedger over the curated corpus).
+      nearDupLedger.foreach { name =>
+        if (spark.catalog.tableExists(s"${name}_bands"))
+          Dedup.growNearDupLedger(finalDocs, name)
+        else if (nFinal > 0) Dedup.writeNearDupLedger(finalDocs, name)
+      }
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
         belowQuality = nAdmit - nSurvive, indexRetrained = retrained,
         nearDupRejected = nNearDup)

@@ -34,7 +34,11 @@ import graft.streaming.Streaming
   * directory already published and no-ops, so the curated, quarantine, and
   * profile stores are effectively EXACTLY-once with no downstream dedup.
   * The batch id surfaces as a `batch` partition column — write provenance
-  * for free.
+  * for free. MIGRATION: stores written by pre-batch-dir versions hold
+  * flat root-level part-files, which conflict with `batch=<id>` partition
+  * discovery — one-time migrate with
+  * `Sink.compactDataset(old, s"$new/batch=0")` before pointing a query at
+  * an old store.
   *
   * Input schema: (doc_id long, source string, text string, ts timestamp).
   */
@@ -58,6 +62,12 @@ object StreamingCurationExample {
       nearDupLedger: Option[String] = None,
       nearDupThreshold: Double = 0.3,
       quarantineDir: Option[String] = None): StreamingQuery = {
+    // a near-dup rejection must land SOMEWHERE an operator can audit:
+    // a borderline-J false rejection silently discarded is unrecoverable
+    // and undetectable, so the ledger leg refuses to run blind
+    require(nearDupLedger.isEmpty || quarantineDir.nonEmpty,
+      "nearDupLedger without quarantineDir would discard near-dup " +
+        "rejections unrecorded — pass quarantineDir alongside the ledger")
     val deduped = Streaming.streamingDedup(docs, "ts", watermark)
     val admitted = Streaming.streamingQuotaDocs(spark, deduped, quota)
       .where(col("admitted"))

@@ -664,11 +664,16 @@ object Dedup {
   def writeNearDupLedger(docs: DataFrame, name: String,
       buckets: Int = 32): Unit = {
     val sig = minhashSigOf(docs)
-    graft.sources.Sink.writeBucketed(bandsOfSig(sig), s"${name}_bands",
-      buckets, bucketCols = Seq("band", "k1", "k2"))
-    graft.sources.Sink.writeBucketed(
-      sig.select(col("doc_id"), col("set")), s"${name}_sets",
-      buckets, bucketCols = Seq("doc_id"))
+    // the pinned sig frame is unreachable once both bucketed tables are
+    // written — release it (try/finally: a failed write must not strand
+    // the corpus-sized localCheckpoint blocks either)
+    try {
+      graft.sources.Sink.writeBucketed(bandsOfSig(sig), s"${name}_bands",
+        buckets, bucketCols = Seq("band", "k1", "k2"))
+      graft.sources.Sink.writeBucketed(
+        sig.select(col("doc_id"), col("set")), s"${name}_sets",
+        buckets, bucketCols = Seq("doc_id"))
+    } finally graft.Materialize.unpin(sig)
   }
 
   /** GROW a [[writeNearDupLedger]] ledger with a night's admitted docs:
@@ -681,11 +686,15 @@ object Dedup {
   def growNearDupLedger(docs: DataFrame, name: String,
       buckets: Int = 32): Unit = {
     val sig = minhashSigOf(docs)
-    graft.sources.Sink.writeBucketed(bandsOfSig(sig), s"${name}_bands",
-      buckets, bucketCols = Seq("band", "k1", "k2"), mode = "append")
-    graft.sources.Sink.writeBucketed(
-      sig.select(col("doc_id"), col("set")), s"${name}_sets",
-      buckets, bucketCols = Seq("doc_id"), mode = "append")
+    // same unpin discipline as writeNearDupLedger: without it a nightly
+    // loop strands one batch-sized checkpoint pin per night
+    try {
+      graft.sources.Sink.writeBucketed(bandsOfSig(sig), s"${name}_bands",
+        buckets, bucketCols = Seq("band", "k1", "k2"), mode = "append")
+      graft.sources.Sink.writeBucketed(
+        sig.select(col("doc_id"), col("set")), s"${name}_sets",
+        buckets, bucketCols = Seq("doc_id"), mode = "append")
+    } finally graft.Materialize.unpin(sig)
   }
 
   /** Near-dup admission against a [[writeNearDupLedger]] ledger — result

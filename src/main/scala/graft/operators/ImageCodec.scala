@@ -222,14 +222,27 @@ object ImageCodec {
         attr("GraphicControlExtension", "disposalMethod", "none"))
     } catch { case _: Exception => FramePlacement(0, 0, "none") }
 
-  /** The composition core: decode every frame AND its placement, replay
-    * the GIF disposal state machine over a logical-screen canvas, and
-    * return each frame's fully-composed canvas (what a viewer displays
-    * at that frame). `None` per slot = that frame failed mid-stream
-    * (composition continues on the prior canvas state). Exposed
-    * private[graft] so specs can hash a composed canvas directly. */
-  private[graft] def composedCanvases(
-      payload: Array[Byte]): Option[Seq[(Int, Option[BufferedImage])]] = {
+  private def copyCanvas(src: BufferedImage): BufferedImage = {
+    val c = new BufferedImage(src.getWidth, src.getHeight,
+      BufferedImage.TYPE_INT_RGB)
+    val g = c.createGraphics()
+    try g.drawImage(src, 0, 0, null) finally g.dispose()
+    c
+  }
+
+  /** The composition core as a STREAMING fold: ONE live canvas, frames
+    * decoded one at a time, the visitor called with the canvas as it
+    * stands when frame i shows (the visitor must consume, not retain —
+    * the canvas mutates on the next step). Memory is O(canvas + one
+    * frame) regardless of frame count — a 500-frame screen-capture GIF
+    * must not hold 500 decoded frames + 500 snapshots in one task (the
+    * corrupt-shard posture's memory cousin). The logical screen comes
+    * from stream metadata, else a HEADER-only bounds scan
+    * (reader.getWidth/getHeight read no pixel data). `onFrame(i, None)`
+    * = frame i failed mid-stream; composition continues on the prior
+    * canvas state. */
+  private[graft] def foldComposedFrames[A](payload: Array[Byte])(
+      onFrame: (Int, Option[BufferedImage]) => A): Option[Seq[A]] = {
     val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(payload))
     try {
@@ -244,13 +257,6 @@ object ImageCodec {
           val n = reader.getNumImages(true)
           if (n <= 0) None
           else {
-            val decoded = (0 until n).map { i =>
-              try Some((reader.read(i), placementOf(reader, i)))
-              catch { case _: Exception => None }
-            }
-            // logical screen: stream metadata if present, else the
-            // bounding box of every placed frame (single-frame formats
-            // degrade to the frame's own size)
             val screen =
               try {
                 val sm = reader.getStreamMetadata
@@ -265,47 +271,47 @@ object ImageCodec {
                 }
               } catch { case _: Exception => None }
             val (w, h) = screen.getOrElse {
-              val boxes = decoded.flatten.map { case (img, p) =>
-                (p.x + img.getWidth, p.y + img.getHeight) }
+              val boxes = (0 until n).flatMap { i =>
+                try {
+                  val p = placementOf(reader, i)
+                  Some((p.x + reader.getWidth(i), p.y + reader.getHeight(i)))
+                } catch { case _: Exception => None }
+              }
               if (boxes.isEmpty) (1, 1)
               else (boxes.map(_._1).max, boxes.map(_._2).max)
             }
             val canvas = new BufferedImage(math.max(w, 1), math.max(h, 1),
               BufferedImage.TYPE_INT_RGB)
-            val out = decoded.zipWithIndex.map {
-              case (None, i) => (i, None)
-              case (Some((img, p)), i) =>
-                // restoreToPrevious needs the pre-draw canvas back after
-                // this frame is emitted
-                val saved =
-                  if (p.disposal == "restoreToPrevious") {
-                    val c = new BufferedImage(canvas.getWidth,
-                      canvas.getHeight, BufferedImage.TYPE_INT_RGB)
-                    val g = c.createGraphics()
-                    try g.drawImage(canvas, 0, 0, null) finally g.dispose()
-                    Some(c)
-                  } else None
-                val g = canvas.createGraphics()
-                try g.drawImage(img, p.x, p.y, null) finally g.dispose()
-                val snap = new BufferedImage(canvas.getWidth,
-                  canvas.getHeight, BufferedImage.TYPE_INT_RGB)
-                val gs = snap.createGraphics()
-                try gs.drawImage(canvas, 0, 0, null) finally gs.dispose()
-                // disposal runs AFTER the frame shows
-                p.disposal match {
-                  case "restoreToBackgroundColor" =>
-                    val gd = canvas.createGraphics()
-                    try {
-                      gd.setColor(java.awt.Color.BLACK)
-                      gd.fillRect(p.x, p.y, img.getWidth, img.getHeight)
-                    } finally gd.dispose()
-                  case "restoreToPrevious" =>
-                    val gd = canvas.createGraphics()
-                    try gd.drawImage(saved.get, 0, 0, null)
-                    finally gd.dispose()
-                  case _ => () // none / doNotDispose: keep
-                }
-                (i, Some(snap))
+            val out = (0 until n).map { i =>
+              (try Some((reader.read(i), placementOf(reader, i)))
+              catch { case _: Exception => None }) match {
+                case None => onFrame(i, None)
+                case Some((img, p)) =>
+                  // restoreToPrevious needs the pre-draw canvas back
+                  // after this frame is emitted
+                  val saved =
+                    if (p.disposal == "restoreToPrevious")
+                      Some(copyCanvas(canvas))
+                    else None
+                  val g = canvas.createGraphics()
+                  try g.drawImage(img, p.x, p.y, null) finally g.dispose()
+                  val a = onFrame(i, Some(canvas))
+                  // disposal runs AFTER the frame shows
+                  p.disposal match {
+                    case "restoreToBackgroundColor" =>
+                      val gd = canvas.createGraphics()
+                      try {
+                        gd.setColor(java.awt.Color.BLACK)
+                        gd.fillRect(p.x, p.y, img.getWidth, img.getHeight)
+                      } finally gd.dispose()
+                    case "restoreToPrevious" =>
+                      val gd = canvas.createGraphics()
+                      try gd.drawImage(saved.get, 0, 0, null)
+                      finally gd.dispose()
+                    case _ => () // none / doNotDispose: keep
+                  }
+                  a
+              }
             }
             Some(out)
           }
@@ -314,6 +320,13 @@ object ImageCodec {
     } catch { case _: Exception => None }
     finally in.close()
   }
+
+  /** Spec seam: per-frame composed canvas SNAPSHOTS (each a copy — only
+    * sane for test-sized inputs; production paths consume the live
+    * canvas through [[foldComposedFrames]] and hold one at a time). */
+  private[graft] def composedCanvases(
+      payload: Array[Byte]): Option[Seq[(Int, Option[BufferedImage])]] =
+    foldComposedFrames(payload)((i, c) => (i, c.map(copyCanvas)))
 
   /** Viewer-accurate sibling of [[gifFrames]] (r9 directive #5): frames
     * composed onto the running logical-screen canvas per the GIF
@@ -327,24 +340,26 @@ object ImageCodec {
     * sentinel frame (−1, 0, −1); a frame that fails mid-stream reports
     * (i, 0, −1) and composition continues on the prior canvas. */
   def gifFramesComposed(id: Long, payload: Array[Byte]): Iterator[Frame] =
-    composedCanvases(payload) match {
-      case None => Iterator.single(Frame(id, -1, 0, -1))
-      case Some(frames) => frames.map {
-        case (i, None) => Frame(id, i, 0, -1)
-        case (i, Some(canvas)) =>
-          var sum = 0L
-          var y = 0
-          while (y < canvas.getHeight) {
-            var x = 0
-            while (x < canvas.getWidth) {
-              sum += luma(canvas.getRGB(x, y)); x += 1
-            }
-            y += 1
+    foldComposedFrames(payload) {
+      case (i, None) => Frame(id, i, 0, -1)
+      case (i, Some(canvas)) =>
+        // luma computed IMMEDIATELY off the live canvas — nothing
+        // retained, so memory stays one canvas however many frames
+        var sum = 0L
+        var y = 0
+        while (y < canvas.getHeight) {
+          var x = 0
+          while (x < canvas.getWidth) {
+            sum += luma(canvas.getRGB(x, y)); x += 1
           }
-          val np = canvas.getWidth.toLong * canvas.getHeight
-          Frame(id, i, math.min(np, Int.MaxValue.toLong).toInt,
-            (sum / math.max(np, 1L)).toInt)
-      }.iterator
+          y += 1
+        }
+        val np = canvas.getWidth.toLong * canvas.getHeight
+        Frame(id, i, math.min(np, Int.MaxValue.toLong).toInt,
+          (sum / math.max(np, 1L)).toInt)
+    } match {
+      case None => Iterator.single(Frame(id, -1, 0, -1))
+      case Some(frames) => frames.iterator
     }
 
   /** Frame-extract with viewer-accurate composition — the

@@ -1072,6 +1072,17 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen >= 1 && blockSize >= 1, s"$seqLen/$blockSize")
+    // the block decomposition NEEDS a numeric id: a string id would cast
+    // to NULL (non-ANSI), silently collapsing every doc into one NULL
+    // block — the exact single-task corpus window this operator exists
+    // to avoid. Fail loudly instead; string-keyed corpora should derive
+    // a numeric surrogate first (a persisted row number or a dense id —
+    // NOT monotonically_increasing_id, whose values move with
+    // partitioning and would reorder the pack between runs).
+    val idType = docs.schema(idCol).dataType.simpleString
+    require(Set("tinyint", "smallint", "int", "bigint").contains(idType),
+      s"sequencePackOf needs an integral $idCol (got $idType): the " +
+        "stream order and block decomposition are defined by numeric id")
     val n = docs.select(col(idCol),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
       expr(s"CAST($idCol AS BIGINT) div $blockSize").as("__blk"))

@@ -101,4 +101,17 @@ class BpeSpec extends SparkSpec {
       assert(got(id) == exp, s"doc $id")
     }
   }
+
+  test("oracle precondition: no document token carries the U+001F symbol separator") {
+    // the t25 DuckDB oracle encodes every whitespace token's symbols as a
+    // chr(31)-wrapped string (training tokens are ^[a-z]+$-safe, but
+    // SEGMENTATION touches every token); a corpus token containing the
+    // separator itself would mis-parse oracle-side and read as a false
+    // cross-engine mismatch. The fixture generator is ASCII-printable —
+    // pin that assumption where the oracle depends on it.
+    assert(graft.sources.Tables.t(spark, sf, "documents")
+      .where(col("text").contains("\u001f")).isEmpty,
+      "documents.text contains U+001F — the BPE oracle's symbol " +
+        "separator; re-encode the oracle before trusting t25's gate")
+  }
 }
