@@ -624,7 +624,19 @@ object Dedup {
     * where the LEDGER's band/set frames come from differs. */
   private def admitAgainst(batch: DataFrame, ledgerBands: DataFrame,
       ledgerSets: DataFrame, threshold: Double): DataFrame = {
-    val sigB = minhashSigOf(batch)
+    // the BATCH side signs IN ROW ([[rowSigOf]] — value-identical to
+    // minhashSigOf, PropertiesSpec-pinned): map-only, so the nightly
+    // batch pays no shingle explode+groupBy shuffle AND no Materialize
+    // pin survives the call (the groupBy signature's pin was a leak per
+    // nightly admission — the result frame kept it reachable but no
+    // caller could release it). The ledger side stays the persisted /
+    // groupBy signature — that is the side with reuse to amortize.
+    // Shingle-less docs carry empty sets + null minhashes: their band
+    // rows can't equi-join (null keys), so they admit with 0 candidates,
+    // exactly as minhashSigOf's dropped-row behavior admitted them.
+    val sigB = rowSigOf(batch)
+      .select((Seq("doc_id", "set") ++ (1 to K).map(i => s"m$i"))
+        .map(col): _*)
     val cand = bandsOfSig(sigB)
       .select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
       .join(ledgerBands
