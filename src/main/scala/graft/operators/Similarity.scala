@@ -962,6 +962,100 @@ object Similarity {
     writePointer(fs, rootP, s"v$next")
   }
 
+  // ---- driver-side quantizer cache (probe fixed-overhead killer) ------
+  // A probe needs two SMALL driver-resident artifacts before its one real
+  // job (the pruned postings/codes scan): the `_centroids` cell ranking
+  // and, for PQ, the `_pq_codebooks` LUT input. Fetching each as a Spark
+  // job per probe call means a probe-many deployment pays two scheduler
+  // round-trips of pure fixed overhead per query — exactly the
+  // cross-JVM-sensitive cost the r10 verdict flagged on ss11. The cache
+  // keys on the RESOLVED index dir (a versioned pointer flip changes the
+  // key, so deploys invalidate for free) PLUS a file-listing signature of
+  // the artifact directory (names, lengths, mtimes — one namenode
+  // listStatus), so a flat-layout in-place retrain or a re-encode
+  // invalidates too. Values are |cells|- and m·|cells|-row arrays — the
+  // same rows the old per-call collect shipped to the driver anyway.
+
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, AnyRef)]()
+
+  /** Content signature of one artifact directory: order-independent over
+    * (name, len, mtime) of its immediate files. One RPC, no Spark job. */
+  private def dirSignature(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    var h = 1125899906842597L
+    fs.listStatus(dir).sortBy(_.getPath.getName).foreach { s =>
+      h = h * 31 + s.getPath.getName.hashCode
+      h = h * 31 + s.getLen
+      h = h * 31 + s.getModificationTime
+    }
+    h
+  }
+
+  private def cachedArtifact[T <: AnyRef](spark: SparkSession,
+      dir: String)(load: => T): T = {
+    val sig = dirSignature(fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(dir))
+    val hit = quantizerCache.get(dir)
+    if (hit != null && hit._1 == sig) hit._2.asInstanceOf[T]
+    else { val v = load; quantizerCache.put(dir, (sig, v)); v }
+  }
+
+  /** Test/ops hook: number of live cache entries (and a full drop). */
+  private[graft] def quantizerCacheSize: Int = quantizerCache.size()
+  private[graft] def clearQuantizerCache(): Unit = quantizerCache.clear()
+
+  private[graft] final case class CentroidRow(clabel: Long,
+      cvec: Array[Long], cn2: Long)
+
+  private def cachedCentroids(spark: SparkSession,
+      path0: String): Array[CentroidRow] =
+    cachedArtifact(spark, s"$path0/_centroids") {
+      spark.read.parquet(s"$path0/_centroids")
+        .select(col("clabel").cast("long"), col("cvec"),
+          col("cn2").cast("long"))
+        .collect()
+        .map(r => CentroidRow(r.getLong(0), r.getSeq[Long](1).toArray,
+          r.getLong(2)))
+    }
+
+  private[graft] final case class CodebookRow(sub: Int, code: Long,
+      cvec: Array[Long], cn2: Long)
+
+  private def cachedCodebooks(spark: SparkSession,
+      path0: String): Array[CodebookRow] =
+    cachedArtifact(spark, s"$path0/_pq_codebooks") {
+      spark.read.parquet(s"$path0/_pq_codebooks")
+        .select(col("sub").cast("int"), col("clabel").cast("long"),
+          col("cvec"), col("cn2").cast("long"))
+        .collect()
+        .map(r => CodebookRow(r.getInt(0), r.getLong(1),
+          r.getSeq[Long](2).toArray, r.getLong(3)))
+    }
+
+  /** Driver replay of the plan-side cell ranking: dot accumulated in Long
+    * element order (ArrayDotLong's loop), cosine as
+    * dot / sqrt(double(cn2) * double(qn2)) with [[guardedCos]]'s −1.0
+    * degenerate guard, ties to the smaller clabel — bit-identical IEEE
+    * arithmetic to the expression tree it replaces, pinned by
+    * IvfIndexSpec's ranking-parity test. */
+  private[graft] def rankCellsDriverSide(cents: Array[CentroidRow],
+      q: Seq[Long], nprobe: Int): Seq[Long] = {
+    val qa = q.toArray
+    val qn2 = { var s = 0L; var i = 0
+      while (i < qa.length) { s += qa(i) * qa(i); i += 1 }; s }
+    cents.map { c =>
+      val n = math.min(c.cvec.length, qa.length)
+      var dot = 0L; var i = 0
+      while (i < n) { dot += c.cvec(i) * qa(i); i += 1 }
+      val ccos = if (c.cn2 > 0 && qn2 > 0)
+        dot.toDouble / math.sqrt(c.cn2.toDouble * qn2.toDouble)
+      else -1.0
+      (ccos, c.clabel)
+    }.sortBy { case (ccos, clabel) => (-ccos, clabel) }
+      .take(nprobe).map(_._2).toSeq
+  }
+
   /** Assign caller vectors to a persisted index's FROZEN coarse quantizer:
     * (vec_id, cell, q, n2, cos) — the same broadcast-argmax recipe as the
     * trainer's assignment step (|cells|-row centroid table broadcasts by
@@ -1142,7 +1236,12 @@ object Similarity {
   /** The probe core over an ALREADY-QUANTIZED query vector — the
     * arithmetic [[auditIvfIndex]] replays plan-side, kept callable for
     * single-query probes where a stored vector must probe as exactly
-    * itself (a float round-trip could move a component by one quantum). */
+    * itself (a float round-trip could move a component by one quantum).
+    *
+    * Cell ranking runs DRIVER-SIDE over the cached `_centroids` rows
+    * ([[rankCellsDriverSide]] — bit-identical arithmetic, parity-pinned):
+    * a warm probe is ONE Spark job (the partition-pruned postings scan)
+    * instead of a centroid-scan job + collect + postings job. */
   def probeIvfIndexQ(spark: SparkSession, path: String,
       q: Seq[Long], nprobe: Int, k: Int,
       excludeIds: Seq[Long] = Seq.empty): DataFrame = {
@@ -1151,15 +1250,9 @@ object Similarity {
     val path0 = resolveIndexDir(spark, path)
     val qn2 = q.map(x => x * x).sum
     val qlit = typedLit(q)
-    val cells = spark.read.parquet(s"$path0/_centroids")
-      .withColumn("ccos",
-        guardedCos(dotLong(col("cvec"), qlit), col("cn2"), lit(qn2)))
-      .orderBy(col("ccos").desc, col("clabel"))
-      .limit(nprobe)
-      .select("clabel")
-      .collect().map(_.get(0))
+    val cells = rankCellsDriverSide(cachedCentroids(spark, path0), q, nprobe)
     val probed = spark.read.parquet(path0)
-      .where(col("cell").isInCollection(cells.toSeq))
+      .where(col("cell").isInCollection(cells))
     val scoped =
       if (excludeIds.isEmpty) probed
       else probed.where(!col("vec_id").isInCollection(excludeIds))
@@ -1376,36 +1469,29 @@ object Similarity {
     val q = query.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
     val qn2 = q.map(x => x * x).sum
-    val cells = spark.read.parquet(s"$path0/_centroids")
-      .withColumn("ccos",
-        guardedCos(dotLong(col("cvec"), typedLit(q)), col("cn2"), lit(qn2)))
-      .orderBy(col("ccos").desc, col("clabel"))
-      .limit(nprobe)
-      .select("clabel")
-      .collect().map(_.get(0))
+    // both small artifacts come from the driver-side cache: a warm PQ
+    // probe schedules only the codes scan (+ the rerank scan), never the
+    // centroid/codebook fetch jobs the r10 verdict priced as the
+    // fixed-overhead sensitivity
+    val cells = rankCellsDriverSide(cachedCentroids(spark, path0), q, nprobe)
     // driver-side LUT: qdot = dot(query's sub-slice, codeword). The
     // codebook table is small by construction (coarse-quantizer-seeded),
     // and the query must be sliced exactly as pqPartsQ slices postings.
     require(fsOf(spark, path0).exists(
       new org.apache.hadoop.fs.Path(path0, "_pq_codebooks")),
       s"no _pq_codebooks at $path0 — run addPqToIvfIndex first")
-    val cbRows = spark.read.parquet(s"$path0/_pq_codebooks")
-      .select(col("sub").cast("int"), col("clabel").cast("long"),
-        col("cvec"), col("cn2").cast("long"))
-      .collect()
+    val cbRows = cachedCodebooks(spark, path0)
     require(cbRows.nonEmpty, s"no _pq_codebooks at $path0 — run addPqToIvfIndex")
     val lutRows = cbRows.toSeq.map { r =>
-      val sub = r.getInt(0)
-      val cvec = r.getSeq[Long](2)
-      val sd = cvec.size
-      val qs = q.slice(sub * sd, sub * sd + sd)
-      val qdot = qs.zip(cvec).map { case (a, b) => a * b }.sum
-      (sub, r.getLong(1), qdot, r.getLong(3))
+      val sd = r.cvec.length
+      val qs = q.slice(r.sub * sd, r.sub * sd + sd)
+      val qdot = qs.zip(r.cvec).map { case (a, b) => a * b }.sum
+      (r.sub, r.code, qdot, r.cn2)
     }
     import spark.implicits._
     val lut = lutRows.toDF("sub", "code", "qdot", "cn2")
     val codes = spark.read.parquet(s"$path0/_pq_codes")
-      .where(col("cell").isInCollection(cells.toSeq))
+      .where(col("cell").isInCollection(cells))
     val scopedCodes =
       if (excludeIds.isEmpty) codes
       else codes.where(!col("vec_id").isInCollection(excludeIds))
@@ -1420,7 +1506,7 @@ object Similarity {
     else {
       val shortlist = adc.limit(rerank).select("vec_id")
       spark.read.parquet(path0)
-        .where(col("cell").isInCollection(cells.toSeq))
+        .where(col("cell").isInCollection(cells))
         .join(broadcast(shortlist), Seq("vec_id"))
         .select(col("vec_id"),
           round(guardedCos(dotLong(col("q"), typedLit(q)), lit(qn2),

@@ -343,4 +343,66 @@ class IvfIndexSpec extends SparkSpec {
     assert(j3 <= j1 + 1,
       s"audit job count grew with panel size: panel=1 → $j1, panel=3 → $j3")
   }
+
+  test("driver-side cell ranking is bit-identical to the plan-side ranking") {
+    // the r10 verdict's ss11 fix moves the per-probe centroid ranking off
+    // the cluster; this pins that rankCellsDriverSide replays guardedCos +
+    // (ccos desc, clabel) EXACTLY — full ordering, not just the top cut
+    import graft.functions.ArrayDot.dotLong
+    val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val path = tmpDir("ivf-rank-parity")
+    Similarity.buildIvfIndexOf(vecs, path, iters = 1, cells = 7)
+    val q0 = vecs.where(col("vec_id") === 3).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val q = q0.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
+    val qn2 = q.map(x => x * x).sum
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val planSide = cents
+      .withColumn("ccos",
+        when(col("cn2") > 0 && lit(qn2) > 0,
+          dotLong(col("cvec"), typedLit(q)).cast("double") /
+            sqrt(col("cn2").cast("double") * lit(qn2).cast("double")))
+          .otherwise(lit(-1.0)))
+      .orderBy(col("ccos").desc, col("clabel"))
+      .select("clabel").collect().map(_.getLong(0)).toSeq
+    val rows = cents.collect().map(r => Similarity.CentroidRow(
+      r.getAs[Long]("clabel"), r.getAs[Seq[Long]]("cvec").toArray,
+      r.getAs[Long]("cn2")))
+    val driverSide = Similarity.rankCellsDriverSide(rows, q, rows.length)
+    assert(driverSide == planSide,
+      s"driver ranking $driverSide diverges from plan ranking $planSide")
+  }
+
+  test("quantizer cache: warm probes reuse it; rebuild at the same path invalidates") {
+    val all = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val path = tmpDir("ivf-cache")
+    Similarity.buildIvfIndexOf(all.where(col("vec_id") < 300), path,
+      iters = 1, cells = 5)
+    val q0 = all.where(col("vec_id") === 1).select("embedding").head()
+      .getSeq[Float](0).toArray
+    Similarity.clearQuantizerCache()
+    val cold = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    assert(Similarity.quantizerCacheSize >= 1, "probe did not warm the cache")
+    // warm probe: same answer, no artifact re-fetch (entry count stable)
+    val n = Similarity.quantizerCacheSize
+    val warm = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    assert(warm == cold && Similarity.quantizerCacheSize == n)
+    // in-place rebuild over a DIFFERENT corpus slice rewrites _centroids
+    // at the same path: the listing signature must invalidate the entry,
+    // so a stale-cache probe equals a cold-cache probe exactly
+    Similarity.buildIvfIndexOf(all.where(col("vec_id") >= 300), path,
+      iters = 1, cells = 5)
+    val stale = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    Similarity.clearQuantizerCache()
+    val fresh = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    assert(stale == fresh,
+      "rebuild at the same path served a stale cached quantizer")
+    assert(stale != cold, "rebuild fixture failed to change the ranking " +
+      "input (test would pass vacuously)")
+  }
 }
