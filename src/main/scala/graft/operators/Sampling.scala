@@ -658,4 +658,73 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("rate_ppm"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** sp15b — GENERAL-α temperature mixture rates (r10 directive #3): the
+    * same α-smoothing rule as [[temperatureMixOf]] at ANY rational
+    * temperature α = p/q, engine-exact. sp15 pinned α = 1/2 because sqrt
+    * is the one IEEE-correctly-rounded power; the general path instead
+    * computes the |groups|-row ppm table ON THE DRIVER with exact BigInt
+    * arithmetic — rate_ppm = ⌊10⁶·(n/nmax)^{p/q}⌋ as the largest r with
+    * r^q · nmax^p ≤ 10^{6q} · n^p (a 20-step integer binary search, no
+    * floating point anywhere) — and broadcasts it as a literal local
+    * relation. The acceptance rule is unchanged (sp01's salted-hash ppm
+    * predicate, same salt as sp15, so keep decisions NEST monotonically
+    * across temperatures: raising α only ever adds documents).
+    *
+    * Scale shape: one map-side-combined |groups|-row aggregate is the
+    * only driver fetch; the ppm table re-attaches by broadcast equi-join
+    * (PlanAuditSpec-gated — no corpus shuffle); acceptance is the same
+    * codegen'd predicate as sp15; the report is a second |groups|-row
+    * aggregate. The declared query pins α = 1/4 on documents.lang; the
+    * DuckDB oracle replays the identical integers via
+    * ⌊(10²⁴·n ÷ nmax)^{1/4}⌋ = isqrt(isqrt(10²⁴·n ÷ nmax)) in HUGEINT
+    * with a ±2 correction around the double-sqrt seed (nested-floor
+    * identity: ⌊√⌊x⌋⌋ = ⌊√x⌋ for any real x ≥ 0). */
+  def sp15bTemperatureMixQuarter(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixAtOf(t(spark, dir, "documents"), alphaNum = 1,
+      alphaDen = 4, groupCol = "lang").orderBy("lang")
+
+  /** Library surface: temperature mix at rational α = alphaNum/alphaDen
+    * over ANY frame with a group column (castable to string) and a unique
+    * id. Output per group: size, keep rate (ppm), kept — [[temperatureMixOf]]'s
+    * report shape. α ∈ [0, 1]: 0 flattens every group to the ceiling rate
+    * only at n = nmax (all-or-damped), 1 is proportional (identity mix). */
+  def temperatureMixAtOf(docs: DataFrame, alphaNum: Int, alphaDen: Int,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      s"alpha = $alphaNum/$alphaDen must be a rational in [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // THE bounded driver fetch: the |groups|-row census (same row count
+    // the α=1/2 path broadcasts plan-side)
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .select(col(groupCol).cast("string").as("g"), col("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureMixAtOf: empty corpus")
+    val mx = counts.map(_._2).max
+    val mxp = BigInt(mx).pow(alphaNum)
+    def ratePpm(n: Long): Long = {
+      val rhs = BigInt(10).pow(6 * alphaDen) * BigInt(n).pow(alphaNum)
+      var lo = 0L; var hi = 1000000L
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (BigInt(mid).pow(alphaDen) * mxp <= rhs) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val rates = counts.toSeq
+      .map { case (g, n) => (g, n, ratePpm(n)) }
+      .toDF(groupCol, "n_docs", "rate_ppm")
+    val kept = docs
+      .select(col(groupCol).cast("string").as(groupCol), col(idCol))
+      .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
+        Seq(groupCol))
+      .where(graft.functions.Hashing.md5Long(
+        concat(lit("alpha:"), col(idCol).cast("string")), 15) % 1000000L
+        < col("rate_ppm"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
+    rates.join(broadcast(kept), Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

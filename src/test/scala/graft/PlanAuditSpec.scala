@@ -222,6 +222,23 @@ class PlanAuditSpec extends SparkSpec {
       s"sp15: corpus-shuffling sort-merge join:\n$plan")
   }
 
+  test("sp15b: driver-exact ppm table attaches as a broadcast local relation") {
+    // the general-α path's rate table is a LITERAL local relation (exact
+    // BigInt ppm computed on the driver) — it must broadcast onto the
+    // corpus scan, never shuffle it; the acceptance predicate stays a
+    // plain filter, so the only exchanges are the two |groups|-row
+    // aggregations and the presentation sort
+    val plan = SparkEntry.queries("sp15b_temperature_mix_alpha")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sp15b: rate table does not broadcast:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"sp15b: rate table is not a driver-computed local relation:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"sp15b: corpus-shuffling join:\n$plan")
+  }
+
   test("q01: column pruning reaches the scan (untouched columns unread)") {
     val plan = Relational.q01Scan(spark, sf)
       .queryExecution.executedPlan.toString
