@@ -72,7 +72,8 @@ object NightlyIngestExample {
       minQuality: Double = 0.3,
       retrainBelow: Double = Double.NegativeInfinity,
       nearDupLedger: Option[String] = None,
-      nearDupThreshold: Double = 0.3): NightReport = {
+      nearDupThreshold: Double = 0.3,
+      ledgerBuckets: Int = 32): NightReport = {
     val fp = TextAnalysis.fingerprint(col("text"))
     val incoming = newDocs.select(col("doc_id"), fp.as("fp"))
     // The fingerprint LEDGER is separate from the curated store: a doc
@@ -185,10 +186,14 @@ object NightlyIngestExample {
       // after the fp append but before this grow — is repaired by the
       // same reconcile: rebuild the ledger from the store
       // (writeNearDupLedger over the curated corpus).
+      // grow reads the standing table's bucket spec from the catalog, so
+      // a ledger bootstrapped at ANY bucket count keeps growing;
+      // `ledgerBuckets` applies only to the night-1 bootstrap write
       nearDupLedger.foreach { name =>
         if (spark.catalog.tableExists(s"${name}_bands"))
           Dedup.growNearDupLedger(finalDocs, name)
-        else if (nFinal > 0) Dedup.writeNearDupLedger(finalDocs, name)
+        else if (nFinal > 0)
+          Dedup.writeNearDupLedger(finalDocs, name, ledgerBuckets)
       }
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
         belowQuality = nAdmit - nSurvive, indexRetrained = retrained,

@@ -689,14 +689,26 @@ object Dedup {
   }
 
   /** GROW a [[writeNearDupLedger]] ledger with a night's admitted docs:
-    * append their band and set rows into the same bucketing (Spark
-    * verifies the bucket spec against the existing tables), so tomorrow's
-    * admission join still reads the ledger pre-bucketed with zero
-    * Exchange. This is the lifecycle step between nightly runs — without
-    * it the ledger is frozen at bootstrap and a near-dup of LAST night's
-    * admission sails through tonight. */
-  def growNearDupLedger(docs: DataFrame, name: String,
-      buckets: Int = 32): Unit = {
+    * append their band and set rows into the same bucketing, so
+    * tomorrow's admission join still reads the ledger pre-bucketed with
+    * zero Exchange. This is the lifecycle step between nightly runs —
+    * without it the ledger is frozen at bootstrap and a near-dup of LAST
+    * night's admission sails through tonight.
+    *
+    * The bucket count is read from the EXISTING table's catalog entry,
+    * not taken as a parameter: a ledger bootstrapped with any bucket
+    * count grows correctly forever, instead of a hard-coded default
+    * tripping Spark's bucket-spec mismatch check on every append to a
+    * non-default ledger (the r10 advisor finding). */
+  def growNearDupLedger(docs: DataFrame, name: String): Unit = {
+    val spark = docs.sparkSession
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_bands"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"growNearDupLedger: table ${name}_bands exists but carries no " +
+          "bucket spec — it was not written by writeNearDupLedger"))
     val sig = minhashSigOf(docs)
     // same unpin discipline as writeNearDupLedger: without it a nightly
     // loop strands one batch-sized checkpoint pin per night

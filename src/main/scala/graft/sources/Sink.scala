@@ -234,12 +234,67 @@ object Sink {
     * small-file governor (compactDataset folds old batches), and the
     * atomic-rename contract holds on HDFS and on object stores with
     * directory-rename semantics; for plain S3, point `dir` at an
-    * S3A-committer-backed path or a table format. */
-  def idempotentAppend(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    * S3A-committer-backed path or a table format.
+    *
+    * LINEAGE GUARD — the output dir is hard-coupled to ONE checkpoint
+    * lineage: batch ids restart at 0 when an operator deletes/recreates
+    * the checkpoint while keeping the output dir, and under skip-if-
+    * present the new query's early batches would silently vanish into
+    * already-published directories (data LOSS, where a plain append at
+    * worst duplicated). The first publish therefore records the
+    * streaming query id (stable across restarts from the same
+    * checkpoint; read from the `sql.streaming.queryId` local property
+    * Spark sets on the stream's execution thread, or passed explicitly
+    * via `lineage`) in a `_query_lineage` marker under `dir`, and any
+    * later call under a DIFFERENT query id fails loudly instead of
+    * no-opping. Callers outside a streaming thread with no explicit
+    * `lineage` get the old unguarded behavior — the coupling is then
+    * theirs to own. */
+  def idempotentAppend(df: DataFrame, dir: String, batchId: Long,
+      lineage: Option[String] = None): Boolean = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
     val fs = target.getFileSystem(conf)
+    val lin = lineage.orElse(Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+    lin.foreach { l =>
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_query_lineage")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val recorded =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (recorded != l)
+          throw new IllegalStateException(
+            s"idempotentAppend: $dir was written by streaming query " +
+              s"'$recorded' but this batch comes from '$l'. Batch ids are " +
+              "only comparable within one checkpoint lineage — a new " +
+              "query restarting at batch 0 would silently no-op into the " +
+              "old query's published directories (data loss). Point the " +
+              "new query at a fresh output dir, or carry the old " +
+              "checkpoint forward.")
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/._query_lineage.tmp")
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(tmp, true)
+        try out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // lost race with a concurrent first-writer: re-check instead of
+        // clobbering (rename-no-replace is not portable; re-read is)
+        if (!fs.rename(tmp, marker)) {
+          fs.delete(tmp, false)
+          val in = fs.open(marker)
+          val recorded =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (recorded != l)
+            throw new IllegalStateException(
+              s"idempotentAppend: $dir lineage raced to '$recorded', " +
+                s"this batch is from '$l' — see the lineage-guard contract.")
+        }
+      }
+    }
     if (fs.exists(target)) false
     else {
       val staging = new org.apache.hadoop.fs.Path(

@@ -951,12 +951,38 @@ object Streaming {
     * (doc_id, idb)-within-watermark dedup (one doc's 8 bands can match
     * the same ledger doc several times — without it each alert would
     * repeat per colliding band). State is bounded by alert volume inside
-    * the watermark, not by corpus or stream length. The static side is
-    * re-resolved every micro-batch, so nightly ledger growth
-    * (`Dedup.growNearDupLedger`) is visible from the next batch on —
-    * no restart needed. Batch parity (alert pairs ≡ the batch
-    * admission's rejection evidence on the same data) is asserted in
-    * StreamingSpec. */
+    * the watermark, not by corpus or stream length.
+    *
+    * LEDGER-GROWTH VISIBILITY — be precise about which deployment sees
+    * nightly `Dedup.growNearDupLedger` appends without a restart:
+    *  - SAME SparkSession: the insert invalidates that session's
+    *    relation/FileStatusCache, so growth is visible from the next
+    *    micro-batch on (this is what StreamingSpec exercises).
+    *  - SEPARATE APPLICATION (the realistic shape: a nightly batch JVM
+    *    growing the ledger under a 24/7 streaming app): the streaming
+    *    session's metadata cache has an infinite TTL by default and
+    *    never sees the appended files — near-dups of newly grown
+    *    entries are silently missed until the table is re-resolved.
+    *    Either set `spark.sql.metadataCacheTTLSeconds` on the streaming
+    *    app, or have its batch cadence call [[refreshNearDupLedger]]
+    *    (e.g. from the nightly job's completion signal), or restart the
+    *    query. The stream-static join itself re-executes the static
+    *    side per micro-batch; it is the FILE LISTING that staleness
+    *    hides.
+    *
+    * Batch parity (alert pairs ≡ the batch admission's rejection
+    * evidence on the same data) is asserted in StreamingSpec. */
+  /** Drop the streaming session's cached file listing for both ledger
+    * tables so cross-APPLICATION `growNearDupLedger` appends become
+    * visible to [[streamingNearDupAlerts]]' stream-static join from the
+    * next micro-batch (see the visibility contract above). Wire it to
+    * the nightly job's completion signal — a per-batch call would also
+    * be correct, just needlessly re-listing an unchanged table. */
+  def refreshNearDupLedger(spark: SparkSession, ledgerName: String): Unit = {
+    spark.catalog.refreshTable(s"${ledgerName}_bands")
+    spark.catalog.refreshTable(s"${ledgerName}_sets")
+  }
+
   def streamingNearDupAlerts(spark: SparkSession, docs: DataFrame,
       ledgerName: String, threshold: Double, tsCol: String,
       watermark: String): DataFrame = {

@@ -324,4 +324,34 @@ class SinkSpec extends SparkSpec {
     assert(all.columns.contains("batch"))
     assert(all.where(col("batch") === 1).select("id").head().getLong(0) == 3L)
   }
+
+  test("idempotentAppend lineage guard: a new checkpoint lineage cannot silently no-op into an old output dir") {
+    // the r10 advisor finding: delete/recreate the checkpoint while
+    // keeping the output dir and batch ids restart at 0 — under
+    // skip-if-present the new query's batches would VANISH. The first
+    // publish records the query id; a different id must fail loudly.
+    import spark.implicits._
+    val dir = tmpDir("idemp-lineage")
+    val df = Seq((1L, "a")).toDF("id", "v")
+    assert(graft.sources.Sink.idempotentAppend(df, dir, 0L,
+      lineage = Some("query-A")))
+    // same lineage: normal idempotent behavior (replay no-ops, next
+    // batch publishes)
+    assert(!graft.sources.Sink.idempotentAppend(df, dir, 0L,
+      lineage = Some("query-A")))
+    assert(graft.sources.Sink.idempotentAppend(df, dir, 1L,
+      lineage = Some("query-A")))
+    // a DIFFERENT query id over the same dir: loud failure, not a no-op
+    val e = intercept[IllegalStateException] {
+      graft.sources.Sink.idempotentAppend(df, dir, 0L,
+        lineage = Some("query-B"))
+    }
+    assert(e.getMessage.contains("query-A") &&
+      e.getMessage.contains("query-B"))
+    // the marker is invisible to readers (underscore-prefixed)
+    assert(spark.read.parquet(dir).count() == 2)
+    // no-lineage callers (batch tooling, old tests) keep the unguarded
+    // contract — outside a streaming thread nothing is auto-derived
+    assert(!graft.sources.Sink.idempotentAppend(df, dir, 1L))
+  }
 }

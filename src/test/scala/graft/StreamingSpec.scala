@@ -961,4 +961,61 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("near-dup alerts see SAME-SESSION ledger growth from the next batch on") {
+    // the r10 advisor finding, pinned to the half that is actually
+    // guaranteed: in ONE SparkSession the growNearDupLedger insert
+    // invalidates the relation cache, so a doc arriving after the grow
+    // alerts against the grown entry with no restart (the cross-
+    // application case needs refreshNearDupLedger / metadataCacheTTL —
+    // see the scaladoc contract). The ledger uses a NON-default bucket
+    // count, so this also pins that grow reads the bucket spec from the
+    // catalog instead of assuming 32.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val grown = (1 to 60).map(i => s"g$i").mkString(" ")
+    val nearGrown = (4 to 60).map(i => s"g$i").mkString(" ")
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    Seq("sndg_test_bands", "sndg_test_sets").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmRf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Dedup.writeNearDupLedger(Seq((2L, base)).toDF("doc_id", "text"),
+      "sndg_test", buckets = 4)
+    try {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val out = Streaming.streamingNearDupAlerts(spark,
+        in.toDF().toDF("doc_id", "text", "ts"), "sndg_test",
+        threshold = 0.3, tsCol = "ts", watermark = "10 seconds")
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ndgalerts").start()
+      try {
+        val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+        // batch 1: a near-dup of a doc the ledger does NOT yet hold
+        in.addData((10L, nearGrown, ts))
+        q.processAllAvailable()
+        assert(spark.table("ndgalerts").isEmpty,
+          "alerted against a ledger entry that does not exist yet")
+        // the nightly grow, mid-query, same session, non-default buckets
+        Dedup.growNearDupLedger(Seq((20L, grown)).toDF("doc_id", "text"),
+          "sndg_test")
+        // batch 2: a fresh near-dup of the GROWN doc must now alert
+        in.addData((11L, nearGrown, ts))
+        q.processAllAvailable()
+        val got = spark.table("ndgalerts").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.toSet == Set((11L, 20L)),
+          s"growth not visible to the running query: ${got.toSeq}")
+      } finally q.stop()
+    } finally {
+      Seq("sndg_test_bands", "sndg_test_sets").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    }
+  }
 }
