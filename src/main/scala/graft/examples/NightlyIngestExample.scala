@@ -34,13 +34,17 @@ import graft.sources.Sink
   * separate writes with no cross-FS transaction — ordered store-first,
   * near-dup-ledger LAST, so a crash between them can DUPLICATE (never
   * lose) documents on the re-run and can never make tonight's docs
-  * self-reject against their own freshly-grown bands; reconcile a
-  * failed night by rebuilding `_fingerprints` from the store's fp
-  * column (and, if the near-dup leg is on, `Dedup.writeNearDupLedger`
-  * over the curated corpus) before re-running. A crash inside the index
-  * retrain swap leaves `indexDir` without `_centroids` — this method
-  * then fails loudly with the restore instructions rather than
-  * rebuilding from one night's vectors.
+  * self-reject against their own freshly-grown bands. A failed night is
+  * repaired by [[reconcileNight]] + re-run: reconcile rebuilds every
+  * derived artifact (fingerprint ledger, near-dup ledger, missing index
+  * vectors, PQ codes) from the STORE — the one source of truth — so the
+  * re-run admits each document exactly once and nothing self-rejects.
+  * This is not argued on paper: NightlyIngestSpec's crash matrix kills
+  * the night after EVERY stage boundary (via the `onStage` hook) and
+  * asserts the reconcile + re-run invariants hold at each one. A crash
+  * inside the index retrain swap leaves `indexDir` without `_centroids`
+  * — this method then fails loudly with the restore instructions rather
+  * than rebuilding from one night's vectors.
   */
 object NightlyIngestExample {
 
@@ -73,7 +77,8 @@ object NightlyIngestExample {
       retrainBelow: Double = Double.NegativeInfinity,
       nearDupLedger: Option[String] = None,
       nearDupThreshold: Double = 0.3,
-      ledgerBuckets: Int = 32): NightReport = {
+      ledgerBuckets: Int = 32,
+      onStage: String => Unit = _ => ()): NightReport = {
     val fp = TextAnalysis.fingerprint(col("text"))
     val incoming = newDocs.select(col("doc_id"), fp.as("fp"))
     // The fingerprint LEDGER is separate from the curated store: a doc
@@ -133,11 +138,17 @@ object NightlyIngestExample {
       Sink.writeCurated(finalDocs, curatedDir,
         partitionCols = Seq("lang"), sortCols = Seq("quality"),
         mode = "append")
+      // `onStage` fires AFTER each stage boundary commits — the crash
+      // matrix in NightlyIngestSpec throws from it to prove the
+      // reconcile contract at every seam; production callers can hang
+      // progress metrics off it
+      onStage("store-append")
       // remember every fingerprint this night ADMITTED (quality-rejects
       // included — they were processed and must not return); null fps are
       // never recorded, matching incrementalAdmit's admit-verbatim rule
       decisions.where(col("admitted") && col("fp").isNotNull)
         .select("fp").write.mode("append").parquet(ledgerDir)
+      onStage("fp-ledger-append")
       // index: only the surviving docs' vectors enter. Guard rails:
       //  - a night with NO survivors must not touch the index — building
       //    from an empty frame would write an empty quantizer, and every
@@ -170,11 +181,13 @@ object NightlyIngestExample {
           Similarity.buildIvfIndexOf(vecs, indexDir, iters = 1)
           false
         }
+      onStage("index-maintained")
       // PQ codes are a DERIVED artifact: tonight's appended (or
       // retrained) postings are ADC-invisible until re-encoded. No-op on
       // an index that was never PQ-augmented, so the call is
       // unconditional rather than an operator runbook step.
       if (nFinal > 0) Similarity.refreshPqCodes(spark, indexDir)
+      onStage("pq-refreshed")
       // the near-dup ledger grows LAST, deliberately: tonight's docs are
       // already materialized in nearDupKept (their own bands cannot
       // reject them this run), and crash-ORDERING matters — growing the
@@ -195,6 +208,7 @@ object NightlyIngestExample {
         else if (nFinal > 0)
           Dedup.writeNearDupLedger(finalDocs, name, ledgerBuckets)
       }
+      onStage("neardup-ledger-grown")
       NightReport(admitted = nAdmit, rejected = nTotal - nAdmit,
         belowQuality = nAdmit - nSurvive, indexRetrained = retrained,
         nearDupRejected = nNearDup)
@@ -203,6 +217,63 @@ object NightlyIngestExample {
       if (survivors != null) graft.Materialize.unpin(survivors)
       if (decisions != null) graft.Materialize.unpin(decisions)
     }
+  }
+
+  /** Repair a CRASHED night: rebuild every derived artifact from the
+    * curated STORE — the one source of truth — so re-running the night
+    * afterwards is exactly-once for the store and completes whatever the
+    * crash cut off downstream:
+    *
+    *  1. `_fingerprints` := the store's distinct non-null fp column.
+    *     (Quality-REJECTED fps recorded by the crashed run are dropped —
+    *     they are not in the store — so the re-run re-processes and
+    *     re-rejects them: recounted, never stored twice, since the
+    *     quality gate is deterministic.)
+    *  2. near-dup ledger := `Dedup.writeNearDupLedger` over the store
+    *     (the documented backfill rebuild; the corpus-sized cost is the
+    *     honest price of crash repair, not of the nightly happy path).
+    *  3. index := append the vectors of store docs MISSING from the live
+    *     postings (anti-join on vec_id — reads only the postings' id
+    *     column), then re-derive PQ codes. A store with docs but no
+    *     index at all (night-1 crash before the build) builds fresh.
+    *
+    * After this, re-running [[ingestNight]] with the same batch admits
+    * nothing new (every stored doc rejects against its own fingerprint)
+    * and nothing self-rejects — the crash-matrix invariants
+    * NightlyIngestSpec asserts per stage boundary. */
+  def reconcileNight(spark: SparkSession, curatedDir: String,
+      indexDir: String, allVecs: DataFrame,
+      nearDupLedger: Option[String] = None,
+      ledgerBuckets: Int = 32): Unit = {
+    require(dirExists(spark, curatedDir),
+      s"reconcileNight: no store at $curatedDir — nothing to rebuild from")
+    val store = spark.read.parquet(curatedDir)
+    store.select("fp").where(col("fp").isNotNull).distinct()
+      .write.mode("overwrite").parquet(s"$curatedDir/_fingerprints")
+    nearDupLedger.foreach { name =>
+      Dedup.writeNearDupLedger(
+        store.select("doc_id", "text"), name, ledgerBuckets)
+    }
+    val storeVecs = allVecs.join(
+      store.select(col("doc_id").as("vec_id")), "vec_id")
+    val liveIndex = Similarity.resolveIndexDir(spark, indexDir)
+    if (dirExists(spark, s"$liveIndex/_centroids")) {
+      val indexed = spark.read.parquet(liveIndex).select("vec_id")
+      val missing = storeVecs.join(indexed, Seq("vec_id"), "left_anti")
+      if (!missing.isEmpty) {
+        Similarity.appendToIvfIndex(spark, indexDir, missing)
+        ()
+      }
+      Similarity.refreshPqCodes(spark, indexDir)
+      ()
+    } else if (!dirExists(spark, indexDir) &&
+        !dirExists(spark, s"$indexDir.old")) {
+      if (!storeVecs.isEmpty) Similarity.buildIvfIndexOf(
+        storeVecs, indexDir, iters = 1)
+    } else throw new IllegalStateException(
+      s"$indexDir exists without _centroids — a retrain swap may have " +
+        s"crashed; restore $indexDir.old or $indexDir.retrain first, " +
+        "then reconcile")
   }
 
   def main(args: Array[String]): Unit = {

@@ -122,4 +122,97 @@ class NightlyIngestSpec extends SparkSpec {
     assert(spark.table(s"${ledger}_bands").count() == bands1 + kept2 * 8,
       "ledger bands must grow by exactly the kept docs' 8 bands each")
   }
+
+  test("crash matrix: reconcile + re-run converges to the never-crashed state after EVERY stage boundary") {
+    // the r10 directive: the crash-ordering argument was documented, not
+    // failure-injected. Here the night is killed after each of its five
+    // stage boundaries (onStage hook), repaired with reconcileNight, and
+    // re-run — and the resulting store / fp ledger / near-dup ledger /
+    // index must be IDENTICAL to a golden run that never crashed:
+    // exactly-once admission, no self-rejection, no lost downstream
+    // artifact.
+    val docs = t(spark, sf, "documents")
+    val vecs = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    def cleanTables(name: String): Unit =
+      Seq(s"${name}_bands", s"${name}_sets").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        rmRf(new java.io.File(s"spark-warehouse/$t"))
+      }
+    val n1 = docs.where(col("doc_id") < 200)
+    val v1 = vecs.where(col("vec_id") < 200)
+    val n2 = docs.where(col("doc_id") < 300)
+    val v2 = vecs.where(col("vec_id") < 300)
+
+    final case class State(storeIds: Seq[Long], fpSet: Set[String],
+        bandDocs: Set[Long], indexIds: Set[Long])
+    def stateOf(curated: String, index: String, ledger: String): State = {
+      val store = spark.read.parquet(curated)
+      State(
+        store.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+        spark.read.parquet(s"$curated/_fingerprints")
+          .collect().map(_.getString(0)).toSet,
+        spark.table(s"${ledger}_bands").select("doc_id")
+          .collect().map(_.getLong(0)).toSet,
+        spark.read.parquet(graft.operators.Similarity
+          .resolveIndexDir(spark, index))
+          .select("vec_id").collect().map(_.getLong(0)).toSet)
+    }
+
+    // the golden never-crashed run
+    val gRoot = tmpDir("nightly-crash-golden")
+    val gLedger = "crash_ndl_golden"
+    cleanTables(gLedger)
+    NightlyIngestExample.ingestNight(spark, n1, v1, s"$gRoot/curated",
+      s"$gRoot/index", nearDupLedger = Some(gLedger), ledgerBuckets = 4)
+    NightlyIngestExample.ingestNight(spark, n2, v2, s"$gRoot/curated",
+      s"$gRoot/index", nearDupLedger = Some(gLedger), ledgerBuckets = 4)
+    val golden = stateOf(s"$gRoot/curated", s"$gRoot/index", gLedger)
+    assert(golden.storeIds.distinct.size == golden.storeIds.size)
+
+    val boundaries = Seq("store-append", "fp-ledger-append",
+      "index-maintained", "pq-refreshed", "neardup-ledger-grown")
+    for (b <- boundaries) {
+      val root = tmpDir(s"nightly-crash-$b")
+      val curated = s"$root/curated"; val index = s"$root/index"
+      val ledger = s"crash_ndl_${b.replace('-', '_')}"
+      cleanTables(ledger)
+      NightlyIngestExample.ingestNight(spark, n1, v1, curated, index,
+        nearDupLedger = Some(ledger), ledgerBuckets = 4)
+      // night 2 dies immediately after boundary `b` commits
+      val boom = intercept[RuntimeException] {
+        NightlyIngestExample.ingestNight(spark, n2, v2, curated, index,
+          nearDupLedger = Some(ledger), ledgerBuckets = 4,
+          onStage = s => if (s == b)
+            throw new RuntimeException(s"injected crash after $s"))
+      }
+      assert(boom.getMessage.contains(b), s"wrong crash: $boom")
+      // repair from the store, re-run the SAME night
+      NightlyIngestExample.reconcileNight(spark, curated, index, vecs,
+        Some(ledger), ledgerBuckets = 4)
+      val r = NightlyIngestExample.ingestNight(spark, n2, v2, curated,
+        index, nearDupLedger = Some(ledger), ledgerBuckets = 4)
+      val got = stateOf(curated, index, ledger)
+      // exactly-once admission: the re-run admitted nothing twice
+      assert(got.storeIds.distinct.size == got.storeIds.size,
+        s"[$b] store holds duplicate doc_ids after reconcile + re-run")
+      // no self-rejection + full convergence: every artifact equals the
+      // never-crashed run's
+      assert(got.storeIds == golden.storeIds,
+        s"[$b] store diverges from the never-crashed run")
+      assert(got.fpSet == golden.fpSet,
+        s"[$b] fingerprint ledger diverges from the never-crashed run")
+      assert(got.bandDocs == golden.bandDocs,
+        s"[$b] near-dup ledger diverges from the never-crashed run")
+      assert(got.indexIds == golden.indexIds,
+        s"[$b] ANN index diverges from the never-crashed run")
+      // and nothing that was stored before the crash was re-admitted
+      assert(r.admitted + r.rejected == 300, s"[$b] $r")
+      cleanTables(ledger)
+    }
+    cleanTables(gLedger)
+  }
 }
