@@ -51,7 +51,7 @@ object Similarity {
     * ranking path that can see caller data (the declared fixture queries
     * have no zero norms, so oracle parity is unaffected — same sanctioned
     * divergence as assignStep's guard). */
-  private def guardedCos(dot: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def guardedCos(dot: Column, n2a: Column, n2b: Column): Column =
     when(n2a > 0 && n2b > 0,
       dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double")))
       .otherwise(lit(-1.0))

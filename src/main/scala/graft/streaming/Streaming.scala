@@ -972,6 +972,55 @@ object Streaming {
     *
     * Batch parity (alert pairs ≡ the batch admission's rejection
     * evidence on the same data) is asserted in StreamingSpec. */
+  /** Streaming SEMANTIC decontamination — c06's live tail (the embedding
+    * sibling of [[streamingNearDupAlerts]], r10 directive #5): each
+    * arriving vector is quantized IN ROW with the engine's shared ×1000
+    * recipe and scored by exact integer-dot cosine against the postings
+    * of a PERSISTENT IVF index holding the benchmark panel — the
+    * stream-static probe: the static side re-reads the index per
+    * micro-batch, so a re-gated index deploy ([[graft.operators
+    * .Similarity.deployGatedIvfIndex]] pointer flip) is picked up
+    * without a restart in the same session (cross-application deploys:
+    * same metadata-cache contract as [[streamingNearDupAlerts]]).
+    * Every (arriving, benchmark) pair at rounded cosine ≥ `minCos`
+    * emits (vec_id, idb, cos, `tsCol`) — the contamination-evidence
+    * stream a live ingest quarantines on between batch c06 sweeps.
+    *
+    * Arithmetic parity with batch c06 is exact BY CONSTRUCTION: the
+    * index stores the same quantized (q, n2) the batch path derives,
+    * the cosine is the same guarded integer-dot expression with the
+    * same operand order, and rounding before the threshold commutes
+    * with the batch's round-after-max (round is monotone) — so
+    * {vec_ids with any emitted pair} ≡ {batch `contaminated` ids} and
+    * the max emitted cos per vec ≡ the batch `max_cos` (asserted in
+    * StreamingSpec). A benchmark is SMALL by definition of an eval
+    * suite, so the whole postings table broadcasts (c06's own plan);
+    * the only state is the watermark-bounded (vec_id, idb) pair dedup
+    * guarding at-least-once sources — bounded by contamination volume
+    * inside the watermark, never corpus or stream length. */
+  def streamingSemanticDecontam(spark: SparkSession, vecs: DataFrame,
+      indexPath: String, minCos: Double, tsCol: String, watermark: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    import graft.operators.Similarity
+    val path0 = Similarity.resolveIndexDir(spark, indexPath)
+    val bench = spark.read.parquet(path0)
+      .select(col("vec_id").as("idb"), col("q").as("bq"),
+        col("n2").as("bn2"))
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        Similarity.quantizedOf(col(embCol)).as("q"), col(tsCol))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", round(
+        Similarity.guardedCos(dotLong(col("q"), col("bq")),
+          col("bn2"), col("n2")), 4))
+      .where(col("cos") >= minCos)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("vec_id", "idb")
+      .select(col("vec_id"), col("idb"), col("cos"), col(tsCol))
+  }
+
   /** Drop the streaming session's cached file listing for both ledger
     * tables so cross-APPLICATION `growNearDupLedger` appends become
     * visible to [[streamingNearDupAlerts]]' stream-static join from the

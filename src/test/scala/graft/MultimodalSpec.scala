@@ -84,6 +84,70 @@ class MultimodalSpec extends SparkSpec {
       .exceptAll(Multimodal.m02Frames(spark, sf)).isEmpty)
   }
 
+  test("framesInContext lifecycle under a misbehaving codec: crash and abandonment close the handle, corrupt rows quarantine") {
+    // the r10 directive #6: the ffmpeg-seam contract ("handle released
+    // even when a row throws") gets a crash-injecting fake instead of a
+    // happy-path-only proof
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"payload-$i".getBytes))
+      .toDF("doc_id", "payload").repartition(3)
+    def settle(deadline: Long = System.nanoTime() + 10000000000L): Unit = {
+      while (CodecProbe.closes.get() != CodecProbe.opens.get() &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+
+    // 1. MID-PARTITION DECODE CRASH: the handle opened by the crashing
+    // task (and by every other task attempt) must still be released
+    CodecProbe.reset()
+    val crash = Multimodal.framesInContext[AtomicInteger](docs,
+      open = () => { CodecProbe.opens.incrementAndGet(); new AtomicInteger },
+      demux = (_, id, p) => {
+        if (id == 17L)
+          throw new RuntimeException("decode blew up mid-partition")
+        Iterator(Multimodal.Frame(id, 0, p.length, 0))
+      },
+      close = _ => CodecProbe.closes.incrementAndGet())
+    intercept[org.apache.spark.SparkException](crash.collect())
+    settle()
+    assert(CodecProbe.opens.get() >= 1, "crash test never opened a handle")
+    assert(CodecProbe.closes.get() == CodecProbe.opens.get(),
+      s"crash leaked codec handles: opens=${CodecProbe.opens.get()} " +
+        s"closes=${CodecProbe.closes.get()}")
+
+    // 2. CONSUMER ABANDONS: limit(1) stops pulling before the iterator
+    // exhausts — the task-completion listener must release the handle
+    CodecProbe.reset()
+    val one = Multimodal.framesInContext[Unit](docs,
+      open = () => { CodecProbe.opens.incrementAndGet(); () },
+      demux = (_, id, p) => Iterator(Multimodal.Frame(id, 0, p.length, 0)),
+      close = _ => { CodecProbe.closes.incrementAndGet(); () })
+      .limit(1).collect()
+    assert(one.length == 1)
+    settle()
+    assert(CodecProbe.opens.get() >= 1)
+    assert(CodecProbe.closes.get() == CodecProbe.opens.get(),
+      s"abandoned consumer leaked codec handles: " +
+        s"opens=${CodecProbe.opens.get()} closes=${CodecProbe.closes.get()}")
+
+    // 3. CORRUPT ROWS QUARANTINE, NOT FATAL: the codec owns per-row
+    // failure (the m05 sentinel pattern) — bad payloads become sentinel
+    // frames, the job succeeds, good rows are untouched
+    CodecProbe.reset()
+    val out = Multimodal.framesInContext[Unit](docs,
+      open = () => { CodecProbe.opens.incrementAndGet(); () },
+      demux = (_, id, p) =>
+        if (id % 10 == 3) Iterator(Multimodal.Frame(id, -1, -1, -1))
+        else Iterator(Multimodal.Frame(id, 0, p.length, 0)),
+      close = _ => { CodecProbe.closes.incrementAndGet(); () })
+      .collect()
+    assert(out.length == 30)
+    assert(out.count(_.getAs[Int]("frame_no") == -1) == 3,
+      "corrupt payloads must surface as sentinel rows")
+    assert(out.count(_.getAs[Int]("frame_no") == 0) == 27)
+    settle()
+    assert(CodecProbe.closes.get() == CodecProbe.opens.get())
+  }
+
   test("m04 phash: perturbed payload stays within radius, pairing finds it") {
     import spark.implicits._
     // A: a smooth gradient payload; B: A with a tiny local perturbation

@@ -962,6 +962,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic decontamination replays the batch c06 verdict from the persistent index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Curation, Similarity}
+    import graft.sources.Tables.t
+    val minCos = 0.2
+    val emb = t(spark, sf, "embeddings")
+    // the benchmark panel lives in a PERSISTENT IVF index — the artifact
+    // a gated deploy manages; the stream probes it stream-static
+    val idx = tmpDir("sdc-index")
+    Similarity.buildIvfIndexOf(emb.where(col("vec_id") % 97 === 0), idx,
+      iters = 1, cells = 3)
+    // live side: the non-benchmark corpus arrives over two micro-batches
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    val arriving = emb.where(col("vec_id") % 97 =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), ts))
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = Streaming.streamingSemanticDecontam(spark,
+      in.toDF().toDF("vec_id", "embedding", "ts"), idx,
+      minCos = minCos, tsCol = "ts", watermark = "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdecontam").start()
+    try {
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val pairs = spark.table("sdecontam").collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      val gotContaminated = pairs.map(_._1).toSet
+      val gotMax = pairs.groupBy(_._1).map { case (v, ps) =>
+        v -> ps.map(_._2).max }
+      // batch verdict on the SAME data: c06's library surface at the
+      // same benchmark predicate and threshold
+      val batch = Curation.embeddingDecontaminate(spark, sf,
+        col("vec_id") % 97 === 0, minCos).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+          r.getBoolean(2)))
+      val batchContaminated = batch.filter(_._3).map(_._1).toSet
+      assert(batchContaminated.nonEmpty,
+        "fixture yields no contamination at this threshold — test vacuous")
+      assert(gotContaminated == batchContaminated,
+        s"stream flags $gotContaminated, batch flags $batchContaminated")
+      // the max emitted evidence cosine equals the batch max_cos exactly
+      val batchMax = batch.filter(_._3).map(x => x._1 -> x._2).toMap
+      for ((v, m) <- gotMax)
+        assert(m == batchMax(v), s"vec $v: stream max $m vs batch ${batchMax(v)}")
+      // and no pair repeats (at-least-once dedup is the only state)
+      assert(pairs.length == spark.table("sdecontam")
+        .select("vec_id", "idb").distinct().count())
+    } finally q.stop()
+  }
+
   test("near-dup alerts see SAME-SESSION ledger growth from the next batch on") {
     // the r10 advisor finding, pinned to the half that is actually
     // guaranteed: in ONE SparkSession the growNearDupLedger insert
