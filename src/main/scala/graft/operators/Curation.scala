@@ -335,9 +335,16 @@ object Curation {
     * per-source rollup (|sources| rows) — plus a 1-row corpus count
     * broadcast back for the share column. Token sums and dup counts
     * map-side combine; nothing driver-side grows with the corpus. */
-  def c11DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+  def c11DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardOf(graft.sources.Tables.t(spark, dir, "documents"))
+
+  /** Library surface: the c11 card over ANY (doc_id, source, lang, text)
+    * frame — the per-source summary a pipeline publishes beside its
+    * FINAL corpus (the composed end-to-end example emits this as its
+    * last stage). Same integer-summed arithmetic as the declared query,
+    * so a card over the raw documents table ≡ c11 row-for-row. */
+  def datasetCardOf(docs: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis.{fingerprint, quality}
-    val docs = graft.sources.Tables.t(spark, dir, "documents")
     val scored = docs.select(col("doc_id"), col("source"), col("lang"),
       size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("__nt"),
       quality(col("text")).as("__q"), fingerprint(col("text")).as("__fp"))

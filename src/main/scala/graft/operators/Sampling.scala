@@ -691,16 +691,54 @@ object Sampling {
     * only at n = nmax (all-or-damped), 1 is proportional (identity mix). */
   def temperatureMixAtOf(docs: DataFrame, alphaNum: Int, alphaDen: Int,
       groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val rates = ratesAtOf(docs, alphaNum, alphaDen, groupCol)
+    val kept = docs
+      .select(col(groupCol).cast("string").as(groupCol), col(idCol))
+      .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
+        Seq(groupCol))
+      .where(alphaAccept(col(idCol)) < col("rate_ppm"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
+    rates.join(broadcast(kept), Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Per-document keep DECISIONS at rational α — the acceptance half of
+    * [[temperatureMixAtOf]], exposed so a pipeline can ACT on the mix
+    * instead of only reading its report: every input row comes back with
+    * `kept`. Same exact-BigInt ppm table, same salted-hash rule — a doc
+    * kept here is counted in the report's `n_kept`, definitionally. */
+  def temperatureKeepAtOf(docs: DataFrame, alphaNum: Int, alphaDen: Int,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val rates = ratesAtOf(docs, alphaNum, alphaDen, groupCol)
+    docs
+      .withColumn(groupCol, col(groupCol).cast("string"))
+      .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
+        Seq(groupCol))
+      .withColumn("kept", alphaAccept(col(idCol)) < col("rate_ppm"))
+      .drop("rate_ppm")
+  }
+
+  /** The shared α-smoothing acceptance hash (sp01's salted rule — one
+    * salt across temperatures, so keep sets nest monotonically in α). */
+  private def alphaAccept(id: Column): Column =
+    graft.functions.Hashing.md5Long(
+      concat(lit("alpha:"), id.cast("string")), 15) % 1000000L
+
+  /** The shared exact ppm table: one bounded |groups|-row driver fetch,
+    * rates by integer binary search (largest r with
+    * r^q·nmax^p ≤ 10^{6q}·n^p — no floating point), returned as a
+    * literal local relation ready to broadcast. */
+  private def ratesAtOf(docs: DataFrame, alphaNum: Int,
+      alphaDen: Int, groupCol: String): DataFrame = {
     require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
       s"alpha = $alphaNum/$alphaDen must be a rational in [0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
-    // THE bounded driver fetch: the |groups|-row census (same row count
-    // the α=1/2 path broadcasts plan-side)
     val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
       .select(col(groupCol).cast("string").as("g"), col("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(counts.nonEmpty, "temperatureMixAtOf: empty corpus")
+    require(counts.nonEmpty, "temperature mix: empty corpus")
     val mx = counts.map(_._2).max
     val mxp = BigInt(mx).pow(alphaNum)
     def ratePpm(n: Long): Long = {
@@ -712,19 +750,7 @@ object Sampling {
       }
       lo
     }
-    val rates = counts.toSeq
-      .map { case (g, n) => (g, n, ratePpm(n)) }
+    counts.toSeq.map { case (g, n) => (g, n, ratePpm(n)) }
       .toDF(groupCol, "n_docs", "rate_ppm")
-    val kept = docs
-      .select(col(groupCol).cast("string").as(groupCol), col(idCol))
-      .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
-        Seq(groupCol))
-      .where(graft.functions.Hashing.md5Long(
-        concat(lit("alpha:"), col(idCol).cast("string")), 15) % 1000000L
-        < col("rate_ppm"))
-      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
-    rates.join(broadcast(kept), Seq(groupCol), "left")
-      .select(col(groupCol), col("n_docs"), col("rate_ppm"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 }

@@ -9,6 +9,72 @@ import graft.examples.CurationExample
   * applied, write path produces partitioned output). */
 class ExamplesSpec extends SparkSpec {
 
+  test("PretrainPipelineExample: every lineage stage reconciles and chains over a raw JSONL drop") {
+    import spark.implicits._
+    import graft.examples.PretrainPipelineExample
+    // the raw drop: the fixture documents as uncompressed JSONL, PLUS a
+    // planted exact duplicate, a planted near-duplicate, and two corrupt
+    // lines — each stage must have something to reject
+    val root = tmpDir("pretrain-pipeline")
+    val drop = s"$root/drop"
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val donor = docs.where(length(trim(col("text"))) > 50)
+      .orderBy("doc_id").limit(1).head()
+    val ws = donor.getString(3).trim.split("\\s+")
+    val near = (ws.take(ws.length / 2) ++ Array("zzznear") ++
+      ws.drop(ws.length / 2 + 1)).mkString(" ")
+    val planted = Seq(
+      (900001L, donor.getString(1), donor.getString(2), donor.getString(3)),
+      (900002L, donor.getString(1), donor.getString(2), near),
+      (900003L, "en", "planted", "   ")) // blank → clean-stage reject
+      .toDF("doc_id", "lang", "source", "text")
+    graft.sources.TextCorpus.writeJsonl(docs.unionByName(planted), drop,
+      compression = "none")
+    // two corrupt lines in their own shard
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$drop/zz-corrupt.json"),
+      "{broken json\nnot json at all\n".getBytes)
+
+    val r = PretrainPipelineExample.run(spark, drop, s"$root/out")
+    val byStage = r.lineage.map(s => s.stage -> s).toMap
+    // the ledger covers every stage, in order
+    assert(r.lineage.map(_.stage) == Seq("ingest", "clean", "exact-dedup",
+      "neardup-dedup", "quality", "decontaminate", "temperature-mix",
+      "pack"))
+    // every stage reconciles: in = kept + rejected (run() requires it;
+    // re-assert from the emitted ledger so the ARTIFACT is what's pinned)
+    for (s <- r.lineage)
+      assert(s.in == s.kept + s.rejected, s"$s does not reconcile")
+    // and the stages CHAIN: each stage consumes exactly the survivors
+    for ((a, b) <- r.lineage.zip(r.lineage.tail))
+      assert(b.in == a.kept, s"${b.stage} in=${b.in} != ${a.stage} kept=${a.kept}")
+    // each planted reject was caught by its intended stage
+    assert(byStage("ingest").rejected == 2L, "corrupt lines quarantined")
+    assert(byStage("clean").rejected >= 1L, "blank doc rejected")
+    assert(byStage("exact-dedup").rejected >= 1L, "planted exact dup caught")
+    assert(byStage("neardup-dedup").rejected >= 1L, "planted near-dup caught")
+    assert(byStage("quality").rejected >= 1L)
+    assert(byStage("decontaminate").rejected >= 1L,
+      "benchmark docs must leave the corpus")
+    assert(byStage("temperature-mix").rejected >= 1L,
+      "fixture languages are skewed — the mix must damp some group")
+    assert(byStage("pack").kept == byStage("pack").in)
+    // published artifacts: corpus, placement, card, lineage
+    val corpus = spark.read.parquet(s"$root/out/corpus")
+    assert(corpus.count() == byStage("pack").kept)
+    assert(corpus.select("doc_id").distinct().count() == corpus.count())
+    val placement = spark.read.parquet(s"$root/out/placement")
+    assert(placement.count() == corpus.count())
+    assert(r.nSequences > 0)
+    val card = spark.read.parquet(s"$root/out/card")
+    assert(card.columns.contains("share_permille"))
+    // the card's totals reconcile with the corpus it describes
+    assert(card.agg(sum("n_docs")).head().getLong(0) == corpus.count())
+    val lineage = spark.read.parquet(s"$root/out/lineage")
+    assert(lineage.count() == r.lineage.size)
+  }
+
   test("CurationExample.curated runs and honors its gates") {
     val out = CurationExample.curated(spark, sf)
     assert(out.columns.toSeq ==
