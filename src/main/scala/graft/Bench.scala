@@ -162,6 +162,39 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       }
     }
+    // Like-for-like round-over-round movement (r11 verdict #6): the
+    // driver's BENCH_r{N}.json files compare SHIFTING reported sets
+    // (cheap queries drop in and out of the stdout line's cost cutoff),
+    // so the judge recomputed a common-set ratio by hand every round.
+    // Emit it from the harness instead: against the newest BENCH_r*.json
+    // in the working directory, sum this run's medians and the prior
+    // round's over the queries BOTH reported (failures excluded on both
+    // sides) and print curr/prev. < 1 is faster. Missing/unparseable
+    // prior file → the field is simply absent (first round, moved repo).
+    val commonVsPrev: Option[(String, Int, Double, Double)] = try {
+      val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (fs.isEmpty) None else {
+        val f = fs.maxBy(x => "\\d+".r.findFirstIn(x.getName).get.toInt)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val qs = om.readTree(f).path("parsed").path("queries")
+        if (!qs.isObject) None else {
+          val prev = scala.collection.mutable.Map[String, Double]()
+          qs.fields().forEachRemaining(e =>
+            prev(e.getKey) = e.getValue.asDouble(-1.0))
+          val common = results.filter { case (q, v) =>
+            v >= 0 && prev.getOrElse(q, -1.0) >= 0 }
+          if (common.isEmpty) None
+          else Some((f.getName, common.size,
+            common.map(c => prev(c._1)).sum, common.map(_._2).sum))
+        }
+      }
+    } catch { case _: Throwable => None }
+    val cvpCompact = commonVsPrev.map { case (_, n, p, c) =>
+      s""","common_vs_prev":${fmt(c / p, 3)},"common_n":$n""" }.getOrElse("")
+    val cvpFull = commonVsPrev.map { case (f, n, p, c) =>
+      s""","common_vs_prev":{"file":"$f","n":$n,"prev_total":$p,"curr_total":$c,"ratio":${c / p}}""" }
+      .getOrElse("")
     // `keep` bounds how many per-query entries ride the stdout line; the
     // CHEAPEST queries are summarized first (their per-round deltas are
     // noise-band anyway — the expensive movers are what the bench gate
@@ -181,7 +214,7 @@ object Bench {
       // are (1.0x = perfectly stable; round-7's noise mode would read ~2x)
       val sp = spreads.values.filter(_ > 0).toSeq.sorted
       val p90 = if (sp.isEmpty) -1.0 else sp((sp.size - 1) * 9 / 10)
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","runs":$runs,"spread_p90":${fmt(p90, 2)},"failed":$failed$omit,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","runs":$runs,"spread_p90":${fmt(p90, 2)},"failed":$failed$cvpCompact$omit,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver keeps the LAST ~2000 bytes of stdout and parses the
     // metric line out of that tail (measured: a 2161-byte line truncated
@@ -205,7 +238,7 @@ object Bench {
     val spreadFull = names.map { q => "\"" + q + "\":" + spreads(q) }
       .mkString("{", ",", "}")
     val metricFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"heavy_extra_runs":${extraRuns.size},"heavy_queries":${heavy.size},"failed":$failed,"queries":$qsFull,"raw_runs":$rawFull,"spread":$spreadFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"heavy_extra_runs":${extraRuns.size},"heavy_queries":${heavy.size},"failed":$failed$cvpFull,"queries":$qsFull,"raw_runs":$rawFull,"spread":$spreadFull,"sf":"$sfDir"}"""
     // Round-1 driver lesson: the metric line arrived as `[info] {...}` via
     // sbt's logger and parsed to null. Persist to a file AND print last
     // (build.sbt routes forked run output straight to stdout, unprefixed).

@@ -669,7 +669,9 @@ object Sampling {
     * floating point anywhere) — and broadcasts it as a literal local
     * relation. The acceptance rule is unchanged (sp01's salted-hash ppm
     * predicate, same salt as sp15, so keep decisions NEST monotonically
-    * across temperatures: raising α only ever adds documents).
+    * across temperatures: for n < nmax the rate (n/nmax)^α FALLS as α
+    * rises, so LOWERING α only ever adds documents — α = 0 keeps
+    * everything, α = 1 is the most aggressive damping in the range).
     *
     * Scale shape: one map-side-combined |groups|-row aggregate is the
     * only driver fetch; the ppm table re-attaches by broadcast equi-join
@@ -687,37 +689,58 @@ object Sampling {
   /** Library surface: temperature mix at rational α = alphaNum/alphaDen
     * over ANY frame with a group column (castable to string) and a unique
     * id. Output per group: size, keep rate (ppm), kept — [[temperatureMixOf]]'s
-    * report shape. α ∈ [0, 1]: 0 flattens every group to the ceiling rate
-    * only at n = nmax (all-or-damped), 1 is proportional (identity mix). */
+    * report shape. α ∈ [0, 1]: since rate = (n/nmax)^α and n ≤ nmax, α = 0
+    * keeps every document in every group (the identity mix), α = 1 samples
+    * each group at its proportional rate n/nmax (keeping ~n²/nmax of it),
+    * and intermediate α interpolate — raising α only ever REMOVES
+    * documents (keep sets nest downward in α). A NULL group value is its
+    * own group: null rows are counted, rated, and returned like any other
+    * (the join key is null-coalesced internally; the output group column
+    * keeps the original null). */
   def temperatureMixAtOf(docs: DataFrame, alphaNum: Int, alphaDen: Int,
       groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val rates = ratesAtOf(docs, alphaNum, alphaDen, groupCol)
     val kept = docs
-      .select(col(groupCol).cast("string").as(groupCol), col(idCol))
+      .select(nullSafeGroup(col(groupCol)).as(groupCol), col(idCol))
       .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
         Seq(groupCol))
       .where(alphaAccept(col(idCol)) < col("rate_ppm"))
       .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
     rates.join(broadcast(kept), Seq(groupCol), "left")
-      .select(col(groupCol), col("n_docs"), col("rate_ppm"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .select(unsentinel(col(groupCol)).as(groupCol), col("n_docs"),
+        col("rate_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Per-document keep DECISIONS at rational α — the acceptance half of
     * [[temperatureMixAtOf]], exposed so a pipeline can ACT on the mix
-    * instead of only reading its report: every input row comes back with
-    * `kept`. Same exact-BigInt ppm table, same salted-hash rule — a doc
-    * kept here is counted in the report's `n_kept`, definitionally. */
+    * instead of only reading its report: EVERY input row comes back with
+    * `kept`, with the original group column untouched — including rows
+    * whose group is NULL (joined via an internal null-coalesced key, so
+    * SQL null-join semantics can't drop them silently). Same exact-BigInt
+    * ppm table, same salted-hash rule — a doc kept here is counted in the
+    * report's `n_kept`, definitionally. */
   def temperatureKeepAtOf(docs: DataFrame, alphaNum: Int, alphaDen: Int,
       groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val rates = ratesAtOf(docs, alphaNum, alphaDen, groupCol)
     docs
-      .withColumn(groupCol, col(groupCol).cast("string"))
-      .join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
-        Seq(groupCol))
+      .withColumn("__g", nullSafeGroup(col(groupCol)))
+      .join(broadcast(rates.select(col(groupCol).as("__g"),
+        col("rate_ppm"))), Seq("__g"))
       .withColumn("kept", alphaAccept(col(idCol)) < col("rate_ppm"))
-      .drop("rate_ppm")
+      .drop("rate_ppm", "__g")
   }
+
+  /** NULL group values must survive the rate join (SQL equi-join on a
+    * null key matches nothing — the advisor's row-loss finding), so every
+    * internal group key is coalesced to this sentinel and the report maps
+    * it back to a real null on the way out. A leading NUL byte can't appear in any
+    * fixture string and makes accidental collision with a real group name
+    * practically impossible. */
+  private val NullGroupSentinel = "\u0000<null-group>"
+  private def nullSafeGroup(g: Column): Column =
+    coalesce(g.cast("string"), lit(NullGroupSentinel))
+  private def unsentinel(g: Column): Column =
+    when(g === lit(NullGroupSentinel), lit(null: String)).otherwise(g)
 
   /** The shared α-smoothing acceptance hash (sp01's salted rule — one
     * salt across temperatures, so keep sets nest monotonically in α). */
@@ -735,8 +758,8 @@ object Sampling {
       s"alpha = $alphaNum/$alphaDen must be a rational in [0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
-      .select(col(groupCol).cast("string").as("g"), col("n_docs"))
+    val counts = docs.groupBy(nullSafeGroup(col(groupCol)).as("g"))
+      .agg(count(lit(1)).as("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(counts.nonEmpty, "temperature mix: empty corpus")
     val mx = counts.map(_._2).max

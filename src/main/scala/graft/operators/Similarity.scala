@@ -822,6 +822,9 @@ object Similarity {
     graft.sources.Sink.writeCurated(
       added, path, partitionCols = Seq("cell"), sortCols = Seq("vec_id"))
     cent.write.mode("overwrite").parquet(s"$path/_centroids")
+    // invalidation marker for the driver-side quantizer cache: a rewrite
+    // that preserves every (name, len, mtime) still flips this content
+    writeNonce(fsOf(emb.sparkSession, path), s"$path/_centroids")
     // all artifacts are on disk — nothing references the build's pinned
     // frames anymore. A library caller has no bench harness behind it to
     // sweep leaked pins, so a build/rebuild loop would otherwise
@@ -970,17 +973,46 @@ object Similarity {
   // round-trips of pure fixed overhead per query — exactly the
   // cross-JVM-sensitive cost the r10 verdict flagged on ss11. The cache
   // keys on the RESOLVED index dir (a versioned pointer flip changes the
-  // key, so deploys invalidate for free) PLUS a file-listing signature of
-  // the artifact directory (names, lengths, mtimes — one namenode
-  // listStatus), so a flat-layout in-place retrain or a re-encode
-  // invalidates too. Values are |cells|- and m·|cells|-row arrays — the
-  // same rows the old per-call collect shipped to the driver anyway.
+  // key, so deploys invalidate for free) PLUS a content signature of the
+  // artifact directory: the file listing (names, lengths, mtimes — one
+  // namenode listStatus) FOLDED WITH the `_write_nonce` marker the index
+  // writer drops after every artifact rewrite. The nonce closes the
+  // advisor's metadata-collision window: an in-place retrain that rewrites
+  // part files with identical names/lengths inside the filesystem's mtime
+  // granularity (1 s on many local/object stores) still flips the nonce
+  // CONTENT, so the signature changes even when the listing doesn't.
+  // Values are |cells|- and m·|cells|-row arrays — the same rows the old
+  // per-call collect shipped to the driver anyway — and the map is
+  // LRU-bounded (superseded version dirs age out instead of accumulating
+  // for the JVM's lifetime).
 
-  private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, AnyRef)]()
+  private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, AnyRef)]() // (signature, lastUsed tick, value)
+  private val quantizerCacheClock = new java.util.concurrent.atomic.AtomicLong
+  private val QuantizerCacheMaxEntries = 64
+  /** Cache (re)loads — a test hook proving nonce-content invalidation:
+    * a reload observed while (name, len, mtime) are all unchanged can only
+    * have come from the nonce fold. */
+  private[graft] val quantizerCacheLoads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** The writer-side half of the invalidation contract: dropped into an
+    * artifact directory AFTER its parquet rewrite completes. Underscore
+    * prefix keeps parquet readers blind to it. */
+  private[graft] val NonceFile = "_write_nonce"
+  private def writeNonce(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, NonceFile), true)
+    try out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Content signature of one artifact directory: order-independent over
-    * (name, len, mtime) of its immediate files. One RPC, no Spark job. */
+    * (name, len, mtime) of its immediate files, folded with the
+    * `_write_nonce` CONTENT when present. One listStatus RPC plus one
+    * 36-byte read — no Spark job. Indexes built before the nonce existed
+    * degrade to the listing-only signature. */
   private def dirSignature(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Long = {
     var h = 1125899906842597L
@@ -989,6 +1021,16 @@ object Similarity {
       h = h * 31 + s.getLen
       h = h * 31 + s.getModificationTime
     }
+    val nonce = new org.apache.hadoop.fs.Path(dir, NonceFile)
+    if (fs.exists(nonce)) {
+      val in = fs.open(nonce)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      h = h * 31 + body.hashCode
+    }
     h
   }
 
@@ -996,10 +1038,30 @@ object Similarity {
       dir: String)(load: => T): T = {
     val sig = dirSignature(fsOf(spark, dir),
       new org.apache.hadoop.fs.Path(dir))
+    val tick = quantizerCacheClock.incrementAndGet()
     val hit = quantizerCache.get(dir)
-    if (hit != null && hit._1 == sig) hit._2.asInstanceOf[T]
-    else { val v = load; quantizerCache.put(dir, (sig, v)); v }
+    if (hit != null && hit._1 == sig) {
+      quantizerCache.put(dir, (sig, tick, hit._3))
+      hit._3.asInstanceOf[T]
+    } else {
+      quantizerCacheLoads.incrementAndGet()
+      val v = load
+      quantizerCache.put(dir, (sig, tick, v))
+      pruneQuantizerCache(QuantizerCacheMaxEntries)
+      v
+    }
   }
+
+  /** Drop least-recently-used entries until at most `max` remain —
+    * superseded version dirs age out; the bound caps driver memory at
+    * `max` quantizer tables regardless of deploy count. */
+  private[graft] def pruneQuantizerCache(max: Int): Unit =
+    while (quantizerCache.size() > max) {
+      import scala.jdk.CollectionConverters._
+      val lru = quantizerCache.entrySet().asScala
+        .minByOption(_.getValue._2)
+      lru.foreach(e => quantizerCache.remove(e.getKey, e.getValue))
+    }
 
   /** Test/ops hook: number of live cache entries (and a full drop). */
   private[graft] def quantizerCacheSize: Int = quantizerCache.size()
@@ -1425,6 +1487,7 @@ object Similarity {
     graft.sources.Sink.writeCurated(codes, s"$path0/_pq_codes",
       partitionCols = Seq("cell"), sortCols = Seq("vec_id", "sub"))
     cb.write.mode("overwrite").parquet(s"$path0/_pq_codebooks")
+    writeNonce(fsOf(spark, path0), s"$path0/_pq_codebooks")
     ensurePointerUnmoved(spark, path, path0)
     // artifacts are on disk — release the build's pinned subspace frame
     // (same library-caller contract as buildIndexFrom)

@@ -280,19 +280,23 @@ object Sink {
         val out = fs.create(tmp, true)
         try out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        // lost race with a concurrent first-writer: re-check instead of
-        // clobbering (rename-no-replace is not portable; re-read is)
-        if (!fs.rename(tmp, marker)) {
-          fs.delete(tmp, false)
-          val in = fs.open(marker)
-          val recorded =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          if (recorded != l)
-            throw new IllegalStateException(
-              s"idempotentAppend: $dir lineage raced to '$recorded', " +
-                s"this batch is from '$l' — see the lineage-guard contract.")
-        }
+        // Race with a concurrent first-writer: re-read the marker no
+        // matter what rename RETURNED. rename=false is the HDFS-style
+        // destination-exists refusal, but POSIX/LocalFileSystem rename
+        // OVERWRITES an existing destination and returns true — two
+        // racing first-writers can both "win", and only the re-read
+        // tells whose lineage the marker actually records. Either way
+        // the contract is the same: the recorded lineage must be OURS
+        // or the append dies loudly.
+        if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+        val in = fs.open(marker)
+        val recorded =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (recorded != l)
+          throw new IllegalStateException(
+            s"idempotentAppend: $dir lineage raced to '$recorded', " +
+              s"this batch is from '$l' — see the lineage-guard contract.")
       }
     }
     if (fs.exists(target)) false

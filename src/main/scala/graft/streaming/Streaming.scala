@@ -977,11 +977,19 @@ object Streaming {
     * arriving vector is quantized IN ROW with the engine's shared ×1000
     * recipe and scored by exact integer-dot cosine against the postings
     * of a PERSISTENT IVF index holding the benchmark panel — the
-    * stream-static probe: the static side re-reads the index per
-    * micro-batch, so a re-gated index deploy ([[graft.operators
-    * .Similarity.deployGatedIvfIndex]] pointer flip) is picked up
-    * without a restart in the same session (cross-application deploys:
-    * same metadata-cache contract as [[streamingNearDupAlerts]]).
+    * stream-static probe: the static side re-reads its FILES per
+    * micro-batch, but the versioned pointer is resolved ONCE, here at
+    * composition — so a re-gated index deploy ([[graft.operators
+    * .Similarity.deployGatedIvfIndex]] pointer flip) is NOT picked up
+    * by a running query: the stream stays bound to the version dir that
+    * was current when it started, and a deploy requires a query RESTART
+    * (the same restart/refresh caveat as [[streamingNearDupAlerts]]'
+    * cross-application ledger growth). A deployment that must follow
+    * pointer flips without restarting should drive this function from
+    * `foreachBatch`, re-composing the probe per batch so resolution
+    * happens at batch time. In-place growth of the SAME version (new
+    * part files, no pointer move) is visible subject to the session's
+    * metadata-cache contract described above.
     * Every (arriving, benchmark) pair at rounded cosine ≥ `minCos`
     * emits (vec_id, idb, cos, `tsCol`) — the contamination-evidence
     * stream a live ingest quarantines on between batch c06 sweeps.
