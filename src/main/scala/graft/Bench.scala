@@ -172,8 +172,15 @@ object Bench {
     // sides) and print curr/prev. < 1 is faster. Missing/unparseable
     // prior file → the field is simply absent (first round, moved repo).
     val commonVsPrev: Option[(String, Int, Double, Double)] = try {
+      // A local RE-run after the driver has already written this round's
+      // BENCH file would otherwise compare the run against its own round
+      // (ratio ~1, no information). SPARK_GRAFT_BENCH_SELF names the file
+      // to skip (e.g. "BENCH_r13.json") for such re-runs; driver runs
+      // leave it unset and naturally compare against the prior round.
+      val self = sys.env.get("SPARK_GRAFT_BENCH_SELF")
       val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .filter(f => !self.contains(f.getName))
       if (fs.isEmpty) None else {
         val f = fs.maxBy(x => "\\d+".r.findFirstIn(x.getName).get.toInt)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -182,11 +189,18 @@ object Bench {
           val prev = scala.collection.mutable.Map[String, Double]()
           qs.fields().forEachRemaining(e =>
             prev(e.getKey) = e.getValue.asDouble(-1.0))
+          // prev entries must be STRICTLY positive: the stdout-line
+          // medians round to 3 decimals, so a sub-0.5 ms query lands as
+          // 0.0 — it passed a >= 0 filter, contributed nothing to the
+          // sum, and a prev set of ONLY such entries would print
+          // Infinity/NaN into the metric line (invalid JSON → the driver
+          // nulls the whole metric). Guard both the entries and the sum.
           val common = results.filter { case (q, v) =>
-            v >= 0 && prev.getOrElse(q, -1.0) >= 0 }
-          if (common.isEmpty) None
+            v >= 0 && prev.getOrElse(q, -1.0) > 0 }
+          val prevSum = common.map(c => prev(c._1)).sum
+          if (common.isEmpty || prevSum <= 0) None
           else Some((f.getName, common.size,
-            common.map(c => prev(c._1)).sum, common.map(_._2).sum))
+            prevSum, common.map(_._2).sum))
         }
       }
     } catch { case _: Throwable => None }

@@ -34,8 +34,12 @@ import graft.operators.{Curation, Dedup, Sampling, TextAnalysis}
   * intermediates so nothing heavy re-executes. */
 object PretrainPipelineExample {
 
+  /** `tSec` — wall seconds from the previous stage boundary to this one:
+    * stage intermediates are pinned (eager), so each boundary-to-boundary
+    * interval IS that stage's materialization cost — the per-stage table
+    * the scale rehearsals publish (SCALING.md). */
   final case class StageCount(stage: String, in: Long, kept: Long,
-      rejected: Long)
+      rejected: Long, tSec: Double)
 
   final case class PipelineResult(lineage: Seq[StageCount],
       nPacked: Long, nSequences: Long)
@@ -58,6 +62,11 @@ object PretrainPipelineExample {
       passageTokens: Int = 20, alphaNum: Int = 1, alphaDen: Int = 2,
       seqLen: Int = 128): PipelineResult = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    var tLast = System.nanoTime()
+    def elapsed(): Double = {
+      val now = System.nanoTime()
+      val dt = (now - tLast) / 1e9; tLast = now; dt
+    }
     var pinned: List[DataFrame] = Nil
     def pin(df: DataFrame): DataFrame = {
       val p = graft.Materialize.pin(df); pinned ::= p; p
@@ -72,7 +81,7 @@ object PretrainPipelineExample {
       require(nk + nr == in,
         s"lineage broken at '$name': in=$in kept=$nk rejected=$nr — " +
           "the stage lost or duplicated documents")
-      stages += StageCount(name, in, nk, nr)
+      stages += StageCount(name, in, nk, nr, elapsed())
       (k, nk)
     }
     try {
@@ -82,7 +91,8 @@ object PretrainPipelineExample {
         spark, jsonlPath, dropSchema)
       val raw = pin(raw0)
       val nParsed = raw.count()
-      stages += StageCount("ingest", nParsed + nBad, nParsed, nBad)
+      stages += StageCount("ingest", nParsed + nBad, nParsed, nBad,
+        elapsed())
 
       // 2. CLEAN + PII SCRUB — scrub is a transform (no rejects); the
       // gate drops structurally unusable rows (null/blank text, null id)
@@ -159,7 +169,7 @@ object PretrainPipelineExample {
       val nPacked = packed.count()
       require(nPacked == nFinal,
         s"packing lost documents: $nFinal in, $nPacked placed")
-      stages += StageCount("pack", nFinal, nPacked, 0L)
+      stages += StageCount("pack", nFinal, nPacked, 0L, elapsed())
       val nSeqs = packed.agg(max(col("last_seq"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0) + 1L
@@ -194,7 +204,7 @@ object PretrainPipelineExample {
       val r = run(spark, args(0), args(1))
       r.lineage.foreach(s => println(
         f"[pipeline] ${s.stage}%-16s in=${s.in}%7d kept=${s.kept}%7d " +
-          f"rejected=${s.rejected}%7d"))
+          f"rejected=${s.rejected}%7d t=${s.tSec}%7.2fs"))
       println(s"[pipeline] packed ${r.nPacked} docs into ${r.nSequences} " +
         s"sequences; outputs under ${args(1)}")
     } finally spark.stop()

@@ -61,7 +61,8 @@ object StreamingCurationExample {
       profileWindow: String = "1 hour",
       nearDupLedger: Option[String] = None,
       nearDupThreshold: Double = 0.3,
-      quarantineDir: Option[String] = None): StreamingQuery = {
+      quarantineDir: Option[String] = None,
+      ledgerDir: Option[String] = None): StreamingQuery = {
     // a near-dup rejection must land SOMEWHERE an operator can audit:
     // a borderline-J false rejection silently discarded is unrecoverable
     // and undetectable, so the ledger leg refuses to run blind
@@ -101,6 +102,31 @@ object StreamingCurationExample {
           // (restart replaying uncommitted offsets) no-ops, so all three
           // stores are effectively EXACTLY-once — no downstream dedup
           graft.sources.Sink.idempotentAppend(clean, curatedDir, batchId)
+          // CONSERVATION LEDGER (r11 verdict #4): one accounting row per
+          // micro-batch over the publish stage — every row that reached
+          // foreachBatch is kept, quality-rejected, or near-dup-
+          // quarantined, so cumulative n_in = n_kept + n_quality_rejected
+          // + n_neardup_rejected holds over ANY prefix of batches. The
+          // same batch-id-keyed idempotentAppend (and its _query_lineage
+          // marker) guards it: a crash between a store publish and the
+          // checkpoint commit replays the batch, every store no-ops, and
+          // the cumulative ledger cannot double-count — the invariant
+          // SURVIVES mid-stream kills, which StreamingExampleSpec
+          // asserts by deleting the newest checkpoint commit. (The
+          // stateful stages' rejections — dedup, quota — happen upstream
+          // of foreachBatch and are observable from their own admitted
+          // flags; this ledger accounts the publish stage.)
+          ledgerDir.foreach { ld =>
+            val ss = batch.sparkSession
+            import ss.implicits._
+            val nIn = scored.count()
+            val nSurv = survivors.count()
+            val nKept = clean.count()
+            graft.sources.Sink.idempotentAppend(
+              Seq((nIn, nKept, nIn - nSurv, nSurv - nKept))
+                .toDF("n_in", "n_kept", "n_quality_rejected",
+                  "n_neardup_rejected"), ld, batchId)
+          }
           // additive windowed profile rows for this batch — reader sums
           graft.sources.Sink.idempotentAppend(clean
             .groupBy(window(col("ts"), profileWindow), col("source"))

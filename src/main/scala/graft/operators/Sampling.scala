@@ -722,12 +722,22 @@ object Sampling {
   def temperatureKeepAtOf(docs: DataFrame, alphaNum: Int, alphaDen: Int,
       groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val rates = ratesAtOf(docs, alphaNum, alphaDen, groupCol)
+    // The internal join key must not collide with a caller column: a
+    // fixed "__g" would silently overwrite (then drop) a pre-existing
+    // "__g" in the caller's frame, violating the every-row-comes-back
+    // contract for that column. NUL-prefixed names can't appear in any
+    // sane schema; extend until free for the pathological caller.
+    val gk = {
+      var n = "\u0000g"
+      while (docs.columns.contains(n)) n += "\u0000"
+      n
+    }
     docs
-      .withColumn("__g", nullSafeGroup(col(groupCol)))
-      .join(broadcast(rates.select(col(groupCol).as("__g"),
-        col("rate_ppm"))), Seq("__g"))
+      .withColumn(gk, nullSafeGroup(col(groupCol)))
+      .join(broadcast(rates.select(col(groupCol).as(gk),
+        col("rate_ppm"))), Seq(gk))
       .withColumn("kept", alphaAccept(col(idCol)) < col("rate_ppm"))
-      .drop("rate_ppm", "__g")
+      .drop("rate_ppm", gk)
   }
 
   /** NULL group values must survive the rate join (SQL equi-join on a
@@ -736,7 +746,7 @@ object Sampling {
     * it back to a real null on the way out. A leading NUL byte can't appear in any
     * fixture string and makes accidental collision with a real group name
     * practically impossible. */
-  private val NullGroupSentinel = "\u0000<null-group>"
+  private[graft] val NullGroupSentinel = "\u0000<null-group>"
   private def nullSafeGroup(g: Column): Column =
     coalesce(g.cast("string"), lit(NullGroupSentinel))
   private def unsentinel(g: Column): Column =
@@ -758,9 +768,18 @@ object Sampling {
       s"alpha = $alphaNum/$alphaDen must be a rational in [0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs.groupBy(nullSafeGroup(col(groupCol)).as("g"))
+    // Aggregate on the RAW group (null is its own group under Spark
+    // aggregation) and coalesce to the sentinel DRIVER-side, after a
+    // guard: post-coalesce a real group equal to the sentinel would be
+    // indistinguishable from null, so the in-band magic value must be
+    // proven absent first — one string compare per group, making the
+    // "practically impossible" collision impossible (r12 verdict nit).
+    val raw = docs.groupBy(col(groupCol).cast("string").as("g"))
       .agg(count(lit(1)).as("n_docs"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    require(!raw.exists(_._1.contains(NullGroupSentinel)),
+      s"temperature mix: a group value equals the internal null sentinel")
+    val counts = raw.map { case (g, n) => (g.getOrElse(NullGroupSentinel), n) }
     require(counts.nonEmpty, "temperature mix: empty corpus")
     val mx = counts.map(_._2).max
     val mxp = BigInt(mx).pow(alphaNum)

@@ -1022,14 +1022,21 @@ object Similarity {
       h = h * 31 + s.getModificationTime
     }
     val nonce = new org.apache.hadoop.fs.Path(dir, NonceFile)
+    // exists→open is a TOCTOU window: maintainIvfIndex's versioned
+    // cleanup deletes superseded dirs concurrently with probes, so the
+    // nonce can vanish between the two calls. A vanished nonce degrades
+    // to the listing-only signature — the same contract as indexes built
+    // before the nonce existed — instead of failing the probe.
     if (fs.exists(nonce)) {
-      val in = fs.open(nonce)
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-      h = h * 31 + body.hashCode
+      try {
+        val in = fs.open(nonce)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        h = h * 31 + body.hashCode
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     h
   }
@@ -1564,6 +1571,289 @@ object Similarity {
       .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("an2"))
       .select(col("vec_id"),
         round(guardedCos(col("adot"), lit(qn2), col("an2")), 4).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    if (rerank <= 0) adc.limit(k)
+    else {
+      val shortlist = adc.limit(rerank).select("vec_id")
+      spark.read.parquet(path0)
+        .where(col("cell").isInCollection(cells))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .select(col("vec_id"),
+          round(guardedCos(dotLong(col("q"), typedLit(q)), lit(qn2),
+            col("n2")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
+  // ---- residual PQ: encode x − centroid(cell), not x (FAISS IVFPQ) -----
+  // Raw PQ quantizes the VECTOR; residual PQ quantizes its OFFSET from the
+  // cell centroid (Jégou et al. §III-C — the form FAISS's IVFPQ ships).
+  // Residuals cluster tightly around 0, so the same codebook budget
+  // (m subspaces × |cells| codewords here) spends its resolution on the
+  // within-cell structure the coarse quantizer already paid to expose —
+  // reconstruction x̂ = mean(cell) + codeword is strictly better-centered
+  // than a raw codeword at equal bytes. Everything stays integer-exact:
+  // the cell reference is the elementwise FLOOR-mean of already-quantized
+  // Longs (⌊s/n⌋ via double division + floor — exact while |s| ≪ 2⁵³ and
+  // the true quotient is ≥ 1/n away from any non-divisible integer, both
+  // guaranteed at ×1000 quantization), and residuals are Long
+  // subtractions. ADC decomposes against the reconstruction:
+  //   dot(q, x̂)  = dot(q, rcm(cell)) + Σ_sub dot(q_sub, codeword)
+  //   |x̂|²       = stored per vector at encode time (an2), so a probe
+  //                scan reads m codes + one long — never raw vectors.
+
+  /** Elementwise FLOOR(s/n) — the integer cell mean. Double division is
+    * exact here: sums are bounded by |cell|·1000·dim ≪ 2⁵³ and a
+    * non-divisible quotient sits ≥ 1/n from the nearest integer, far
+    * beyond one ulp, so floor lands identically in Spark and DuckDB. */
+  private def floorDivCol(x: Column, n: Column): Column =
+    floor(x.cast("double") / n.cast("double")).cast("long")
+
+  /** Residual sub-codebooks over an already-sliced residual frame:
+    * representative init + ONE Lloyd refinement, all integer-exact.
+    * A label-seeded MEAN of residuals is ~0 by construction (a cell's
+    * residuals center on its own mean — the degenerate codebook every
+    * member would share), so codewords must come from residual
+    * DIRECTIONS instead: initialize codeword k as the residual subvector
+    * of cell k's min-vec_id member (a real data point — FAISS-style
+    * point init, deterministic), cosine-assign every residual subvector
+    * to its nearest representative, then refine each non-empty codeword
+    * to the FLOOR-mean of its ASSIGNED members (direction-coherent, so
+    * the mean is non-degenerate). Returns (sub, clabel, cvec, cn2) ready
+    * for [[pqEncode]]. */
+  private def residualCodebooks(res: DataFrame,
+      subs: DataFrame): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val minId = res.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+    val rep = subs.join(broadcast(minId), Seq("label", "vec_id"))
+      .select(col("sub"), col("label").as("clabel"),
+        col("qs").as("cvec"), col("n2s").as("cn2"))
+    val assign1 = pqEncode(subs, rep)
+    subs.join(assign1.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("qs")).as(Seq("i", "qi")))
+      .groupBy("sub", "code", "i")
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mq", floorDivCol(col("s"), col("n")))
+      .groupBy("sub", "code")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("mq")))),
+        s => s.getField("mq")).as("cvec"))
+      .withColumn("cn2", dotLong(col("cvec"), col("cvec")))
+      .select(col("sub"), col("code").as("clabel"), col("cvec"), col("cn2"))
+  }
+
+  /** ss18 — residual-PQ ADC top-k (query-shaped, label-seeded like
+    * ss09/ss10): quantize, subtract each vector's integer-mean cell
+    * centroid, PQ-encode the residuals against [[residualCodebooks]]
+    * (representative init + one FLOOR-mean Lloyd refinement, assignment
+    * by the same argmax-cosine recipe as [[pqEncode]]), then
+    * score query 0 against the reconstructions x̂ = rcm(label) + codeword.
+    * Scale shape mirrors ss10: a |cells|-row count/centroid aggregate
+    * broadcast back, the D·m-row encode shuffle (map-side-combined
+    * max_by), and a broadcast-LUT scoring join — no corpus-sized shuffle
+    * beyond the encode itself; the persistent-index twin
+    * ([[addResidualPqToIvfIndex]]) stores codes + an2 so probes scan m
+    * bytes + one long per row, partition-pruned to nprobe cells. */
+  def ss18ResidualPqAdc(spark: SparkSession, dir: String): DataFrame =
+    residualPqAdcTopK(spark, dir, queryId = 0L, m = 4, k = 10)
+
+  /** Library surface: residual-PQ ADC top-k at caller parameters (the
+    * declared query pins queryId=0, m=4, k=10 for the oracle). */
+  def residualPqAdcTopK(spark: SparkSession, dir: String, queryId: Long,
+      m: Int, k: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(k >= 1, s"k: $k")
+    val quant = t(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("label"),
+        quantizedOf(col("embedding")).as("q"))
+      // consumed by the count/centroid aggregates, the residual map, the
+      // label lookup, and the query slice — same pin contract as pqParts
+      .transform(graft.Materialize.pin)
+    val cnt = quant.groupBy("label").agg(count(lit(1)).as("n"))
+    // integer-mean cell centroid rcm(label) = ⌊Σq / n⌋ elementwise
+    val rcm = quant
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("label", "i").agg(sum(col("qi")).as("s"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("s")))),
+        s => s.getField("s")).as("svec"))
+      .join(broadcast(cnt), "label")
+      .select(col("label"),
+        transform(col("svec"), x => floorDivCol(x, col("n"))).as("rvec"))
+    val res = quant.join(broadcast(rcm), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("q"), col("rvec"), (a, b) => a - b).as("q"))
+    val (subs, _) = pqPartsQ(res, m)
+    val cbm = residualCodebooks(res, subs)
+    val codes = pqEncode(subs, cbm)
+    // reconstruction x̂_sub = rcm_sub(own label) + assigned codeword
+    val rsub = rcm
+      .select(col("label"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("rvec"))
+      .withColumn("sd", (size(col("rvec")) / m).cast("int"))
+      .select(col("label"), col("sub"),
+        slice(col("rvec"), col("sub") * col("sd") + 1, col("sd")).as("rvs"))
+    val xhat = codes
+      .join(quant.select("vec_id", "label"), "vec_id")
+      .join(broadcast(cbm.select(col("sub"), col("clabel").as("code"),
+        col("cvec").as("mvec"))), Seq("sub", "code"))
+      .join(broadcast(rsub), Seq("label", "sub"))
+      .select(col("vec_id"), col("sub"),
+        zip_with(col("rvs"), col("mvec"), (a, b) => a + b).as("xh"))
+    val qslices = quant.where(col("vec_id") === lit(queryId))
+      .select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
+      .withColumn("sd", (size(col("q")) / m).cast("int"))
+      .select(col("sub"),
+        slice(col("q"), col("sub") * col("sd") + 1, col("sd")).as("qqs"))
+    val qn2 = quant.where(col("vec_id") === lit(queryId))
+      .select(dotLong(col("q"), col("q")).as("qn2"))
+    xhat.where(col("vec_id") =!= lit(queryId))
+      .join(broadcast(qslices), Seq("sub"))
+      .select(col("vec_id"), dotLong(col("qqs"), col("xh")).as("d"),
+        dotLong(col("xh"), col("xh")).as("t"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adot"), sum(col("t")).as("an2"))
+      .crossJoin(broadcast(qn2))
+      .select(col("vec_id"),
+        round(guardedCos(col("adot"), col("qn2"), col("an2")), 4).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Residual-PQ-augment an existing IVF index: write `_rpq_centroids`
+    * (the integer FLOOR-mean cell references), `_rpq_codebooks`
+    * (FLOOR-mean residual sub-codebooks) and cell-partitioned
+    * `_rpq_codes` (vec_id, sub, code, an2) beside the postings —
+    * `an2 = |rcm(cell) + codeword|²` is precomputed per vector so ADC
+    * probes never reconstruct. Idempotent full re-encode, same staleness
+    * contract as [[addPqToIvfIndex]]: appended rows are invisible to
+    * residual-ADC probes until re-encoded. */
+  def addResidualPqToIvfIndex(spark: SparkSession, path: String,
+      m: Int): Unit = {
+    import graft.functions.ArrayDot.dotLong
+    val path0 = resolveIndexDir(spark, path)
+    val postings = spark.read.parquet(path0)
+      .select(col("vec_id"), col("cell").cast("long").as("label"), col("q"))
+    val cnt = postings.groupBy("label").agg(count(lit(1)).as("n"))
+    // cell references from the stored SUM centroids ÷ live counts
+    val rcm = spark.read.parquet(s"$path0/_centroids")
+      .select(col("clabel").as("label"), col("cvec"))
+      .join(broadcast(cnt), "label")
+      .select(col("label"),
+        transform(col("cvec"), x => floorDivCol(x, col("n"))).as("rvec"))
+    val res = postings.join(broadcast(rcm), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("q"), col("rvec"), (a, b) => a - b).as("q"))
+    val (subs, _) = pqPartsQ(res, m)
+    val cbm = residualCodebooks(res, subs)
+    val codes = pqEncode(subs, cbm)
+    val rsub = rcm
+      .select(col("label"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("rvec"))
+      .withColumn("sd", (size(col("rvec")) / m).cast("int"))
+      .select(col("label"), col("sub"),
+        slice(col("rvec"), col("sub") * col("sd") + 1, col("sd")).as("rvs"))
+    val an2 = codes
+      .join(postings.select("vec_id", "label"), "vec_id")
+      .join(broadcast(cbm.select(col("sub"), col("clabel").as("code"),
+        col("cvec").as("mvec"))), Seq("sub", "code"))
+      .join(broadcast(rsub), Seq("label", "sub"))
+      .select(col("vec_id"),
+        dotLong(zip_with(col("rvs"), col("mvec"), (a, b) => a + b),
+          zip_with(col("rvs"), col("mvec"), (a, b) => a + b)).as("t"))
+      .groupBy("vec_id").agg(sum(col("t")).as("an2"))
+    val out = codes
+      .join(an2, "vec_id")
+      .join(postings.select(col("vec_id"), col("label").as("cell")),
+        "vec_id")
+      .select(col("vec_id"), col("sub"), col("code"), col("an2"),
+        col("cell"))
+    graft.sources.Sink.writeCurated(out, s"$path0/_rpq_codes",
+      partitionCols = Seq("cell"), sortCols = Seq("vec_id", "sub"))
+    cbm.write.mode("overwrite").parquet(s"$path0/_rpq_codebooks")
+    writeNonce(fsOf(spark, path0), s"$path0/_rpq_codebooks")
+    rcm.withColumn("rn2", dotLong(col("rvec"), col("rvec")))
+      .write.mode("overwrite").parquet(s"$path0/_rpq_centroids")
+    writeNonce(fsOf(spark, path0), s"$path0/_rpq_centroids")
+    ensurePointerUnmoved(spark, path, path0)
+    graft.Materialize.unpin(subs)
+  }
+
+  private[graft] final case class RpqCentroidRow(label: Long,
+      rvec: Array[Long])
+
+  private def cachedRpqCentroids(spark: SparkSession,
+      path0: String): Array[RpqCentroidRow] =
+    cachedArtifact(spark, s"$path0/_rpq_centroids") {
+      spark.read.parquet(s"$path0/_rpq_centroids")
+        .select(col("label").cast("long"), col("rvec"))
+        .collect()
+        .map(r => RpqCentroidRow(r.getLong(0), r.getSeq[Long](1).toArray))
+    }
+
+  private def cachedRpqCodebooks(spark: SparkSession,
+      path0: String): Array[CodebookRow] =
+    cachedArtifact(spark, s"$path0/_rpq_codebooks") {
+      spark.read.parquet(s"$path0/_rpq_codebooks")
+        .select(col("sub").cast("int"), col("clabel").cast("long"),
+          col("cvec"), col("cn2").cast("long"))
+        .collect()
+        .map(r => CodebookRow(r.getInt(0), r.getLong(1),
+          r.getSeq[Long](2).toArray, r.getLong(3)))
+    }
+
+  /** Probe a residual-PQ-augmented IVF index: rank cells on the coarse
+    * quantizer (driver cache), then ADC-score ONLY those cells' residual
+    * codes — `adot = dot(q, rcm(cell)) + Σ_sub lut(sub, code)` with the
+    * per-cell term and the LUT both computed driver-side (nprobe + m·|cells|
+    * dots), and `an2` read from the codes row. Same rerank contract as
+    * [[probeIvfPqIndex]]: `rerank <= 0` returns (vec_id, acos) from codes
+    * alone; otherwise the top-`rerank` shortlist re-scores exactly from
+    * the postings of the probed cells. */
+  def probeIvfResidualPqIndex(spark: SparkSession, path: String,
+      query: Array[Float], nprobe: Int, k: Int, rerank: Int = 0,
+      excludeIds: Seq[Long] = Seq.empty): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(nprobe >= 1 && k >= 1, s"nprobe/k: $nprobe/$k")
+    require(rerank <= 0 || rerank >= k, s"rerank $rerank < k $k")
+    val path0 = resolveIndexDir(spark, path)
+    val q = query.map(v => new java.math.BigDecimal(v.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toSeq
+    val qn2 = q.map(x => x * x).sum
+    val cells = rankCellsDriverSide(cachedCentroids(spark, path0), q, nprobe)
+    require(fsOf(spark, path0).exists(
+      new org.apache.hadoop.fs.Path(path0, "_rpq_codebooks")),
+      s"no _rpq_codebooks at $path0 — run addResidualPqToIvfIndex first")
+    val cbRows = cachedRpqCodebooks(spark, path0)
+    require(cbRows.nonEmpty,
+      s"no _rpq_codebooks at $path0 — run addResidualPqToIvfIndex")
+    val lutRows = cbRows.toSeq.map { r =>
+      val sd = r.cvec.length
+      val qs = q.slice(r.sub * sd, r.sub * sd + sd)
+      (r.sub, r.code, qs.zip(r.cvec).map { case (a, b) => a * b }.sum)
+    }
+    val rcmRows = cachedRpqCentroids(spark, path0)
+    val cellDotRows = rcmRows.toSeq.filter(r => cells.contains(r.label))
+      .map { r =>
+        (r.label, q.zip(r.rvec).map { case (a, b) => a * b }.sum)
+      }
+    import spark.implicits._
+    val lut = lutRows.toDF("sub", "code", "qdot")
+    val cellDot = cellDotRows.toDF("cell", "rcdot")
+    val codes = spark.read.parquet(s"$path0/_rpq_codes")
+      .where(col("cell").isInCollection(cells))
+    val scoped =
+      if (excludeIds.isEmpty) codes
+      else codes.where(!col("vec_id").isInCollection(excludeIds))
+    val adc = scoped
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("qdot")).as("sdot"), max(col("an2")).as("an2"))
+      .join(broadcast(cellDot), "cell")
+      .select(col("vec_id"),
+        round(guardedCos(col("sdot") + col("rcdot"), lit(qn2),
+          col("an2")), 4).as("acos"))
       .orderBy(col("acos").desc, col("vec_id"))
     if (rerank <= 0) adc.limit(k)
     else {

@@ -405,4 +405,186 @@ class IvfIndexSpec extends SparkSpec {
     assert(stale != cold, "rebuild fixture failed to change the ranking " +
       "input (test would pass vacuously)")
   }
+
+  test("nonce invalidation: a rewrite preserving every (name, len, mtime) still reloads") {
+    // The r11 metadata-collision window: an in-place retrain that rewrites
+    // part files with identical names/lengths inside the filesystem's
+    // mtime granularity leaves the LISTING signature unchanged — only the
+    // `_write_nonce` CONTENT fold can invalidate. This constructs that
+    // exact collision: two versions of `_centroids` written under a
+    // controlled writer (uncompressed, no dictionary, one part file with
+    // a pinned name and mtime) whose listings are asserted byte-identical,
+    // differing only in row content and nonce bytes.
+    val all = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val path = tmpDir("ivf-nonce")
+    Similarity.buildIvfIndexOf(all, path, iters = 1, cells = 5)
+    val centDir = new java.io.File(s"$path/_centroids")
+    val orig = spark.read.parquet(centDir.toString)
+      .select("clabel", "cvec", "cn2").orderBy("clabel").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val T0 = 1700000000000L
+    def writeVersion(rows: Seq[(Long, Seq[Long], Long)]): Unit = {
+      import spark.implicits._
+      val tmp = tmpDir("ivf-nonce-stage")
+      // dictionary encoding OFF (belt and suspenders: writer option AND
+      // hadoop conf) — PLAIN fixed-width leaves make the two versions'
+      // part files byte-length-identical, which the listing assert below
+      // depends on; dictionary index pages RLE-compress value-order-
+      // dependently and could diverge
+      // page CRCs also off: PageHeader.crc is a zigzag VARINT, so its
+      // byte length depends on the checksum VALUE — one content-dependent
+      // byte of file length (measured: 3739 vs 3740) that would leak the
+      // rewrite into the listing
+      val hc = spark.sparkContext.hadoopConfiguration
+      val knobs = Seq("parquet.enable.dictionary" -> "false",
+        "parquet.page.write-checksum.enabled" -> "false")
+      val prev = knobs.map { case (k, _) => k -> hc.get(k) }
+      knobs.foreach { case (k, v) => hc.set(k, v) }
+      try rows.toDF("clabel", "cvec", "cn2").coalesce(1).write
+        .mode("overwrite")
+        .option("compression", "uncompressed")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.write-checksum.enabled", "false")
+        .parquet(tmp)
+      finally prev.foreach { case (k, v) =>
+        if (v == null) hc.unset(k) else hc.set(k, v)
+      }
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      org.apache.commons.io.FileUtils.deleteDirectory(centDir)
+      centDir.mkdirs()
+      val dst = new java.io.File(centDir, "part-0.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(T0)
+      val nonce = new java.io.File(centDir, "_write_nonce")
+      java.nio.file.Files.write(nonce.toPath,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      nonce.setLastModified(T0)
+    }
+    def listing: Set[(String, Long, Long)] = centDir.listFiles()
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val q0 = all.where(col("vec_id") === 1).select("embedding").head()
+      .getSeq[Float](0).toArray
+
+    writeVersion(orig)
+    val l1 = listing
+    Similarity.clearQuantizerCache()
+    val cold = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    val loadsCold = Similarity.quantizerCacheLoads.get()
+    val warm = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    assert(warm == cold)
+    assert(Similarity.quantizerCacheLoads.get() == loadsCold,
+      "a warm probe re-loaded the quantizer")
+
+    // the retrain: REVERSED cell→centroid mapping (same value multiset, so
+    // the uncompressed/no-dictionary file is byte-length-identical), new
+    // nonce content, every (name, len, mtime) pinned back to version 1's
+    val swapped = orig.map(_._1).zip(orig.map(t => (t._2, t._3)).reverse)
+      .map { case (cl, (cv, cn)) => (cl, cv, cn) }
+    writeVersion(swapped)
+    assert(listing == l1,
+      s"fixture failed: the rewrite changed the listing\n$l1\nvs\n$listing" +
+        " — the nonce path is not what this run exercised")
+    val stale = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    assert(Similarity.quantizerCacheLoads.get() > loadsCold,
+      "identical-listing rewrite did NOT reload — the nonce fold is dead")
+    Similarity.clearQuantizerCache()
+    val fresh = Similarity.probeIvfIndex(spark, path, q0, nprobe = 2, k = 5)
+      .collect().toSeq
+    assert(stale == fresh, "the reload served something other than the new quantizer")
+    assert(stale != cold,
+      "swapping centroids did not change the probe — vacuous fixture")
+  }
+
+  test("quantizer cache: LRU eviction at the bound; evicted entries re-load, survivors hit") {
+    val all = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val paths = (0 until 3).map { i =>
+      val p = tmpDir(s"ivf-lru$i")
+      Similarity.buildIvfIndexOf(all.where(col("vec_id") % 3 === i),
+        p, iters = 1, cells = 3)
+      p
+    }
+    val q0 = all.where(col("vec_id") === 1).select("embedding").head()
+      .getSeq[Float](0).toArray
+    Similarity.clearQuantizerCache()
+    paths.foreach(p =>
+      Similarity.probeIvfIndex(spark, p, q0, nprobe = 1, k = 3).collect())
+    assert(Similarity.quantizerCacheSize == 3)
+    // touch paths(0): most-recent; paths(1) becomes the LRU entry
+    Similarity.probeIvfIndex(spark, paths(0), q0, nprobe = 1, k = 3).collect()
+    val loads0 = Similarity.quantizerCacheLoads.get()
+    Similarity.pruneQuantizerCache(2)
+    assert(Similarity.quantizerCacheSize == 2, "prune did not enforce the bound")
+    // survivors still hit the cache (no reload)...
+    Similarity.probeIvfIndex(spark, paths(0), q0, nprobe = 1, k = 3).collect()
+    Similarity.probeIvfIndex(spark, paths(2), q0, nprobe = 1, k = 3).collect()
+    assert(Similarity.quantizerCacheLoads.get() == loads0,
+      "prune evicted a most-recently-used entry")
+    // ...and the evicted LRU re-loads on next use
+    Similarity.probeIvfIndex(spark, paths(1), q0, nprobe = 1, k = 3).collect()
+    assert(Similarity.quantizerCacheLoads.get() == loads0 + 1,
+      "the evicted entry did not re-load")
+    Similarity.clearQuantizerCache()
+  }
+
+  test("residual PQ: full probe + full rerank ≡ exact; ADC recall ≥ raw PQ at equal m/nprobe") {
+    val all = t(spark, sf, "embeddings")
+    val path = tmpDir("ivfrpq")
+    Similarity.buildIvfIndexOf(all, path, iters = 1, seedCol = Some("label"))
+    Similarity.addPqToIvfIndex(spark, path, m = 4)
+    Similarity.addResidualPqToIvfIndex(spark, path, m = 4)
+    // the _rpq artifacts exist and stay invisible to postings reads
+    assert(spark.read.parquet(s"$path/_rpq_codebooks").count() >= 1)
+    assert(spark.read.parquet(path).columns.toSet
+      == Set("vec_id", "cell", "q", "n2"))
+    val nCells = spark.read.parquet(s"$path/_centroids").count().toInt
+
+    // degenerate-parameter identity, same proof shape as raw IVF+PQ:
+    // probing every cell with a corpus-sized rerank reproduces exact
+    val q0 = all.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val exact0 = Similarity.probeIvfIndex(spark, path, q0, nprobe = nCells,
+      k = 10, excludeIds = Seq(0L)).collect().toSeq
+    val full = Similarity.probeIvfResidualPqIndex(spark, path, q0,
+      nprobe = nCells, k = 10, rerank = 500, excludeIds = Seq(0L))
+      .collect().toSeq
+    assert(full == exact0, "full probe + full rerank diverges from exact")
+
+    // the codes scan is partition-pruned to the probed cells
+    val adc = Similarity.probeIvfResidualPqIndex(spark, path, q0,
+      nprobe = 2, k = 10, excludeIds = Seq(0L))
+    val plan = adc.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell.* IN \\(".r
+      .findFirstIn(plan).isDefined, s"rpq codes scan not pruned:\n$plan")
+
+    // the r12 directive's gate: ADC-only recall (no rerank mask) on an
+    // audit panel, residual ≥ raw at equal m, nprobe — residual codewords
+    // spend the same bytes on within-cell structure, so reconstruction is
+    // better-centered (Jégou et al. §III-C). Probed at nprobe = ALL cells
+    // (equal for both probes): at a pruned nprobe both recalls are capped
+    // by which cells the SHARED coarse quantizer picked, and the encoding
+    // under test stops being what the number measures.
+    val panel = all.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+    var rawHits = 0; var resHits = 0
+    panel.foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val exact = Similarity.probeIvfIndex(spark, path, q, nprobe = nCells,
+        k = 10, excludeIds = Seq(qid)).collect().map(_.getLong(0)).toSet
+      val raw = Similarity.probeIvfPqIndex(spark, path, q, nprobe = nCells,
+        k = 10, excludeIds = Seq(qid)).collect().map(_.getLong(0)).toSet
+      val res = Similarity.probeIvfResidualPqIndex(spark, path, q,
+        nprobe = nCells, k = 10, excludeIds = Seq(qid)).collect()
+        .map(_.getLong(0)).toSet
+      rawHits += (exact & raw).size
+      resHits += (exact & res).size
+    }
+    info(f"ADC recall@10 over ${panel.length} queries: raw PQ ${rawHits / (10.0 * panel.length)}%.3f, residual PQ ${resHits / (10.0 * panel.length)}%.3f")
+    assert(resHits >= rawHits,
+      s"residual PQ hits $resHits fell below raw PQ $rawHits (of ${10 * panel.length})")
+  }
 }

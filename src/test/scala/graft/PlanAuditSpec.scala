@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     // query vector itself — 1 row); codebook, LUT, and per-dimension
     // stats attaches are keyed equi-joins, not BNLJ
     "ss10_pq_adc", "ss11_pq_rerank", "ss12_sq_adc",
+    // ss18's broadcast side is the ONE-row query-norm frame (ss10's
+    // shape); cell means, codebooks, and LUTs attach by keyed equi-joins
+    "ss18_residual_pq_adc",
     // c06's broadcast side is the BENCHMARK embedding set — bounded by
     // definition of an eval suite (ivfKnnJoin is the escape hatch)
     "c06_embedding_decontaminate",

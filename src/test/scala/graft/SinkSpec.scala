@@ -354,4 +354,67 @@ class SinkSpec extends SparkSpec {
     // contract — outside a streaming thread nothing is auto-derived
     assert(!graft.sources.Sink.idempotentAppend(df, dir, 1L))
   }
+
+  test("idempotentAppend first-writer race: the raced writer throws; exactly one lineage survives") {
+    // The r12 fix re-reads the marker UNCONDITIONALLY after the rename:
+    // POSIX/LocalFileSystem rename OVERWRITES an existing destination and
+    // returns true, so two racing first-writers both see rename=true — only
+    // the re-read reveals whose lineage the marker records. RaceLineageFs
+    // injects the concurrent winner deterministically: it lets our rename
+    // land, then immediately overwrites the marker with the interloper's
+    // lineage (the racer's rename arriving a tick later), which is
+    // indistinguishable from losing the race.
+    import spark.implicits._
+    val local = tmpDir("idemp-race")
+    val dir = s"race://$local"
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.race.impl", classOf[RaceLineageFs].getName)
+    RaceLineageFs.interloper = Some("query-INTERLOPER")
+    try {
+      val df = Seq((1L, "a")).toDF("id", "v")
+      val e = intercept[IllegalStateException] {
+        graft.sources.Sink.idempotentAppend(df, dir, 0L,
+          lineage = Some("query-A"))
+      }
+      assert(e.getMessage.contains("query-INTERLOPER") &&
+        e.getMessage.contains("query-A"))
+      // exactly one writer survives: the loser published NOTHING and the
+      // marker records the winner
+      assert(!new java.io.File(s"$local/batch=0").exists(),
+        "the raced (losing) writer published a batch directory")
+      val recorded = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$local/_query_lineage")), "UTF-8").trim
+      assert(recorded == "query-INTERLOPER")
+      // the winner proceeds normally under its recorded lineage
+      RaceLineageFs.interloper = None
+      assert(graft.sources.Sink.idempotentAppend(df, dir, 0L,
+        lineage = Some("query-INTERLOPER")))
+      assert(new java.io.File(s"$local/batch=0").exists())
+    } finally RaceLineageFs.interloper = None
+  }
+}
+
+/** Deterministic race injector for the first-writer lineage race: a
+  * local filesystem whose rename, when it publishes `_query_lineage`,
+  * immediately lets a concurrent writer's marker land on top (what a
+  * POSIX rename race produces: both renames "succeed", the later one
+  * owns the file). */
+class RaceLineageFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("race:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val r = super.rename(src, dst)
+    if (dst.getName == "_query_lineage") {
+      RaceLineageFs.interloper.foreach { lin =>
+        val out = super.create(dst, true)
+        try out.write(lin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    r
+  }
+}
+
+object RaceLineageFs {
+  @volatile var interloper: Option[String] = None
 }

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Direct-JVM Perf runner: bypasses sbt so concurrent source edits can't
+# trigger a recompile under a timed run, and each invocation is a fresh
+# JVM (the honest cross-JVM measurement mode for the scaling rehearsals;
+# see SCALING.md). Usage:
+#   tools/perf_direct.sh <sfDir> <mem> [reps=N] <query>...
+set -euo pipefail
+cd /root/repo
+SF_DIR="$1"; MEM="$2"; shift 2
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Djava.awt.headless=true -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC "-Xmx$MEM" \
+  -cp "$CP" graft.tools.Perf "$SF_DIR" "$@"
