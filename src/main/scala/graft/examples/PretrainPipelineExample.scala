@@ -108,17 +108,22 @@ object PretrainPipelineExample {
       // (dd01's rule); the reject frame is computed independently as the
       // non-winners, so a fingerprint collision bug cannot hide
       val fp = clean.withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      val winners = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
+      // winners/losers feed BOTH the survivor join and the independent
+      // reject join — pinned, or the gate's honesty tax doubles to a
+      // full recompute of the fingerprint scan / the whole MinHash-LSH
+      // candidate pipeline (the sf10 dress rehearsal measured the
+      // neardup stage paying dd03 twice before this pin)
+      val winners = pin(fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id"))
       val (exact, nExact) = gate("exact-dedup", nClean,
         fp.join(winners, "doc_id"),
         fp.join(winners, Seq("doc_id"), "left_anti"))
 
       // 4. NEAR-DUP DEDUP — banded MinHash-LSH candidates, exact verify;
       // each pair's LATER twin goes (dd03's convention: idb loses)
-      val losers = Dedup.minhashNearDupsOf(
+      val losers = pin(Dedup.minhashNearDupsOf(
         exact.select("doc_id", "text"), nearDupJaccard)
-        .select(col("idb").as("doc_id")).distinct()
+        .select(col("idb").as("doc_id")).distinct())
       val (deduped, nDeduped) = gate("neardup-dedup", nExact,
         exact.join(losers, Seq("doc_id"), "left_anti"),
         exact.join(losers, Seq("doc_id"), "left_semi"))
