@@ -98,7 +98,12 @@ object CurationExample {
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master("local[32]")).getOrCreate()
     try {
-      val out = curated(spark, args(0))
+      // two writes consume the same plan — pinned, the full curation
+      // graph (LSH pairs, passage counts, decontamination) computes once
+      // and the bucketed write re-reads blocks instead of re-curating
+      val out =
+        if (args.length >= 3) graft.Materialize.pin(curated(spark, args(0)))
+        else curated(spark, args(0))
       Sink.writeCurated(out, args(1),
         partitionCols = Seq("lang"), sortCols = Seq("quality"))
       if (args.length >= 3)

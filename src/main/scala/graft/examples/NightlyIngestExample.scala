@@ -259,7 +259,10 @@ object NightlyIngestExample {
     val liveIndex = Similarity.resolveIndexDir(spark, indexDir)
     if (dirExists(spark, s"$liveIndex/_centroids")) {
       val indexed = spark.read.parquet(liveIndex).select("vec_id")
-      val missing = storeVecs.join(indexed, Seq("vec_id"), "left_anti")
+      // the emptiness probe and the append both consume the anti-join;
+      // pinned, the store ⋈ index scan runs once
+      val missing = graft.Materialize.pin(
+        storeVecs.join(indexed, Seq("vec_id"), "left_anti"))
       if (!missing.isEmpty) {
         Similarity.appendToIvfIndex(spark, indexDir, missing)
         ()
@@ -268,8 +271,10 @@ object NightlyIngestExample {
       ()
     } else if (!dirExists(spark, indexDir) &&
         !dirExists(spark, s"$indexDir.old")) {
-      if (!storeVecs.isEmpty) Similarity.buildIvfIndexOf(
-        storeVecs, indexDir, iters = 1)
+      // same pattern: emptiness probe + index build share the store join
+      val sv = graft.Materialize.pin(storeVecs)
+      if (!sv.isEmpty) Similarity.buildIvfIndexOf(
+        sv, indexDir, iters = 1)
     } else throw new IllegalStateException(
       s"$indexDir exists without _centroids — a retrain swap may have " +
         s"crashed; restore $indexDir.old or $indexDir.retrain first, " +

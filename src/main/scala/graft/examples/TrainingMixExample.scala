@@ -41,15 +41,25 @@ object TrainingMixExample {
       shardsPerPhase: Int = 4, packBudget: Long = 512): DataFrame = {
     require(nPhases >= 1 && shardsPerPhase >= 1)
 
+    // Multi-consumer frames are pinned throughout (the rule the sf10
+    // composed-pipeline rehearsal established): split feeds the train
+    // derivation AND the final join; train feeds the rank AND the count;
+    // phased feeds both arms of the shard self-join; sharded feeds the
+    // packer AND the final join. Unpinned, each second consumer re-runs
+    // the dd06 cluster tail / the global curriculum sort — the most
+    // expensive subplans in the graph.
+
     // 1. cluster-keyed split — the ONLY leakage-safe way to cut near-dups
     val split = Curation.clusterSafeSplitOf(
       Dedup.dd06NearDupClusters(spark, dir), trainPermille)
       .select("doc_id", "split")
+      .transform(graft.Materialize.pin)
 
     // 2. exact global curriculum rank over the TRAIN docs only (easy
     //    first = highest quality first), then contiguous phase cut
     val docs = graft.sources.Tables.t(spark, dir, "documents")
     val train = docs.join(split.where(col("split") === "train"), "doc_id")
+      .transform(graft.Materialize.pin)
     val ranked = Sampling.curriculumOrderOf(
       train.select(col("doc_id"),
         TextAnalysis.quality(col("text")).as("quality")),
@@ -58,6 +68,7 @@ object TrainingMixExample {
     val phased = ranked.select(col("doc_id"),
       (((col("seq") - 1) * nPhases) / lit(math.max(n, 1L))).cast("int")
         .as("phase"))
+      .transform(graft.Materialize.pin)
 
     // 3. phase-salted shuffle shards: within a phase, order is i.i.d.
     val sharded = Sampling.shuffleShardOf(
@@ -69,6 +80,7 @@ object TrainingMixExample {
         concat(col("phase").cast("string"), lit(":"),
           col("doc_id").cast("string"))), "__sid")
       .select("doc_id", "phase", "shard", "pos")
+      .transform(graft.Materialize.pin)
 
     // 4. pack each (phase, shard)'s documents into fixed-budget bins
     val packed = Sampling.packSequencesOf(

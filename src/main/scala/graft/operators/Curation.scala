@@ -118,7 +118,12 @@ object Curation {
       ngramTokens: Int, minShared: Int): DataFrame = {
     require(minShared >= 1, s"minShared: $minShared")
     val docs = graft.sources.Tables.t(spark, dir, "documents")
+    // both the gram anti-join and the final corpus anti-join consume the
+    // benchmark id set; unpinned, each consumer re-scans documents (Spark
+    // does not share subplans across joins) — pinned, the predicate scan
+    // runs once and both runtime broadcasts build from the pinned rows
     val benchIds = docs.where(isBenchmark).select("doc_id")
+      .transform(graft.Materialize.pin)
     val grams = Dedup.hashedNgrams(spark, dir, ngramTokens)
     // tokenize ONLY the benchmark subset for the gram set — the previous
     // semi-join formulation ran the full-corpus tokenize+hash pass twice
