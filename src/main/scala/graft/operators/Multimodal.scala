@@ -320,6 +320,85 @@ object Multimodal {
     h
   }
 
+  /** One frame's level signature — what a shot-boundary detector needs
+    * from the demuxer: the frame's size and its summed level (pixel-luma /
+    * sample-energy analogue), kept as exact integers. */
+  final case class FrameSig(doc_id: Long, frame_no: Int, n_bytes: Int,
+      level_sum: Long)
+
+  /** m06 — SCENE-CUT detection (shot-boundary segmentation): the step a
+    * video training pipeline runs before picking representative frames —
+    * sample frames, compare each frame's mean level against its
+    * predecessor, cut where the jump exceeds θ levels, and emit the
+    * resulting scenes. The comparison is the exact integer
+    * cross-multiplication the m04/m05 stubs use
+    * (|s·pc − ps·c| > θ·c·pc ⇔ |mean − prev_mean| > θ, no division, no
+    * FP), so a short tail frame compares correctly against a full-stride
+    * one. STUB demuxer = stride-100 byte chunks with full level sums; a
+    * real deployment injects an ffmpeg demuxer through [[frameSigsWith]]
+    * and the relational tail ([[sceneCutsOf]]) is unchanged.
+    *
+    * Scale shape: the signature pass is map-only inside the per-partition
+    * codec seam; the lag and running-count windows partition by `doc_id`
+    * — bounded by ONE video's frame count, never corpus-sized — and the
+    * scene groupBy reuses the same doc_id hash partitioning, so the whole
+    * tail costs one shuffle of 24-byte signature rows. θ=3 on the fixture
+    * cuts ~15% of adjacent pairs (measured at sf0.01), exercising both
+    * branches of the rule. */
+  def m06SceneCuts(spark: SparkSession, dir: String): DataFrame =
+    sceneCutsOf(frameSigsWith(binaryDocs(spark, dir), frameSigStub(100)),
+      theta = 3L).orderBy("doc_id", "scene")
+
+  /** Default frame-signature demuxer: one FrameSig per fixed-stride chunk
+    * (the m02 chunking with the raw level sum instead of a mod-256
+    * checksum — a cut detector needs magnitudes, not parities). */
+  private[graft] def frameSigStub(stride: Int)(id: Long,
+      payload: Array[Byte]): Iterator[FrameSig] =
+    payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+      var sum = 0L
+      var j = 0
+      while (j < chunk.length) { sum += chunk(j) & 0xff; j += 1 }
+      FrameSig(id, i, chunk.length, sum)
+    }
+
+  /** Library seam: frame-signature extraction with a caller demuxer (an
+    * ffmpeg decode emitting per-frame luma sums). Same typed-mapPartitions
+    * plan as [[framesWith]]. */
+  def frameSigsWith(docs: DataFrame,
+      demux: (Long, Array[Byte]) => Iterator[FrameSig],
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[Unit, FrameSig](docs, () => (),
+      (_: Unit, id, p) => demux(id, p), (_: Unit) => (), idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[FrameSig])
+
+  /** The relational tail every injected demuxer rides: frame k (k ≥ 1)
+    * starts a new scene iff its mean level jumps more than `theta` from
+    * frame k−1 — |s_k·c_{k−1} − s_{k−1}·c_k| > θ·c_k·c_{k−1}, exact in
+    * Long (255·stride² overhead far below 2⁶³) — and scenes are the runs
+    * between cuts: scene id = running cut count, one row per scene with
+    * its first frame, frame count, and byte size. Input: any
+    * (doc_id, frame_no, n_bytes, level_sum) frame. Both windows and the
+    * groupBy share the doc_id partitioning (frames-per-video bounded). */
+  def sceneCutsOf(sigs: DataFrame, theta: Long): DataFrame = {
+    require(theta >= 0, s"theta: $theta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    val withPrev = sigs
+      .withColumn("ps", lag(col("level_sum"), 1).over(w))
+      .withColumn("pc", lag(col("n_bytes"), 1).over(w))
+    val cut = when(col("ps").isNotNull &&
+      abs(col("level_sum") * col("pc") - col("ps") * col("n_bytes")) >
+        lit(theta) * col("n_bytes") * col("pc"), 1).otherwise(0)
+    withPrev
+      .withColumn("scene", sum(cut).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)).cast("int"))
+      .groupBy("doc_id", "scene")
+      .agg(min(col("frame_no")).as("first_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("n_bytes").cast("long")).as("scene_bytes"))
+  }
+
   /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
     * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).
     * Same typed-mapPartitions plan as [[decodeWith]]. */

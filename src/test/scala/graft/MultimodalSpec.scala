@@ -84,6 +84,46 @@ class MultimodalSpec extends SparkSpec {
       .exceptAll(Multimodal.m02Frames(spark, sf)).isEmpty)
   }
 
+  test("m06 scene cuts: planted level shift cuts exactly there; uniform payload is one scene") {
+    import spark.implicits._
+    // A: 300 bytes of level 50 then 300 of level 200 — a hard shot
+    // boundary at frame 3 (stride 100) and nowhere else; B: 450 uniform
+    // bytes — one scene; C: 40 bytes (shorter than one stride) — a
+    // single-frame scene, no lag row at all.
+    val a = Array.fill(300)(50.toByte) ++ Array.fill(300)(200.toByte)
+    val b = Array.fill(450)(80.toByte)
+    val c = Array.fill(40)(120.toByte)
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "payload")
+    val scenes = Multimodal.sceneCutsOf(
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)), theta = 3L)
+      .orderBy("doc_id", "scene")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(scenes.toSeq == Seq(
+      (0L, 0, 0, 3L, 300L), (0L, 1, 3, 3L, 300L), // cut at the shift only
+      (1L, 0, 0, 5L, 450L), // uniform: every delta is 0 ≤ θ
+      (2L, 0, 0, 1L, 40L))) // sub-stride: one frame, one scene
+    // tail-frame exactness: 250 bytes = frames of 100/100/50; a mean jump
+    // in the SHORT tail frame must still compare exactly (cross-multiplied
+    // sums, not truncated means)
+    val t = Array.fill(200)(100.toByte) ++ Array.fill(50)(110.toByte)
+    val tail = Multimodal.sceneCutsOf(
+      Multimodal.frameSigsWith(Seq((7L, t)).toDF("doc_id", "payload"),
+        Multimodal.frameSigStub(100)), theta = 3L)
+    assert(tail.count() == 2, "tail-frame jump of 10 levels must cut")
+    // θ is inclusive-exclusive: the same payload at θ=10 (jump == θ) stays
+    // one scene — the rule is strictly-greater
+    assert(Multimodal.sceneCutsOf(
+      Multimodal.frameSigsWith(Seq((7L, t)).toDF("doc_id", "payload"),
+        Multimodal.frameSigStub(100)), theta = 10L).count() == 1)
+    // injected demuxer rides the same tail: stub-through-seam ≡ declared
+    val viaSeam = Multimodal.sceneCutsOf(Multimodal.frameSigsWith(
+      Multimodal.binaryDocs(spark, sf), Multimodal.frameSigStub(100)), 3L)
+    assert(viaSeam.exceptAll(
+      Multimodal.m06SceneCuts(spark, sf)).isEmpty)
+  }
+
   test("framesInContext lifecycle under a misbehaving codec: crash and abandonment close the handle, corrupt rows quarantine") {
     // the r10 directive #6: the ffmpeg-seam contract ("handle released
     // even when a row throws") gets a crash-injecting fake instead of a
