@@ -368,6 +368,50 @@ object ImageCodec {
       payloadCol: String = "payload"): DataFrame =
     Multimodal.framesWith(docs, gifFramesComposed, idCol, payloadCol)
 
+  /** Viewer-accurate SCENE-CUT signatures: [[gifFramesComposed]]'s
+    * composition with the EXACT luma sum kept (a `Frame`'s mean-luma
+    * checksum is division-rounded, which would make
+    * [[Multimodal.sceneCutsOf]]'s cross-multiplied mean comparison
+    * inexact). `n_bytes` = canvas pixel count, `level_sum` = composed
+    * canvas luma sum. Sentinels mirror the sibling — undecodable payload
+    * → (−1, 0, −1), failed frame → (i, 0, −1) — and a sentinel's zero
+    * pixel count makes the cut rule fire on BOTH of its edges, so a
+    * corrupt frame becomes an isolated one-frame scene instead of
+    * silently bridging the shots around it. */
+  def gifFrameSigsComposed(id: Long,
+      payload: Array[Byte]): Iterator[Multimodal.FrameSig] =
+    foldComposedFrames(payload) {
+      case (i, None) => Multimodal.FrameSig(id, i, 0, -1L)
+      case (i, Some(canvas)) =>
+        var sum = 0L
+        var y = 0
+        while (y < canvas.getHeight) {
+          var x = 0
+          while (x < canvas.getWidth) {
+            sum += luma(canvas.getRGB(x, y)); x += 1
+          }
+          y += 1
+        }
+        val np = canvas.getWidth.toLong * canvas.getHeight
+        Multimodal.FrameSig(id, i,
+          math.min(np, Int.MaxValue.toLong).toInt, sum)
+    } match {
+      case None => Iterator.single(Multimodal.FrameSig(id, -1, 0, -1L))
+      case Some(frames) => frames.iterator
+    }
+
+  /** Shot-boundary segmentation over REAL media: the m06 relational tail
+    * ([[Multimodal.sceneCutsOf]]) driven by the in-JDK composed-GIF
+    * decoder — one scene row per run of frames whose mean luma stays
+    * within `theta` of its predecessor. The demuxer runs in the same
+    * per-partition codec seam as every other real-codec surface; an
+    * ffmpeg binding replaces `gifFrameSigsComposed` and nothing
+    * downstream changes. */
+  def sceneCuts(docs: DataFrame, theta: Long, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    Multimodal.sceneCutsOf(Multimodal.frameSigsWith(
+      docs, gifFrameSigsComposed, idCol, payloadCol), theta)
+
   // ---- DCT perceptual hash ---------------------------------------------
 
   /** Hash geometry: resample to SIDE×SIDE grayscale, 2-D DCT-II, keep the

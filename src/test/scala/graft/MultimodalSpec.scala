@@ -436,6 +436,28 @@ class MultimodalSpec extends SparkSpec {
       "composed frame must not hash as the bare patch")
   }
 
+  test("real-codec scene cuts: composed GIF shots segment at the planted boundary") {
+    import spark.implicits._
+    // two shots of a 16×12 animation: three dark frames (lumas 40/42/44
+    // — within-shot drift ≤ θ), then two bright frames (200/202). Solid
+    // grays are palette-exact through the GIF writer, so the decoded
+    // mean lumas are exactly the planted values and the only cut the
+    // rule can fire is the 44→200 jump.
+    val gif = animatedGif(Seq(40, 42, 44, 200, 202).map(v =>
+      renderImg(16, 12)((_, _) => (v, v, v))))
+    val docs = Seq((3L, gif)).toDF("doc_id", "payload")
+    val scenes = ImageCodec.sceneCuts(docs, theta = 16L)
+      .orderBy("scene").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(scenes.toSeq == Seq(
+      (0, 0, 3L, 3L * 16 * 12), (1, 3, 2L, 2L * 16 * 12)),
+      s"expected the two planted shots, got: ${scenes.toSeq}")
+    // an undecodable payload is one sentinel scene, not an exception
+    val bad = Seq((9L, "not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    assert(ImageCodec.sceneCuts(bad, theta = 16L).count() == 1)
+  }
+
   /** 16-bit mono little-endian WAV from raw sample values. */
   private def wav(samples: Seq[Short]): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,
