@@ -412,6 +412,24 @@ object ImageCodec {
     Multimodal.sceneCutsOf(Multimodal.frameSigsWith(
       docs, gifFrameSigsComposed, idCol, payloadCol), theta)
 
+  /** Keyframe election over REAL media: [[sceneCuts]]'s segmentation plus
+    * [[Multimodal.sceneKeyframesOf]]'s medoid pick — one viewer-accurate
+    * representative frame per shot, the row set m01/m03/m04 then run on
+    * instead of every frame. Same seam, same swap story as [[sceneCuts]]. */
+  def sceneKeyframes(docs: DataFrame, theta: Long, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    Multimodal.sceneKeyframesOf(Multimodal.frameSigsWith(
+      docs, gifFrameSigsComposed, idCol, payloadCol), theta)
+
+  /** Duplicate-scene detection over REAL media: [[sceneCuts]]'s
+    * segmentation plus [[Multimodal.duplicateScenesOf]]'s exact
+    * signature join — re-posted clips share whole shots verbatim even
+    * when container bytes differ. Same seam, same swap story. */
+  def duplicateScenes(docs: DataFrame, theta: Long,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    Multimodal.duplicateScenesOf(Multimodal.frameSigsWith(
+      docs, gifFrameSigsComposed, idCol, payloadCol), theta)
+
   // ---- DCT perceptual hash ---------------------------------------------
 
   /** Hash geometry: resample to SIDE×SIDE grayscale, 2-D DCT-II, keep the

@@ -380,6 +380,18 @@ object Multimodal {
     * (doc_id, frame_no, n_bytes, level_sum) frame. Both windows and the
     * groupBy share the doc_id partitioning (frames-per-video bounded). */
   def sceneCutsOf(sigs: DataFrame, theta: Long): DataFrame = {
+    sceneFramesOf(sigs, theta)
+      .groupBy("doc_id", "scene")
+      .agg(min(col("frame_no")).as("first_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("n_bytes").cast("long")).as("scene_bytes"))
+  }
+
+  /** Shared scene ASSIGNMENT (per-frame rows + their `scene` id) — the
+    * common prefix of [[sceneCutsOf]]'s rollup and [[sceneKeyframesOf]]'s
+    * argmin, so the two can never disagree about where the cuts are. */
+  private[graft] def sceneFramesOf(sigs: DataFrame,
+      theta: Long): DataFrame = {
     require(theta >= 0, s"theta: $theta")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_no")
@@ -393,11 +405,107 @@ object Multimodal {
       .withColumn("scene", sum(cut).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)).cast("int"))
-      .groupBy("doc_id", "scene")
-      .agg(min(col("frame_no")).as("first_frame"),
-        count(lit(1)).as("n_frames"),
-        sum(col("n_bytes").cast("long")).as("scene_bytes"))
+      .drop("ps", "pc")
   }
+
+  /** m07 — KEYFRAME selection: one representative frame per scene, the
+    * step after [[sceneCutsOf]] that a video pipeline actually feeds to
+    * the image operators (m01/m03/m04 run on keyframes, not every frame).
+    * The representative is the frame whose mean level sits closest to the
+    * scene's own mean level — medoid-style, so a flash frame inside a
+    * shot never represents it — with the EXACT cross-multiplied integer
+    * comparison (|s_f·C − S·c_f| scaled deviation; S,C = scene sums), and
+    * (deviation, frame_no) ordering makes ties deterministic. A sentinel
+    * scene (decode failure, c = 0) has deviation 0 and elects its only
+    * frame — corrupt media yields a keyframe row, not an exception.
+    *
+    * Scale shape: both windows (scene sums, argmin rank) AND the
+    * upstream scene assignment partition by `doc_id` / (doc_id, scene) —
+    * state bounded by one video's frame count; the whole tail reuses the
+    * one doc_id exchange [[sceneCutsOf]] already pays. Deviation bound:
+    * s_f·C ≤ 255·pixels · frames·pixels — at 8 M-pixel frames and 300
+    * frames ≈ 5·10¹⁸, inside Long; 4K-at-10⁴-frames callers rescale the
+    * demuxer's level sums (documented, not silently wrapped). */
+  def sceneKeyframesOf(sigs: DataFrame, theta: Long): DataFrame = {
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "scene")
+    val dev = abs(col("level_sum") * col("scene_bytes") -
+      col("scene_sum") * col("n_bytes"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "scene").orderBy(dev.asc, col("frame_no").asc)
+    sceneFramesOf(sigs, theta)
+      .withColumn("scene_bytes", sum(col("n_bytes").cast("long")).over(ws))
+      .withColumn("scene_sum", sum(col("level_sum")).over(ws))
+      .withColumn("n_frames", count(lit(1)).over(ws))
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("scene"), col("n_frames"),
+        col("frame_no").as("keyframe"), col("scene_bytes"),
+        dev.as("key_dev"))
+  }
+
+  /** m07 declared query: keyframes of the m06 scenes over the stub
+    * demuxer — θ and stride shared with [[m06SceneCuts]] so the scene
+    * ids line up row-for-row across the two declared surfaces. */
+  def m07SceneKeyframes(spark: SparkSession, dir: String): DataFrame =
+    sceneKeyframesOf(frameSigsWith(binaryDocs(spark, dir),
+      frameSigStub(100)), theta = 3L).orderBy("doc_id", "scene")
+
+  /** m08 — DUPLICATE-SCENE detection across videos (the content-ID
+    * shape): two videos share a scene when a whole shot's aggregate
+    * signature — (frame count, byte size, level sum), all exact integers
+    * out of [[sceneFramesOf]] — matches exactly; per video pair, the
+    * count of shared distinct scene signatures and an integer containment
+    * ratio (shared / the smaller video's distinct-scene count, in ppm).
+    * This is the video leg of the dedup ladder: re-posted clips, edits
+    * that splice whole shots, and mirror uploads share scenes verbatim
+    * even when the container bytes differ, so the EXACT-match family
+    * (dd01's economics) applies — per-pixel near-dup of individual frames
+    * stays with m04's pHash + dd05's banded Hamming pairs.
+    *
+    * Scale shape: the scene rollup rides m06's one doc_id exchange; the
+    * signature self-join shuffles |distinct scenes| 32-byte rows hashed
+    * on the full (nf, bytes, sum) triple — bucket sizes are the true
+    * duplication multiplicity (collision odds of the cross-multiplied
+    * Long sums are negligible), so pair fan-out is the answer's own size,
+    * exactly like exact-hash dedup; no banding needed because there is
+    * no near-miss radius. Degenerate corpora (synthetic all-black shots)
+    * collapse buckets — the same documented caveat as dd01's hash
+    * buckets. The per-video distinct-scene census joins back on doc_id
+    * (|videos|-row side, AQE broadcasts it at real scales). */
+  def duplicateScenesOf(sigs: DataFrame, theta: Long): DataFrame = {
+    // three consumers (both join sides + the census) — pin once so the
+    // codec seam and the scene windows run a single time
+    val fp = sceneFramesOf(sigs, theta)
+      .groupBy("doc_id", "scene")
+      .agg(count(lit(1)).as("nf"),
+        sum(col("n_bytes").cast("long")).as("cb"),
+        sum(col("level_sum")).as("ssum"))
+      .select("doc_id", "nf", "cb", "ssum").distinct()
+      .transform(graft.Materialize.pin)
+    val ns = fp.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+    fp.as("a").join(fp.as("b"),
+        col("a.nf") === col("b.nf") && col("a.cb") === col("b.cb") &&
+          col("a.ssum") === col("b.ssum") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_scenes"))
+      .join(ns.select(col("doc_id").as("doc_a"),
+        col("n_scenes").as("a_scenes")), Seq("doc_a"))
+      .join(ns.select(col("doc_id").as("doc_b"),
+        col("n_scenes").as("b_scenes")), Seq("doc_b"))
+      .withColumn("containment_ppm",
+        expr("shared_scenes * 1000000L div least(a_scenes, b_scenes)"))
+      .select("doc_a", "doc_b", "shared_scenes", "a_scenes", "b_scenes",
+        "containment_ppm")
+  }
+
+  /** m08 declared query: duplicate scenes over the stub demuxer — θ and
+    * stride shared with m06/m07 so all three surfaces segment
+    * identically. */
+  def m08DuplicateScenes(spark: SparkSession, dir: String): DataFrame =
+    duplicateScenesOf(frameSigsWith(binaryDocs(spark, dir),
+      frameSigStub(100)), theta = 3L).orderBy("doc_a", "doc_b")
 
   /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
     * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).

@@ -124,6 +124,73 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.m06SceneCuts(spark, sf)).isEmpty)
   }
 
+  test("m07 keyframes: medoid frame per scene, exact ties to the earlier frame") {
+    import spark.implicits._
+    // shot 1: levels 50/52/54 (drift 2 ≤ θ=3 — one scene, mean exactly
+    // 52 → frame 1 is the medoid with deviation 0); shot 2: 200/202
+    // (mean 201 — both frames deviate equally, tie elects frame 3)
+    val p = Array.fill(100)(50.toByte) ++ Array.fill(100)(52.toByte) ++
+      Array.fill(100)(54.toByte) ++ Array.fill(100)(200.toByte) ++
+      Array.fill(100)(202.toByte)
+    val docs = Seq((0L, p), (2L, Array.fill(40)(120.toByte)))
+      .toDF("doc_id", "payload")
+    val kf = Multimodal.sceneKeyframesOf(
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)),
+      theta = 3L).orderBy("doc_id", "scene").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("scene"),
+        r.getAs[Long]("n_frames"), r.getAs[Int]("keyframe"),
+        r.getAs[Long]("scene_bytes"), r.getAs[Long]("key_dev")))
+    assert(kf.toSeq == Seq(
+      (0L, 0, 3L, 1, 300L, 0L),     // |5200·300 − 15600·100| = 0
+      (0L, 1, 2L, 3, 200L, 20000L), // tie at 20000 → earlier frame
+      (2L, 0, 1L, 0, 40L, 0L)),     // sub-stride: its only frame
+      s"got: ${kf.toSeq}")
+    // the two declared m06/m07 surfaces agree scene-for-scene: same
+    // (doc_id, scene) keys, same n_frames, same scene_bytes
+    val cuts = Multimodal.m06SceneCuts(spark, sf)
+      .select("doc_id", "scene", "n_frames", "scene_bytes")
+    val keys = Multimodal.m07SceneKeyframes(spark, sf)
+      .select("doc_id", "scene", "n_frames", "scene_bytes")
+    assert(cuts.exceptAll(keys).isEmpty && keys.exceptAll(cuts).isEmpty,
+      "m07 scenes must be exactly m06's scenes")
+  }
+
+  test("m08 duplicate scenes: a shared shot pairs the two videos, exact containment") {
+    import spark.implicits._
+    // doc 0 = shot A (3×100 bytes of 50) + shot B (2×100 of 200);
+    // doc 1 = shot B clone first, then its own shot (3×100 of 120);
+    // doc 2 shares nothing. Only shot B's signature (nf=2, cb=200,
+    // ssum=40000) collides → one pair, containment 1/min(2,2) = 500000 ppm
+    val shotA = Array.fill(300)(50.toByte)
+    val shotB = Array.fill(200)(200.toByte)
+    val shotC = Array.fill(300)(120.toByte)
+    val docs = Seq((0L, shotA ++ shotB), (1L, shotB ++ shotC),
+      (2L, Array.fill(100)(7.toByte))).toDF("doc_id", "payload")
+    val dup = Multimodal.duplicateScenesOf(
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)),
+      theta = 3L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_scenes"), r.getAs[Long]("a_scenes"),
+        r.getAs[Long]("b_scenes"), r.getAs[Long]("containment_ppm")))
+    assert(dup.toSeq == Seq((0L, 1L, 1L, 2L, 2L, 500000L)),
+      s"got: ${dup.toSeq}")
+    // a video repeating a shot counts its signature ONCE: doc 3 = shot B,
+    // a divider frame, shot B again — three scene instances but TWO
+    // distinct signatures, so b_scenes reads 2 and the repeated B still
+    // contributes exactly one shared scene against doc 1
+    val divider = Array.fill(100)(90.toByte)
+    val more = Seq((1L, shotB ++ shotC), (3L, shotB ++ divider ++ shotB))
+      .toDF("doc_id", "payload")
+    val dup2 = Multimodal.duplicateScenesOf(
+      Multimodal.frameSigsWith(more, Multimodal.frameSigStub(100)),
+      theta = 3L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_scenes"), r.getAs[Long]("a_scenes"),
+        r.getAs[Long]("b_scenes"), r.getAs[Long]("containment_ppm")))
+    assert(dup2.toSeq == Seq((1L, 3L, 1L, 2L, 2L, 500000L)),
+      s"got: ${dup2.toSeq}")
+  }
+
   test("framesInContext lifecycle under a misbehaving codec: crash and abandonment close the handle, corrupt rows quarantine") {
     // the r10 directive #6: the ffmpeg-seam contract ("handle released
     // even when a row throws") gets a crash-injecting fake instead of a
@@ -456,6 +523,31 @@ class MultimodalSpec extends SparkSpec {
     val bad = Seq((9L, "not a gif".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
     assert(ImageCodec.sceneCuts(bad, theta = 16L).count() == 1)
+    // keyframe election on the same animation: shot 1's mean is exactly
+    // the middle frame's luma (dev 0 → frame 1); shot 2's two frames
+    // deviate equally (|38400·384 − 77184·192| = 73728 both) → tie
+    // elects the earlier frame 3
+    val kf = ImageCodec.sceneKeyframes(docs, theta = 16L)
+      .orderBy("scene").collect()
+      .map(r => (r.getAs[Int]("scene"), r.getAs[Long]("n_frames"),
+        r.getAs[Int]("keyframe"), r.getAs[Long]("key_dev")))
+    assert(kf.toSeq == Seq((0, 3L, 1, 0L), (1, 2L, 3, 73728L)),
+      s"got: ${kf.toSeq}")
+    // and a corrupt payload elects its sentinel frame, not an exception
+    val bk = ImageCodec.sceneKeyframes(bad, theta = 16L).collect()
+    assert(bk.length == 1 && bk(0).getAs[Int]("keyframe") == -1)
+    // duplicate-scene detection across REAL media: a second animation
+    // re-posts the bright shot (lumas 200/202 — palette-exact, so the
+    // decoded signature matches verbatim) in front of its own dark shot
+    // → exactly one shared scene between the two uploads
+    val repost = animatedGif(Seq(200, 202, 90, 92, 94).map(v =>
+      renderImg(16, 12)((_, _) => (v, v, v))))
+    val dup = ImageCodec.duplicateScenes(
+      docs.unionAll(Seq((7L, repost)).toDF("doc_id", "payload")),
+      theta = 16L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_scenes"), r.getAs[Long]("containment_ppm")))
+    assert(dup.toSeq == Seq((3L, 7L, 1L, 500000L)), s"got: ${dup.toSeq}")
   }
 
   /** 16-bit mono little-endian WAV from raw sample values. */
