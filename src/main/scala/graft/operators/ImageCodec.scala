@@ -400,6 +400,26 @@ object ImageCodec {
       case Some(frames) => frames.iterator
     }
 
+  /** Per-frame DCT hashes over viewer-accurate composed canvases — the
+    * real-codec demuxer behind [[Multimodal.framePhashesWith]], one
+    * decode pass per video with one live canvas in memory ([[dctHashOf]]
+    * resamples, it never retains the canvas). Sentinels carry phash 0
+    * (undecodable payload → frame −1; failed frame → its index) — filter
+    * before pairing, the [[imagePhash]] contract. A CONSTANT-color
+    * canvas also hashes to 0 (every DCT AC coefficient is zero): blank
+    * title cards are hash-meaningless and correctly fall out with the
+    * sentinels rather than all-pairing each other. */
+  def gifFramePhashes(id: Long,
+      payload: Array[Byte]): Iterator[Multimodal.FramePhash] =
+    foldComposedFrames(payload) {
+      case (i, None) => Multimodal.FramePhash(id, i, 0L)
+      case (i, Some(canvas)) =>
+        Multimodal.FramePhash(id, i, dctHashOf(canvas))
+    } match {
+      case None => Iterator.single(Multimodal.FramePhash(id, -1, 0L))
+      case Some(fs) => fs.iterator
+    }
+
   /** Shot-boundary segmentation over REAL media: the m06 relational tail
     * ([[Multimodal.sceneCutsOf]]) driven by the in-JDK composed-GIF
     * decoder — one scene row per run of frames whose mean luma stays

@@ -524,4 +524,19 @@ object Multimodal {
     inContext[C, PHash](docs, open,
       (c, id, p) => Iterator.single(hash(c, id, p)), close, idCol,
       payloadCol)(org.apache.spark.sql.Encoders.product[PHash])
+
+  /** One perceptual hash PER FRAME — the row [[phashWith]]'s whole-payload
+    * hash can't give a video: keyframe-level dedup semi-joins this table
+    * against [[sceneKeyframesOf]]'s elected frames. */
+  final case class FramePhash(doc_id: Long, frame_no: Int, phash: Long)
+
+  /** Library seam: per-frame perceptual hashes with a caller demuxer-hasher
+    * (decode → compose → DCT-hash each frame, one codec pass per video).
+    * Same typed-mapPartitions plan as [[frameSigsWith]]. */
+  def framePhashesWith(docs: DataFrame,
+      demux: (Long, Array[Byte]) => Iterator[FramePhash],
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[Unit, FramePhash](docs, () => (),
+      (_: Unit, id, p) => demux(id, p), (_: Unit) => (), idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[FramePhash])
 }

@@ -75,6 +75,70 @@ class ExamplesSpec extends SparkSpec {
     assert(lineage.count() == r.lineage.size)
   }
 
+  test("VideoDedupExample: re-render and re-post drop, original and unrelated survive") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def img(lum: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val v = lum(x, y); im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // dense deterministic textures (base + off): every low-frequency DCT
+    // coefficient is far from zero, so the sign-vs-median hash is stable
+    // under a small brightness shift (a flat two-gray pattern would leave
+    // ~50 of the 60 signs as rounding noise); the mean is base-mean + off,
+    // so within-shot drift is exactly the off drift and cuts are planted
+    def barsX(off: Int) =
+      img((x, y) => (x * 37 + y * 23 + x * y * 11) % 180 + off)
+    def barsY(off: Int) =
+      img((x, y) => (x * 53 + y * 31 + x * x * 7) % 180 + 40 + off)
+    def checker(off: Int) =
+      img((x, y) => (x * 19 + y * 41 + y * y * 13) % 180 + 10 + off)
+    def diag(off: Int) =
+      img((x, y) => (x * 29 + y * 17 + (x + y) * (x + y) * 3) % 180 + off)
+    // v0 original: barsX shot (means 60/62/64) + barsY shot (120/122);
+    // v1 re-render: every pixel +3 — every scene signature moves (m08
+    //    blind) but no DCT sign does (keyframe hashes identical);
+    // v2 re-post: v0's barsY shot byte-identical, then its own checker
+    //    shot — caught by exact shared-scene containment;
+    // v3 unrelated: one diag shot, matches nothing
+    val videos = Seq(
+      (0L, gif(Seq(barsX(0), barsX(2), barsX(4), barsY(0), barsY(2)))),
+      (1L, gif(Seq(barsX(3), barsX(5), barsX(7), barsY(3), barsY(5)))),
+      (2L, gif(Seq(barsY(0), barsY(2), checker(0), checker(2), checker(4)))),
+      (3L, gif(Seq(diag(0), diag(2), diag(4))))).toDF("doc_id", "payload")
+    import graft.examples.VideoDedupExample
+    val near = VideoDedupExample.nearDupVideoPairs(videos, theta = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((0L, 1L)) && near.contains((1L, 2L)),
+      s"re-render must pair by keyframe hash: $near")
+    assert(!near.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated video must pair with nothing: $near")
+    val exact = graft.operators.ImageCodec
+      .duplicateScenes(videos, theta = 16L)
+      .where(col("containment_ppm") >= 500000L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(exact.toSet == Set((0L, 2L)),
+      s"only the verbatim shot splice is an exact dup: ${exact.toSet}")
+    val kept = VideoDedupExample.dedupVideos(videos, theta = 16L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L), s"survivors: $kept")
+  }
+
   test("CurationExample.curated runs and honors its gates") {
     val out = CurationExample.curated(spark, sf)
     assert(out.columns.toSeq ==
