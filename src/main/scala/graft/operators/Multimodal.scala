@@ -473,14 +473,21 @@ object Multimodal {
     * collapse buckets — the same documented caveat as dd01's hash
     * buckets. The per-video distinct-scene census joins back on doc_id
     * (|videos|-row side, AQE broadcasts it at real scales). */
-  def duplicateScenesOf(sigs: DataFrame, theta: Long): DataFrame = {
-    // three consumers (both join sides + the census) — pin once so the
-    // codec seam and the scene windows run a single time
-    val fp = sceneFramesOf(sigs, theta)
+  /** Per-scene aggregate SIGNATURES — (doc_id, scene, nf, cb, ssum): the
+    * exact-match identity [[duplicateScenesOf]] joins on and the row a
+    * persistent scene ledger stores ([[graft.streaming.Streaming.streamingDuplicateScenes]]
+    * probes it stream-static). */
+  def sceneSignaturesOf(sigs: DataFrame, theta: Long): DataFrame =
+    sceneFramesOf(sigs, theta)
       .groupBy("doc_id", "scene")
       .agg(count(lit(1)).as("nf"),
         sum(col("n_bytes").cast("long")).as("cb"),
         sum(col("level_sum")).as("ssum"))
+
+  def duplicateScenesOf(sigs: DataFrame, theta: Long): DataFrame = {
+    // three consumers (both join sides + the census) — pin once so the
+    // codec seam and the scene windows run a single time
+    val fp = sceneSignaturesOf(sigs, theta)
       .select("doc_id", "nf", "cb", "ssum").distinct()
       .transform(graft.Materialize.pin)
     val ns = fp.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
@@ -539,4 +546,80 @@ object Multimodal {
     inContext[Unit, FramePhash](docs, () => (),
       (_: Unit, id, p) => demux(id, p), (_: Unit) => (), idCol,
       payloadCol)(org.apache.spark.sql.Encoders.product[FramePhash])
+
+  /** One per-scene signature row, computed IN ROW. */
+  final case class SceneSig(doc_id: Long, scene: Int, nf: Long, cb: Long,
+      ssum: Long)
+
+  /** [[SceneSig]] carrying the video's event time through the codec seam
+    * — the row an UNBOUNDED frame needs ([[sceneSignaturesWithTs]]):
+    * window functions don't exist on streams, and a stateful op
+    * downstream needs the watermark column to survive the seam. */
+  final case class SceneSigTs(doc_id: Long, scene: Int, nf: Long, cb: Long,
+      ssum: Long, event_ts: java.sql.Timestamp)
+
+  /** IN-ROW scene-signature rollup — [[sceneSignaturesOf]] computed
+    * inside the codec seam instead of with windows, value-identical by
+    * the same cut rule over the same exact integers (parity asserted in
+    * MultimodalSpec; the [[graft.operators.Dedup.rowSigOf]] precedent:
+    * streams can't window, but one video's frames are already an
+    * in-order iterator inside the seam, so the rollup is a bounded
+    * per-video fold). Contract: `demux` emits frames in ascending
+    * frame_no order — every shipped demuxer does. */
+  private[graft] def sceneSigsInRow(
+      demux: (Long, Array[Byte]) => Iterator[FrameSig], theta: Long)(
+      id: Long, payload: Array[Byte]): Iterator[SceneSig] = {
+    require(theta >= 0, s"theta: $theta")
+    val out = scala.collection.mutable.ArrayBuffer.empty[SceneSig]
+    var scene = -1
+    var ps = 0L; var pc = 0L; var first = true
+    var nf = 0L; var cb = 0L; var ssum = 0L
+    def flush(): Unit =
+      if (scene >= 0) out += SceneSig(id, scene, nf, cb, ssum)
+    demux(id, payload).foreach { f =>
+      val c = f.n_bytes.toLong
+      val s = f.level_sum
+      // the sceneFramesOf cut rule verbatim: frame k≥1 starts a scene
+      // iff |s·pc − ps·c| > θ·c·pc (a sentinel's zero count fires both
+      // of its edges, same as the relational path)
+      val cut = !first && math.abs(s * pc - ps * c) > theta * c * pc
+      if (first || cut) { flush(); scene += 1; nf = 0; cb = 0; ssum = 0 }
+      nf += 1; cb += c; ssum += s
+      ps = s; pc = c; first = false
+    }
+    flush()
+    out.iterator
+  }
+
+  /** Batch seam for the in-row rollup (the parity surface): one
+    * [[SceneSig]] row per scene straight out of the codec pass — no
+    * window, no groupBy, map-only. */
+  def sceneSignaturesWith(docs: DataFrame,
+      demux: (Long, Array[Byte]) => Iterator[FrameSig], theta: Long,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    inContext[Unit, SceneSig](docs, () => (),
+      (_: Unit, id, p) => sceneSigsInRow(demux, theta)(id, p),
+      (_: Unit) => (), idCol,
+      payloadCol)(org.apache.spark.sql.Encoders.product[SceneSig])
+
+  /** [[sceneSignaturesWith]] for unbounded frames: carries `tsCol` (an
+    * event-time TIMESTAMP) through the seam as `event_ts`, so the
+    * streaming tail can watermark and deduplicate. Works on batch frames
+    * too (it is ordinary mapPartitions). */
+  def sceneSignaturesWithTs(docs: DataFrame,
+      demux: (Long, Array[Byte]) => Iterator[FrameSig], theta: Long,
+      idCol: String = "doc_id", payloadCol: String = "payload",
+      tsCol: String = "ts"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, payload, ts) =>
+        sceneSigsInRow(demux, theta)(id, payload).map(s =>
+          SceneSigTs(s.doc_id, s.scene, s.nf, s.cb, s.ssum, ts))
+      })
+      .toDF()
+  }
 }

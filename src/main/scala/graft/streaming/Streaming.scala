@@ -1063,4 +1063,51 @@ object Streaming {
       .select(col("ida").as("doc_id"), col("idb"),
         round(col("jraw"), 3).as("jaccard"), col(tsCol))
   }
+
+  /** Live DUPLICATE-SCENE alerts — m08's live tail, the video sibling of
+    * [[streamingNearDupAlerts]]: each arriving video's scene signatures
+    * are computed IN ROW inside the codec seam
+    * ([[graft.operators.Multimodal.sceneSigsInRow]], value-identical to
+    * the batch windows — streams can't window, but one video's frames
+    * are an in-order iterator there), then probed stream-static against
+    * a persistent scene-signature LEDGER (any parquet of
+    * [[graft.operators.Multimodal.sceneSignaturesOf]] rows — the nightly
+    * batch artifact). A verbatim re-posted shot matches exactly; one
+    * alert per (video, ledger-video) pair, watermark-bounded pair dedup
+    * as the ONLY state — bounded by duplication volume inside the
+    * watermark, never corpus or stream length.
+    *
+    * Sentinel signatures (cb = 0: undecodable payload, failed frame) are
+    * filtered BEFORE the join — a shard of corrupt uploads must not
+    * all-alert against every corrupt ledger video (the batch m08 keeps
+    * them as ordinary rows; an alerting surface must not).
+    *
+    * Scale shape: the seam is map-only; the join is an equi-join on the
+    * full (nf, cb, ssum) triple — Spark broadcasts a small ledger and
+    * shuffle-joins a large one per micro-batch; bucket the ledger table
+    * by the join key to skip the static-side exchange (the
+    * [[streamingNearDupAlerts]] ledger precedent). Same visibility
+    * contract as that ledger: same-session appends are visible next
+    * batch; cross-application appends need a catalog refresh/TTL. */
+  def streamingDuplicateScenes(spark: SparkSession, videos: DataFrame,
+      ledgerPath: String, theta: Long, tsCol: String, watermark: String,
+      demux: (Long, Array[Byte]) =>
+        Iterator[graft.operators.Multimodal.FrameSig] =
+        graft.operators.ImageCodec.gifFrameSigsComposed,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val ledger = spark.read.parquet(ledgerPath)
+      .select(col("doc_id").as("idb"), col("nf"), col("cb"), col("ssum"))
+      .where(col("cb") > 0)
+    graft.operators.Multimodal
+      .sceneSignaturesWithTs(videos, demux, theta, idCol, payloadCol,
+        tsCol)
+      .where(col("cb") > 0)
+      .join(ledger, Seq("nf", "cb", "ssum"))
+      .where(col("doc_id") =!= col("idb"))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "idb")
+      .select(col("doc_id"), col("idb"), col("nf"), col("cb"),
+        col("event_ts"))
+  }
 }

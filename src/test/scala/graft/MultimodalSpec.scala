@@ -191,6 +191,42 @@ class MultimodalSpec extends SparkSpec {
       s"got: ${dup2.toSeq}")
   }
 
+  test("in-row scene signatures are value-identical to the relational rollup") {
+    import spark.implicits._
+    // every edge the cut rule has: multi-shot, sub-stride single frame,
+    // and a MID-STREAM sentinel (c = 0), whose zero count must fire the
+    // cut on both of its edges in the fold exactly as in the windows
+    val p = Array.fill(300)(50.toByte) ++ Array.fill(200)(200.toByte)
+    val docs = Seq((0L, p), (2L, Array.fill(40)(120.toByte)),
+      (4L, Array.empty[Byte])).toDF("doc_id", "payload")
+    def parity(demux: (Long, Array[Byte]) =>
+        Iterator[Multimodal.FrameSig]): Unit = {
+      val inRow = Multimodal.sceneSignaturesWith(docs, demux, theta = 3L)
+      val relational = Multimodal.sceneSignaturesOf(
+        Multimodal.frameSigsWith(docs, demux), theta = 3L)
+      assert(inRow.exceptAll(relational).isEmpty &&
+        relational.exceptAll(inRow).isEmpty,
+        s"in-row ${inRow.collect().toSeq.sortBy(r => (r.getLong(0),
+          r.getInt(1)))} != relational ${relational.collect().toSeq
+          .sortBy(r => (r.getLong(0), r.getInt(1)))}")
+    }
+    parity(Multimodal.frameSigStub(100))
+    // sentinel edition: frame 1 fails mid-stream (0 bytes) — it must
+    // become an isolated one-frame scene on BOTH paths
+    val sentinelDemux: (Long, Array[Byte]) =>
+        Iterator[Multimodal.FrameSig] = (id, _) =>
+      Iterator(Multimodal.FrameSig(id, 0, 100, 5000L),
+        Multimodal.FrameSig(id, 1, 0, -1L),
+        Multimodal.FrameSig(id, 2, 100, 5000L),
+        Multimodal.FrameSig(id, 3, 100, 5200L))
+    parity(sentinelDemux)
+    val sc = Multimodal.sceneSignaturesWith(docs.where(col("doc_id") === 0),
+      sentinelDemux, theta = 3L).orderBy("scene").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sc.toSeq == Seq((0, 1L, 100L, 5000L), (1, 1L, 0L, -1L),
+      (2, 2L, 200L, 10200L)), s"got: ${sc.toSeq}")
+  }
+
   test("framesInContext lifecycle under a misbehaving codec: crash and abandonment close the handle, corrupt rows quarantine") {
     // the r10 directive #6: the ffmpeg-seam contract ("handle released
     // even when a row throws") gets a crash-injecting fake instead of a

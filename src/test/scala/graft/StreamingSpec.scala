@@ -1071,4 +1071,67 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming duplicate-scene alerts replay the batch m08 pairs from the scene ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // stub demuxer with a sentinel edge: an empty payload is the
+    // undecodable-upload stand-in (FrameSig(id, −1, 0, −1))
+    val demux: (Long, Array[Byte]) => Iterator[Multimodal.FrameSig] =
+      (id, p) =>
+        if (p.isEmpty) Iterator.single(Multimodal.FrameSig(id, -1, 0, -1L))
+        else Multimodal.frameSigStub(100)(id, p)
+    val shotA = Array.fill(300)(50.toByte)
+    val shotB = Array.fill(200)(200.toByte)
+    val shotC = Array.fill(300)(120.toByte)
+    // the nightly ledger: one reference video (shots A+B) and one
+    // corrupt upload whose sentinel signature must never alert
+    val ledgerDocs = Seq((2L, shotA ++ shotB), (6L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val ledgerPath = tmpDir("scene-ledger")
+    Multimodal.sceneSignaturesOf(
+      Multimodal.frameSigsWith(ledgerDocs, demux), theta = 3L)
+      .write.mode("overwrite").parquet(ledgerPath)
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = Streaming.streamingDuplicateScenes(spark,
+      in.toDF().toDF("doc_id", "payload", "ts"), ledgerPath, theta = 3L,
+      tsCol = "ts", watermark = "10 seconds", demux = demux)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scenealerts").start()
+    try {
+      val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+      // doc 1 re-posts shot B verbatim; doc 3 shares nothing; doc 5 is
+      // a corrupt upload (sentinel signature — matches the ledger's
+      // corrupt row ONLY if the cb=0 filter were missing)
+      in.addData((1L, shotB ++ shotC, ts),
+        (3L, Array.fill(100)(7.toByte), ts),
+        (5L, Array.empty[Byte], ts))
+      q.processAllAvailable()
+      // at-least-once source: re-delivery must not repeat the alert
+      in.addData((1L, shotB ++ shotC, ts))
+      q.processAllAvailable()
+      val got = spark.table("scenealerts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(got.toSeq == Seq((1L, 2L, 2L, 200L)),
+        s"exactly one alert, once (shot B: nf=2, cb=200): ${got.toSeq}")
+      // batch parity: the same arrivals' scene signatures equi-joined
+      // against the same ledger rows give exactly the alerted pairs
+      val arrivals = Seq((1L, shotB ++ shotC),
+        (3L, Array.fill(100)(7.toByte)),
+        (5L, Array.empty[Byte])).toDF("doc_id", "payload")
+      val batch = Multimodal.sceneSignaturesOf(
+        Multimodal.frameSigsWith(arrivals, demux), theta = 3L)
+        .where(col("cb") > 0)
+        .join(spark.read.parquet(ledgerPath)
+          .where(col("cb") > 0)
+          .select(col("doc_id").as("idb"), col("nf"), col("cb"),
+            col("ssum")), Seq("nf", "cb", "ssum"))
+        .select("doc_id", "idb").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.map(x => (x._1, x._2)).toSet == batch,
+        s"stream ${got.toSeq} != batch $batch")
+    } finally q.stop()
+  }
 }
