@@ -514,6 +514,49 @@ object Multimodal {
     duplicateScenesOf(frameSigsWith(binaryDocs(spark, dir),
       frameSigStub(100)), theta = 3L).orderBy("doc_a", "doc_b")
 
+  /** m09 — VIDEO near-dup CLUSTER assignment: connected components over
+    * the [[duplicateScenesOf]] pair graph at containment ≥ `minPpm` —
+    * dd06's recipe (pairs alone aren't actionable; "keep one per group"
+    * needs the transitive group) on the video leg: a re-post chain
+    * A→B→C collapses to one cluster even when A and C share no scene
+    * directly. Every video gets the smallest reachable doc_id as its
+    * cluster id; singletons label themselves.
+    *
+    * Scale shape is dd06's, inherited verbatim: the pair frame is
+    * pinned before the bidirectional union, the symmetric edge frame is
+    * pinned hash-partitioned on the join key (the E-sized side shuffles
+    * ONCE, only the shrinking frontier moves per round), and the
+    * component search runs over the edge-TOUCHED subgraph only —
+    * per-round state is the duplicated fraction of the corpus, not the
+    * corpus. */
+  def videoClustersOf(videos: DataFrame, sigs: DataFrame, theta: Long,
+      minPpm: Long): DataFrame = {
+    val pairs = duplicateScenesOf(sigs, theta)
+      .where(col("containment_ppm") >= minPpm)
+      .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
+      .transform(graft.Materialize.pin)
+    val edges = pairs
+      .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .repartition(col("ida"))
+      .transform(graft.Materialize.pin)
+    graft.Materialize.unpin(pairs)
+    val labels = Dedup.connectedComponents(edges)
+    graft.Materialize.unpin(edges)
+    videos.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+  }
+
+  /** m09 declared query: video clusters over the stub demuxer at the
+    * half-containment threshold (≥ 50% of the smaller video's distinct
+    * scenes shared — the [[graft.examples.VideoDedupExample]] default). */
+  def m09VideoClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = binaryDocs(spark, dir)
+    videoClustersOf(docs, frameSigsWith(docs, frameSigStub(100)),
+      theta = 3L, minPpm = 500000L).orderBy("doc_id")
+  }
+
   /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
     * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).
     * Same typed-mapPartitions plan as [[decodeWith]]. */

@@ -191,6 +191,35 @@ class MultimodalSpec extends SparkSpec {
       s"got: ${dup2.toSeq}")
   }
 
+  test("m09 video clusters: a re-post chain collapses transitively, singletons label themselves") {
+    import spark.implicits._
+    // chain 0–1–4 through shared shots B then C (0 and 4 share NOTHING
+    // directly — only the transitive closure groups them); 2 is alone
+    val shotA = Array.fill(300)(50.toByte)
+    val shotB = Array.fill(200)(200.toByte)
+    val shotC = Array.fill(300)(120.toByte)
+    val shotD = Array.fill(200)(30.toByte)
+    val docs = Seq((0L, shotA ++ shotB), (1L, shotB ++ shotC),
+      (4L, shotC ++ shotD), (2L, Array.fill(100)(7.toByte)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.videoClustersOf(docs,
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)),
+      theta = 3L, minPpm = 500000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 2L), (4L, 0L)),
+      s"got: ${got.toSeq}")
+    // a stricter threshold (full containment) breaks the chain: nothing
+    // shares ALL of the smaller video's scenes, so everyone is a singleton
+    val strict = Multimodal.videoClustersOf(docs,
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)),
+      theta = 3L, minPpm = 1000000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 2L), (4L, 4L)),
+      s"got: ${strict.toSeq}")
+  }
+
   test("in-row scene signatures are value-identical to the relational rollup") {
     import spark.implicits._
     // every edge the cut rule has: multi-shot, sub-stride single frame,
