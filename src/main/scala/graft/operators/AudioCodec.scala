@@ -83,6 +83,70 @@ object AudioCodec {
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
     Multimodal.framesWith(docs, wavWindows(windowSamples), idCol, payloadCol)
 
+  /** EXACT per-window energy signatures — [[wavWindows]] with the raw
+    * Σ|sample| kept (a [[Frame]]'s `>> 8` mean would make the silence
+    * comparison inexact): `n_bytes` = sample count, `level_sum` =
+    * Σ|sample| of 16-bit magnitudes — the audio demuxer behind
+    * [[Multimodal.silenceSegmentsOf]] and the WAV analogue of
+    * [[ImageCodec.gifFrameSigsComposed]]. Sentinels mirror
+    * [[wavWindows]]: undecodable / non-PCM-16 → (−1, 0, −1); a
+    * sentinel's negative level reads as silence downstream, so corrupt
+    * audio yields zero segments rather than an exception. */
+  def wavWindowSigs(windowSamples: Int)(id: Long,
+      payload: Array[Byte]): Iterator[Multimodal.FrameSig] = {
+    require(windowSamples >= 1, s"windowSamples: $windowSamples")
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16)
+          Iterator.single(Multimodal.FrameSig(id, -1, 0, -1L))
+        else {
+          val bytes = in.readAllBytes()
+          val channels = fmt.getChannels
+          val big = fmt.isBigEndian
+          val stride = 2 * channels
+          val n = bytes.length / stride
+          if (n == 0) Iterator.single(Multimodal.FrameSig(id, -1, 0, -1L))
+          else {
+            val sigs = (0 until (n + windowSamples - 1) / windowSamples)
+              .map { w =>
+                val from = w * windowSamples
+                val until = math.min(n, from + windowSamples)
+                var sum = 0L
+                var i = from
+                while (i < until) {
+                  val o = i * stride
+                  val s =
+                    if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                    else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                  sum += math.abs(s.toInt)
+                  i += 1
+                }
+                Multimodal.FrameSig(id, w, until - from, sum)
+              }
+            sigs.iterator // decoded EAGERLY above — stream closed on exit
+          }
+        }
+      } finally in.close()
+    } catch {
+      case _: Exception =>
+        Iterator.single(Multimodal.FrameSig(id, -1, 0, -1L))
+    }
+  }
+
+  /** Silence-split segmentation over REAL audio: the m10 relational tail
+    * ([[Multimodal.silenceSegmentsOf]]) driven by the in-JDK PCM decoder
+    * — maximal runs of windows whose mean |amplitude| clears `theta`,
+    * the rows an ASR pipeline transcribes. Same seam/swap story as
+    * [[ImageCodec.sceneCuts]]. */
+  def silenceSegments(docs: DataFrame, windowSamples: Int, theta: Long,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    Multimodal.silenceSegmentsOf(Multimodal.frameSigsWith(
+      docs, wavWindowSigs(windowSamples), idCol, payloadCol), theta)
+
   /** REAL audio fingerprint (m05's PCM edition): decode channel 0, cut
     * the sample stream into 61 equal windows, energy per window =
     * Σ|sample| (exact integer), and emit the 60-bit energy-delta

@@ -557,6 +557,50 @@ object Multimodal {
       theta = 3L, minPpm = 500000L).orderBy("doc_id")
   }
 
+  /** m10 — SILENCE-SPLIT segmentation (the ASR-corpus precursor, audio
+    * sibling of [[sceneCutsOf]]): window w is SILENT iff its mean level
+    * is below `theta` — `level_sum < θ·n_bytes`, exact in Long — and a
+    * SEGMENT is a maximal run of non-silent windows, the rows a speech
+    * pipeline actually transcribes. Silent gaps are dropped; a sentinel
+    * window (undecodable payload / failed window: count 0, level −1)
+    * reads as silence, so corrupt audio yields zero segments rather
+    * than an exception, and a mid-stream sentinel SPLITS the run it
+    * interrupts (it is a gap, not a bridge). One row per segment:
+    * (doc_id, segment, first_frame, n_frames, seg_bytes, seg_sum).
+    *
+    * Scale shape: the lag and running-count windows and the rollup all
+    * partition by `doc_id` — state bounded by one recording's window
+    * count, the m06 economics verbatim; the whole tail rides one
+    * doc_id exchange of 24-byte signature rows. */
+  def silenceSegmentsOf(sigs: DataFrame, theta: Long): DataFrame = {
+    require(theta >= 0, s"theta: $theta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sil = col("level_sum") < lit(theta) * col("n_bytes").cast("long")
+    sigs
+      .withColumn("sil", sil)
+      .withColumn("start", when(!col("sil") &&
+        coalesce(lag(col("sil"), 1).over(w), lit(true)), 1L)
+        .otherwise(0L))
+      .withColumn("segment", (sum(col("start")).over(run) - 1).cast("int"))
+      .where(!col("sil"))
+      .groupBy("doc_id", "segment")
+      .agg(min(col("frame_no")).as("first_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("n_bytes").cast("long")).as("seg_bytes"),
+        sum(col("level_sum")).as("seg_sum"))
+  }
+
+  /** m10 declared query: silence segments over the stub demuxer — the
+    * fixture's window means sit in a tight 87–115 band, so θ = 94
+    * (≈ the median) exercises silent, loud, and run-boundary branches
+    * on ~a third of all windows. */
+  def m10SilenceSegments(spark: SparkSession, dir: String): DataFrame =
+    silenceSegmentsOf(frameSigsWith(binaryDocs(spark, dir),
+      frameSigStub(100)), theta = 94L).orderBy("doc_id", "segment")
+
   /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
     * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).
     * Same typed-mapPartitions plan as [[decodeWith]]. */

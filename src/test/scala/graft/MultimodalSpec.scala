@@ -220,6 +220,52 @@ class MultimodalSpec extends SparkSpec {
       s"got: ${strict.toSeq}")
   }
 
+  test("m10 silence segments: maximal loud runs, silent gaps and tails drop, leading silence keeps ids 0-based") {
+    import spark.implicits._
+    // doc 0: loud / silent / loud / loud / silent sub-stride tail — two
+    // segments, the second spanning the adjacent loud pair; doc 2: all
+    // silent (zero rows); doc 4: LEADING silence — segment ids still
+    // start at 0
+    val p0 = Array.fill(100)(200.toByte) ++ Array.fill(100)(3.toByte) ++
+      Array.fill(100)(200.toByte) ++ Array.fill(100)(210.toByte) ++
+      Array.fill(40)(2.toByte)
+    val p4 = Array.fill(100)(3.toByte) ++ Array.fill(100)(200.toByte)
+    val docs = Seq((0L, p0), (2L, Array.fill(100)(1.toByte)), (4L, p4))
+      .toDF("doc_id", "payload")
+    val segs = Multimodal.silenceSegmentsOf(
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)),
+      theta = 50L).orderBy("doc_id", "segment").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("segment"),
+        r.getAs[Int]("first_frame"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("seg_bytes"), r.getAs[Long]("seg_sum")))
+    assert(segs.toSeq == Seq(
+      (0L, 0, 0, 1L, 100L, 20000L),
+      (0L, 1, 2, 2L, 200L, 41000L),
+      (4L, 0, 1, 1L, 100L, 20000L)),
+      s"got: ${segs.toSeq}")
+  }
+
+  test("real-codec silence segments: a planted quiet span splits the PCM stream exactly") {
+    import spark.implicits._
+    // 12 samples in 4-sample windows: alternating ±1000 (Σ|s| = 4000),
+    // near-silence (Σ|s| = 40), loud again — θ = 500 (mean |amplitude|)
+    // keeps windows 0 and 2, drops the middle
+    import graft.operators.AudioCodec
+    val loud = Seq[Short](1000, -1000, 1000, -1000)
+    val quiet = Seq[Short](10, -10, 10, 10)
+    val docs = Seq((1L, wav(loud ++ quiet ++ loud)),
+      (9L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val segs = AudioCodec.silenceSegments(docs, windowSamples = 4,
+      theta = 500L).orderBy("doc_id", "segment").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("segment"),
+        r.getAs[Int]("first_frame"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("seg_bytes"), r.getAs[Long]("seg_sum")))
+    // the corrupt payload's sentinel reads as silence: zero segments,
+    // no exception
+    assert(segs.toSeq == Seq((1L, 0, 0, 1L, 4L, 4000L),
+      (1L, 1, 2, 1L, 4L, 4000L)), s"got: ${segs.toSeq}")
+  }
+
   test("in-row scene signatures are value-identical to the relational rollup") {
     import spark.implicits._
     // every edge the cut rule has: multi-shot, sub-stride single frame,
