@@ -20,9 +20,10 @@ import graft.operators.{Dedup, ImageCodec, Multimodal}
   *     keyframes are re-renders/re-encodes of each other;
   *  4. [[Multimodal.duplicateScenesOf]] — exact shared-shot containment
   *     (m08): re-posts that splice whole shots verbatim;
-  *  5. admission — drop the later (larger doc_id) video of every
-  *     flagged pair, exactly the survivor rule the text dedup ladder
-  *     uses.
+  *  5. admission — both detectors' pairs feed ONE component search
+  *     ([[graft.operators.Dedup.connectedComponents]]) and the smallest
+  *     doc_id per transitive duplicate group survives, exactly the
+  *     keep-one-per-cluster rule of the text ladder's dd06.
   *
   * The two detectors are complementary: a +3-brightness re-render moves
   * every scene signature (m08 misses it) but not one DCT sign (the
@@ -92,11 +93,16 @@ object VideoDedupExample {
       .where(col("shared_keyframes") >= minShared)
   }
 
-  /** Admission: videos surviving BOTH detectors — every pair flagged by
-    * exact shared-scene containment ≥ `containmentPpm` (m08) or by
-    * ≥ `minShared` near-identical keyframes drops its larger doc_id
-    * (the deterministic survivor rule of the text ladder's dd06/dd16).
-    * Returns the surviving input rows unchanged. */
+  /** Admission: ONE survivor per TRANSITIVE duplicate group — the edges
+    * of both detectors (exact shared-scene containment ≥ `containmentPpm`
+    * — m08 — and ≥ `minShared` near-identical keyframes) feed one
+    * connected-component search ([[Dedup.connectedComponents]], the m09
+    * machinery), and the smallest doc_id of each component survives.
+    * Pairwise loser-dropping would under-dedup chains: in a component
+    * {1, 5, 9} with edges (5,9) and (1,9) only, dropping each pair's
+    * larger id keeps BOTH 1 and 5 even though they are transitive
+    * duplicates — the component rule keeps exactly 1. Returns the
+    * surviving input rows unchanged. */
   def dedupVideos(videos: DataFrame, theta: Long, maxHamming: Int = 4,
       minShared: Long = 1L, containmentPpm: Long = 500000L,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
@@ -104,12 +110,22 @@ object VideoDedupExample {
     val exact = Multimodal
       .duplicateScenesOf(Multimodal.frameSigsWith(videos, sigDemux), theta)
       .where(col("containment_ppm") >= containmentPpm)
-      .select(col("doc_b").as("loser"))
+      .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
     val near = nearDupVideoPairs(videos, theta, maxHamming, minShared,
       sigDemux, hashDemux)
-      .select(col("doc_b").as("loser"))
-    val losers = exact.unionAll(near).distinct()
-    videos.join(losers, videos("doc_id") === losers("loser"), "left_anti")
+      .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
+    val pairs = exact.unionAll(near).distinct()
+      .transform(graft.Materialize.pin)
+    val edges = pairs
+      .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .repartition(col("ida"))
+      .transform(graft.Materialize.pin)
+    graft.Materialize.unpin(pairs)
+    val labels = Dedup.connectedComponents(edges)
+    graft.Materialize.unpin(edges)
+    videos.join(labels, Seq("doc_id"), "left")
+      .where(col("lbl").isNull || col("lbl") === col("doc_id"))
+      .drop("lbl")
   }
 
   /** Stub per-frame hasher for the `main`'s text surrogate: m04's

@@ -137,6 +137,21 @@ class ExamplesSpec extends SparkSpec {
     val kept = VideoDedupExample.dedupVideos(videos, theta = 16L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 3L), s"survivors: $kept")
+    // the transitive-chain case pairwise dropping gets WRONG: 1–9 share
+    // a barsY re-render, 9–5 share a checker re-render, 1–5 share
+    // nothing — all three are one duplicate group, and dropping each
+    // pair's larger id would keep BOTH 1 and 5; the component rule
+    // keeps exactly the smallest
+    def diag40(off: Int) =
+      img((x, y) => (x * 29 + y * 17 + (x + y) * (x + y) * 3) % 180 + 40 + off)
+    val chain = Seq(
+      (1L, gif(Seq(barsX(0), barsX(2), barsX(4), barsY(0), barsY(2)))),
+      (9L, gif(Seq(barsY(3), barsY(5), checker(3), checker(5), checker(7)))),
+      (5L, gif(Seq(checker(0), checker(2), checker(4), diag40(0), diag40(2)))))
+      .toDF("doc_id", "payload")
+    val chainKept = VideoDedupExample.dedupVideos(chain, theta = 16L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chainKept == Set(1L), s"chain survivors: $chainKept")
   }
 
   test("CurationExample.curated runs and honors its gates") {
