@@ -147,6 +147,16 @@ object AudioCodec {
     Multimodal.silenceSegmentsOf(Multimodal.frameSigsWith(
       docs, wavWindowSigs(windowSamples), idCol, payloadCol), theta)
 
+  /** Duplicate-segment detection over REAL audio: [[silenceSegments]]'
+    * segmentation plus [[Multimodal.duplicateSegmentsOf]]'s exact
+    * signature join — a re-broadcast spot or spliced jingle is
+    * byte-identical audio between silences even when container bytes
+    * differ. Same seam, same swap story. */
+  def duplicateSegments(docs: DataFrame, windowSamples: Int, theta: Long,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    Multimodal.duplicateSegmentsOf(Multimodal.frameSigsWith(
+      docs, wavWindowSigs(windowSamples), idCol, payloadCol), theta)
+
   /** REAL audio fingerprint (m05's PCM edition): decode channel 0, cut
     * the sample stream into 61 equal windows, energy per window =
     * Σ|sample| (exact integer), and emit the 60-bit energy-delta

@@ -484,27 +484,37 @@ object Multimodal {
         sum(col("n_bytes").cast("long")).as("cb"),
         sum(col("level_sum")).as("ssum"))
 
-  def duplicateScenesOf(sigs: DataFrame, theta: Long): DataFrame = {
+  def duplicateScenesOf(sigs: DataFrame, theta: Long): DataFrame =
+    containmentPairsOf(sceneSignaturesOf(sigs, theta), "scenes")
+
+  /** The shared exact-containment tail of [[duplicateScenesOf]] (video
+    * scenes) and [[duplicateSegmentsOf]] (audio segments): distinct
+    * (nf, cb, ssum) unit signatures per document, self-join on the full
+    * triple, per-pair shared count + integer containment ppm vs the
+    * smaller census. `unit` names the output columns
+    * (shared_<unit>/a_<unit>/b_<unit>). */
+  private def containmentPairsOf(sigsIn: DataFrame,
+      unit: String): DataFrame = {
     // three consumers (both join sides + the census) — pin once so the
-    // codec seam and the scene windows run a single time
-    val fp = sceneSignaturesOf(sigs, theta)
+    // codec seam and the upstream windows run a single time
+    val fp = sigsIn
       .select("doc_id", "nf", "cb", "ssum").distinct()
       .transform(graft.Materialize.pin)
-    val ns = fp.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+    val ns = fp.groupBy("doc_id").agg(count(lit(1)).as("n_units"))
     fp.as("a").join(fp.as("b"),
         col("a.nf") === col("b.nf") && col("a.cb") === col("b.cb") &&
           col("a.ssum") === col("b.ssum") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_scenes"))
+      .agg(count(lit(1)).as(s"shared_$unit"))
       .join(ns.select(col("doc_id").as("doc_a"),
-        col("n_scenes").as("a_scenes")), Seq("doc_a"))
+        col("n_units").as(s"a_$unit")), Seq("doc_a"))
       .join(ns.select(col("doc_id").as("doc_b"),
-        col("n_scenes").as("b_scenes")), Seq("doc_b"))
+        col("n_units").as(s"b_$unit")), Seq("doc_b"))
       .withColumn("containment_ppm",
-        expr("shared_scenes * 1000000L div least(a_scenes, b_scenes)"))
-      .select("doc_a", "doc_b", "shared_scenes", "a_scenes", "b_scenes",
-        "containment_ppm")
+        expr(s"shared_$unit * 1000000L div least(a_$unit, b_$unit)"))
+      .select(col("doc_a"), col("doc_b"), col(s"shared_$unit"),
+        col(s"a_$unit"), col(s"b_$unit"), col("containment_ppm"))
   }
 
   /** m08 declared query: duplicate scenes over the stub demuxer — θ and
@@ -600,6 +610,29 @@ object Multimodal {
   def m10SilenceSegments(spark: SparkSession, dir: String): DataFrame =
     silenceSegmentsOf(frameSigsWith(binaryDocs(spark, dir),
       frameSigStub(100)), theta = 94L).orderBy("doc_id", "segment")
+
+  /** m11 — DUPLICATE-SEGMENT detection across recordings (the
+    * jingle/ad-detection shape, audio sibling of [[duplicateScenesOf]]):
+    * two recordings share a segment when a whole non-silent run's
+    * aggregate signature — (window count, sample count, energy sum),
+    * exact integers out of [[silenceSegmentsOf]] — matches verbatim; a
+    * re-broadcast spot or a spliced jingle is byte-identical audio
+    * between silences even when the container bytes differ. Same
+    * [[containmentPairsOf]] tail, same dd01 exact-hash economics;
+    * near-identical-but-re-encoded audio stays with m05's
+    * energy-delta fingerprint + banded Hamming pairs. */
+  def duplicateSegmentsOf(sigs: DataFrame, theta: Long): DataFrame =
+    containmentPairsOf(silenceSegmentsOf(sigs, theta)
+      .select(col("doc_id"), col("n_frames").as("nf"),
+        col("seg_bytes").as("cb"), col("seg_sum").as("ssum")),
+      "segments")
+
+  /** m11 declared query: duplicate segments over the stub demuxer — θ
+    * shared with [[m10SilenceSegments]] so the two surfaces segment
+    * identically. */
+  def m11DuplicateSegments(spark: SparkSession, dir: String): DataFrame =
+    duplicateSegmentsOf(frameSigsWith(binaryDocs(spark, dir),
+      frameSigStub(100)), theta = 94L).orderBy("doc_a", "doc_b")
 
   /** Library seam: perceptual-hash an arbitrary (id, payload) frame with a
     * caller hasher (DCT pHash over decoded pixels, chroma-aware, etc.).

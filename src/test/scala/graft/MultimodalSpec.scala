@@ -245,6 +245,41 @@ class MultimodalSpec extends SparkSpec {
       s"got: ${segs.toSeq}")
   }
 
+  test("m11 duplicate segments: a shared jingle pairs the two recordings across stub and real PCM") {
+    import spark.implicits._
+    // stub: recordings 0 and 1 both contain the two-window jingle
+    // (200/210 levels, signature nf=2 cb=200 ssum=41000) at DIFFERENT
+    // positions, separated from their own material by silence; 2 is alone
+    val jingle = Array.fill(100)(200.toByte) ++ Array.fill(100)(210.toByte)
+    val gap = Array.fill(100)(3.toByte)
+    val docs = Seq(
+      (0L, jingle ++ gap ++ Array.fill(100)(150.toByte)),
+      (1L, Array.fill(100)(180.toByte) ++ gap ++ jingle),
+      (2L, Array.fill(100)(90.toByte))).toDF("doc_id", "payload")
+    val dup = Multimodal.duplicateSegmentsOf(
+      Multimodal.frameSigsWith(docs, Multimodal.frameSigStub(100)),
+      theta = 50L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_segments"), r.getAs[Long]("a_segments"),
+        r.getAs[Long]("b_segments"), r.getAs[Long]("containment_ppm")))
+    assert(dup.toSeq == Seq((0L, 1L, 1L, 2L, 2L, 500000L)),
+      s"got: ${dup.toSeq}")
+    // real PCM: the same jingle samples re-broadcast inside a different
+    // recording pair through the actual WAV decoder
+    import graft.operators.AudioCodec
+    val loudJ = Seq[Short](1000, -1000, 900, -900, 800, -800, 700, -700)
+    val quiet = Seq[Short](10, -10, 10, -10)
+    val wavs = Seq(
+      (1L, wav(loudJ ++ quiet ++ Seq[Short](600, -600, 600, -600))),
+      (2L, wav(Seq[Short](500, -500, 500, -500) ++ quiet ++ loudJ)))
+      .toDF("doc_id", "payload")
+    val rdup = AudioCodec.duplicateSegments(wavs, windowSamples = 4,
+      theta = 500L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_segments"), r.getAs[Long]("containment_ppm")))
+    assert(rdup.toSeq == Seq((1L, 2L, 1L, 500000L)), s"got: ${rdup.toSeq}")
+  }
+
   test("real-codec silence segments: a planted quiet span splits the PCM stream exactly") {
     import spark.implicits._
     // 12 samples in 4-sample windows: alternating ±1000 (Σ|s| = 4000),
