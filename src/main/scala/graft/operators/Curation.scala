@@ -512,10 +512,10 @@ object Curation {
           .as("n_a"),
         max(when(col("dim") === "quality", col("nb"))).cast("long")
           .as("n_b"),
-        round(sum(when(col("dim") === "quality", col("term")))
-          .cast("double") / 1e8, 4).as("psi_quality"),
-        round(sum(when(col("dim") === "length", col("term")))
-          .cast("double") / 1e8, 4).as("psi_length"))
+        ExactPresent.roundDiv(sum(when(col("dim") === "quality",
+          col("term"))), lit(100000000L), 4).as("psi_quality"),
+        ExactPresent.roundDiv(sum(when(col("dim") === "length",
+          col("term"))), lit(100000000L), 4).as("psi_length"))
       .withColumn("verdict",
         when(greatest(col("psi_quality"), col("psi_length")) > 0.2, "shift")
           .when(greatest(col("psi_quality"), col("psi_length")) > 0.1,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+
+/** Exact cross-engine presentation rounding for RATIONAL-valued outputs.
+  *
+  * `round(x, k)` on a DOUBLE is engine-dependent wherever the true value
+  * is a ratio of integers that lands on (or within an ulp of) a half at
+  * the k-th decimal. Spark rounds the double's SHORTEST-DECIMAL
+  * representation half-up (`BigDecimal.valueOf`); DuckDB multiplies by
+  * 10^k — itself a rounding step — and rounds half-away-from-zero. For a
+  * SINGLE float division the computed double is the nearest double to the
+  * true rational and the two algorithms agree, which is why the
+  * one-division ratios (quality, jaccard, percent_rank, 1/n weights) have
+  * never diverged. But MULTI-STEP float arithmetic (sum/1e6/n chains,
+  * FK-grade's a/b + c/d) can drift the double one ulp past the half, and
+  * then the engines disagree: observed at sf0.1, t20 doc 3431 — the true
+  * mean is EXACTLY −140012950/(10⁶·41) = −3.41495; Spark printed −3.4149,
+  * DuckDB −3.415, identical int64 sums on both sides.
+  *
+  * The fix: round in int64 — t = sgn(num)·(2·|num|·10ᵏ + den) div (2·den)
+  * — and make the double with ONE division t/10ᵏ, the same IEEE operation
+  * in both engines, bit-identical by construction. [[roundDivSql]] emits
+  * the DuckDB twin so a query and its oracle share one formula.
+  *
+  * Left alone, with rationale: single-division ratios (see above);
+  * irrational maps (sqrt/ln/sigmoid shapes — cosines, BM25, entropy's
+  * ln(n) shift), which sit on a decimal half with probability ~ulp; and
+  * raw double sums (money columns), where a decimal half is reachable
+  * only through a binary-rational sum (the 0.125 class) AND the engines'
+  * different summation orders must first agree to the last bit.
+  */
+object ExactPresent {
+
+  /** round-half-up-away-from-zero(num/den) in pure int64 (den > 0; both
+    * sides must fit int64 after the ×2 — callers audit their ranges). */
+  def roundHalfUpInt(num: Column, den: Column): Column = {
+    val n = num.cast("long")
+    val d = den.cast("long")
+    val q = idiv(abs(n) * lit(2L) + d, d * lit(2L))
+    when(n < 0, -q).otherwise(q)
+  }
+
+  /** round(num/den, k) emitted as DOUBLE, exactly and engine-portably:
+    * one int64 rounding, one double division by 10ᵏ. */
+  def roundDiv(num: Column, den: Column, k: Int): Column = {
+    require(k >= 0 && k <= 9, s"k: $k")
+    val p = math.pow(10, k).toLong
+    roundHalfUpInt(num.cast("long") * lit(p), den).cast("double") /
+      lit(p.toDouble)
+  }
+
+  /** The DuckDB twin of [[roundDiv]] as SQL text (num/den are SQL
+    * expressions; den > 0). `//` on the positive operands floors =
+    * truncates, matching Spark's `div`. */
+  def roundDivSql(num: String, den: String, k: Int): String = {
+    require(k >= 0 && k <= 9, s"k: $k")
+    val p = math.pow(10, k).toLong
+    s"(CASE WHEN ($num) >= 0 THEN (2 * ($num) * $p + ($den)) // (2 * ($den)) " +
+      s"ELSE -((-2 * ($num) * $p + ($den)) // (2 * ($den))) END / $p.0)"
+  }
+
+  private def idiv(a: Column, b: Column): Column =
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+}

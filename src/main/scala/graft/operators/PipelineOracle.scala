@@ -170,7 +170,9 @@ object PipelineOracle {
         "sc AS (SELECT x.vec_id, CAST(SUM(q0.q * x.x) AS BIGINT) AS adot, CAST(SUM(x.x * x.x) AS BIGINT) AS an2 FROM xh x JOIN el q0 ON q0.vec_id = 0 AND q0.i = x.sub * 16 + x.si WHERE x.vec_id <> 0 GROUP BY x.vec_id) " +
         "SELECT vec_id, ROUND(CASE WHEN qn.qn2 > 0 AND an2 > 0 THEN CAST(adot AS DOUBLE) / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(an2 AS DOUBLE)) ELSE -1.0 END, 4) AS acos FROM sc, qn ORDER BY acos DESC, vec_id LIMIT 10"),
     "t14_unigram_logprob" ->
-      "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w), vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 50), tot AS (SELECT COUNT(*) AS n_total FROM tok), lp AS (SELECT t.doc_id, CAST(ROUND(ln((COALESCE(v.n, 0) + 1.0) / (tot.n_total + 50.0)) * 1000000) AS BIGINT) AS lp FROM tok t LEFT JOIN vocab v ON v.w = t.w, tot) SELECT doc_id, COUNT(*) AS n_tokens, ROUND(CAST(SUM(lp) AS DOUBLE) / 1000000.0 / COUNT(*), 4) AS avg_logprob FROM lp GROUP BY doc_id ORDER BY doc_id",
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w), vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 50), tot AS (SELECT COUNT(*) AS n_total FROM tok), lp AS (SELECT t.doc_id, CAST(ROUND(ln((COALESCE(v.n, 0) + 1.0) / (tot.n_total + 50.0)) * 1000000) AS BIGINT) AS lp FROM tok t LEFT JOIN vocab v ON v.w = t.w, tot) SELECT doc_id, COUNT(*) AS n_tokens, " +
+      ExactPresent.roundDivSql("SUM(lp)", "1000000 * COUNT(*)", 4) +
+      " AS avg_logprob FROM lp GROUP BY doc_id ORDER BY doc_id"),
     "t15_classifier_score" ->
       "WITH wt AS (SELECT * FROM (VALUES ('data', 1200), ('customer', 800), ('vector', 900), ('supplier', 400), ('the', 300), ('region', -200), ('click', -700), ('error', -1500)) AS t(w, wm)), tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), hits AS (SELECT t.doc_id, COUNT(*) AS n_hits, CAST(SUM(wt.wm) AS BIGINT) AS num FROM tok t JOIN wt ON wt.w = t.w GROUP BY t.doc_id), base AS (SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens FROM documents) SELECT b.doc_id, b.n_tokens, COALESCE(h.n_hits, 0) AS n_hits, ROUND(1.0 / (1.0 + exp(-(-500.0 / 1000.0 + COALESCE(h.num, 0) / 1000.0 / b.n_tokens))), 4) AS prob, ROUND(1.0 / (1.0 + exp(-(-500.0 / 1000.0 + COALESCE(h.num, 0) / 1000.0 / b.n_tokens))), 4) >= 0.5 AS kept FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id ORDER BY b.doc_id",
     "ss07_kmeans_assign" ->
@@ -190,7 +192,9 @@ object PipelineOracle {
     "t06_quality_topk" ->
       "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT doc_id, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok), r AS (SELECT d.lang, d.doc_id, q.quality, row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, d.doc_id) AS rk FROM documents d JOIN q ON q.doc_id = d.doc_id) SELECT lang, rk, doc_id, quality FROM r WHERE rk <= 3 ORDER BY lang, rk",
     "t07_repetition" ->
-      "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), g AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)] ELSE [] END AS g FROM tok) SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_unique, CASE WHEN len(g) > 0 THEN ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 3) ELSE 0.0 END AS rep_ratio FROM g ORDER BY doc_id",
+      ("WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), g AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)] ELSE [] END AS g FROM tok) SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_unique, CASE WHEN len(g) > 0 THEN " +
+      ExactPresent.roundDivSql("len(g) - len(list_distinct(g))", "len(g)", 3) +
+      " ELSE 0.0 END AS rep_ratio FROM g ORDER BY doc_id"),
     "t08_scrub" ->
       "SELECT doc_id, len(regexp_extract_all(text, '\\b(customer|vector)\\b')) AS n_hits, regexp_replace(text, '\\b(customer|vector)\\b', '[X]', 'g') AS scrubbed, length(regexp_replace(text, '\\b(customer|vector)\\b', '[X]', 'g')) AS n_chars_scrubbed FROM documents ORDER BY doc_id",
     "t09_top_ngrams" ->
@@ -254,7 +258,10 @@ object PipelineOracle {
     "t11_quality_bins" ->
       "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT doc_id, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok), c AS (SELECT quantile_disc(quality, [0.25, 0.5, 0.75]) AS cuts FROM q) SELECT q.doc_id, q.quality, (CASE WHEN q.quality > c.cuts[1] THEN 1 ELSE 0 END + CASE WHEN q.quality > c.cuts[2] THEN 1 ELSE 0 END + CASE WHEN q.quality > c.cuts[3] THEN 1 ELSE 0 END) AS bin FROM q, c ORDER BY q.doc_id",
     "t12_corpus_profile" ->
-      "WITH tok AS (SELECT doc_id, source, lang, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT doc_id, source, lang, len(ws) AS n_tokens, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok) SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, ROUND(CAST(SUM(CAST(ROUND(quality * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 / COUNT(*), 3) AS mean_quality FROM q GROUP BY source, lang ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST",
+      ("WITH tok AS (SELECT doc_id, source, lang, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT doc_id, source, lang, len(ws) AS n_tokens, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok) SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+      ExactPresent.roundDivSql("SUM(CAST(ROUND(quality * 1000) AS BIGINT))",
+        "1000 * COUNT(*)", 3) +
+      " AS mean_quality FROM q GROUP BY source, lang ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"),
     "sp03_temperature_mix" ->
       "WITH n AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source) SELECT d.doc_id, d.source, n.n_source, (CAST(CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS INT) + 0.0) < 10000.0 * LEAST(1.0, 3.0 / sqrt(n.n_source)) AS kept FROM documents d JOIN n ON n.source = d.source ORDER BY d.doc_id",
     "c05_diverse_sample" ->
@@ -294,7 +301,11 @@ object PipelineOracle {
     "c13_embedding_drift" ->
       "WITH el AS (SELECT vec_id, i.i AS i, CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS v FROM embeddings, unnest(range(0, 64)) i(i)), proj AS (SELECT vec_id, j.j AS j, CAST(SUM(v * ((((i + 1) * (j.j + 7) * 2654435761) % 97) - 48)) AS BIGINT) AS dot FROM el, unnest(range(0, 8)) j(j) GROUP BY vec_id, j.j), bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS cell FROM proj GROUP BY vec_id), cs AS (SELECT (e.vec_id // 20) % 2 AS snap, b.cell, e.i, CAST(SUM(e.v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM el e JOIN bkt b USING (vec_id) GROUP BY 1, 2, 3), a AS (SELECT cell, i, s, n FROM cs WHERE snap = 0), b AS (SELECT cell, i, s, n FROM cs WHERE snap = 1), j AS (SELECT COALESCE(a.cell, b.cell) AS cell, COALESCE(a.i, b.i) AS i, COALESCE(a.s, 0) AS sa, COALESCE(b.s, 0) AS sb, COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb FROM a FULL OUTER JOIN b ON a.cell = b.cell AND a.i = b.i), g AS (SELECT cell, MAX(na) AS n_a, MAX(nb) AS n_b, CAST(SUM(sa * sb) AS BIGINT) AS dot, CAST(SUM(sa * sa) AS BIGINT) AS a2, CAST(SUM(sb * sb) AS BIGINT) AS b2 FROM j GROUP BY cell), tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM g), fin AS (SELECT g.cell, g.n_a, g.n_b, CASE WHEN g.a2 > 0 AND g.b2 > 0 THEN ROUND(CAST(g.dot AS DOUBLE) / sqrt(CAST(g.a2 AS DOUBLE) * CAST(g.b2 AS DOUBLE)), 4) END AS cos_shift, CAST(ABS(g.n_a * 1000 // t.ta - g.n_b * 1000 // t.tb) AS BIGINT) AS dshare_permille FROM g, tot t) SELECT cell, n_a, n_b, cos_shift, dshare_permille, CASE WHEN n_a = 0 THEN 'new' WHEN n_b = 0 THEN 'gone' WHEN cos_shift IS NULL OR cos_shift < 0.99 OR dshare_permille > 2 THEN 'drift' ELSE 'stable' END AS verdict FROM fin ORDER BY cell",
     "c12_drift_monitor" ->
-      "WITH d AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT source, CASE WHEN (doc_id // 20) % 2 = 0 THEN 'a' ELSE 'b' END AS snap, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS qual, len(ws) AS nt FROM d), b AS (SELECT source, snap, 'quality' AS dim, LEAST(CAST(floor(qual * 10) AS INT), 9) AS bin FROM q UNION ALL SELECT source, snap, 'length', LEAST(CAST(floor(nt / 16) AS INT), 9) FROM q), c AS (SELECT source, snap, dim, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3, 4), spine AS (SELECT DISTINCT c.source, c.dim, u.bin FROM c, unnest(range(0, 10)) u(bin)), j AS (SELECT s.source, s.dim, s.bin, COALESCE(ca.cnt, 0) AS ca, COALESCE(cb.cnt, 0) AS cb FROM spine s LEFT JOIN c ca ON ca.source = s.source AND ca.dim = s.dim AND ca.bin = s.bin AND ca.snap = 'a' LEFT JOIN c cb ON cb.source = s.source AND cb.dim = s.dim AND cb.bin = s.bin AND cb.snap = 'b'), t AS (SELECT source, dim, ca, cb, SUM(ca) OVER (PARTITION BY source, dim) AS na, SUM(cb) OVER (PARTITION BY source, dim) AS nb FROM j), p AS (SELECT source, dim, na, nb, CAST(ROUND((CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10)) * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10))) * 100000000) AS BIGINT) AS term FROM t), f AS (SELECT source, CAST(MAX(CASE WHEN dim = 'quality' THEN na END) AS BIGINT) AS n_a, CAST(MAX(CASE WHEN dim = 'quality' THEN nb END) AS BIGINT) AS n_b, ROUND(CAST(SUM(CASE WHEN dim = 'quality' THEN term END) AS DOUBLE) / 100000000, 4) AS psi_quality, ROUND(CAST(SUM(CASE WHEN dim = 'length' THEN term END) AS DOUBLE) / 100000000, 4) AS psi_length FROM p GROUP BY 1) SELECT source, n_a, n_b, psi_quality, psi_length, CASE WHEN GREATEST(psi_quality, psi_length) > 0.2 THEN 'shift' WHEN GREATEST(psi_quality, psi_length) > 0.1 THEN 'drift' ELSE 'stable' END AS verdict FROM f ORDER BY source",
+      ("WITH d AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT source, CASE WHEN (doc_id // 20) % 2 = 0 THEN 'a' ELSE 'b' END AS snap, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS qual, len(ws) AS nt FROM d), b AS (SELECT source, snap, 'quality' AS dim, LEAST(CAST(floor(qual * 10) AS INT), 9) AS bin FROM q UNION ALL SELECT source, snap, 'length', LEAST(CAST(floor(nt / 16) AS INT), 9) FROM q), c AS (SELECT source, snap, dim, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3, 4), spine AS (SELECT DISTINCT c.source, c.dim, u.bin FROM c, unnest(range(0, 10)) u(bin)), j AS (SELECT s.source, s.dim, s.bin, COALESCE(ca.cnt, 0) AS ca, COALESCE(cb.cnt, 0) AS cb FROM spine s LEFT JOIN c ca ON ca.source = s.source AND ca.dim = s.dim AND ca.bin = s.bin AND ca.snap = 'a' LEFT JOIN c cb ON cb.source = s.source AND cb.dim = s.dim AND cb.bin = s.bin AND cb.snap = 'b'), t AS (SELECT source, dim, ca, cb, SUM(ca) OVER (PARTITION BY source, dim) AS na, SUM(cb) OVER (PARTITION BY source, dim) AS nb FROM j), p AS (SELECT source, dim, na, nb, CAST(ROUND((CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10)) * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10))) * 100000000) AS BIGINT) AS term FROM t), f AS (SELECT source, CAST(MAX(CASE WHEN dim = 'quality' THEN na END) AS BIGINT) AS n_a, CAST(MAX(CASE WHEN dim = 'quality' THEN nb END) AS BIGINT) AS n_b, " +
+      ExactPresent.roundDivSql("SUM(CASE WHEN dim = 'quality' THEN term END)",
+        "100000000", 4) + " AS psi_quality, " +
+      ExactPresent.roundDivSql("SUM(CASE WHEN dim = 'length' THEN term END)",
+        "100000000", 4) + " AS psi_length FROM p GROUP BY 1) SELECT source, n_a, n_b, psi_quality, psi_length, CASE WHEN GREATEST(psi_quality, psi_length) > 0.2 THEN 'shift' WHEN GREATEST(psi_quality, psi_length) > 0.1 THEN 'drift' ELSE 'stable' END AS verdict FROM f ORDER BY source"),
     "c11_dataset_card" ->
       "WITH tok AS (SELECT doc_id, source, lang, string_split_regex(lower(trim(text)), '\\s+') AS ws, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, source, lang, fp, CAST(len(ws) AS BIGINT) AS nt, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS q FROM tok), dc AS (SELECT fp, COUNT(*) AS nd FROM sc GROUP BY fp), n AS (SELECT COUNT(*) AS total FROM sc) SELECT s.source, COUNT(*) AS n_docs, CAST(SUM(s.nt) AS BIGINT) AS n_tokens, ROUND(CAST(SUM(CAST(ROUND(s.q * 1000) AS BIGINT)) AS DOUBLE) / 1000.0 / COUNT(*), 3) AS avg_quality, CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, CAST(COUNT(DISTINCT s.lang) AS BIGINT) AS n_langs, CAST(SUM(CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en, (COUNT(*) * 1000) // MAX(n.total) AS share_permille FROM sc s JOIN dc d USING (fp), n GROUP BY s.source ORDER BY s.source",
     "c10_split_leakage" ->
@@ -307,7 +318,12 @@ object PipelineOracle {
       s"WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), b AS (SELECT doc_id, [CAST(('0x' || substr(md5('feat:' || w), 1, 15)) AS BIGINT) % 16 FOR w IN ws] AS bs FROM tok) SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_tokens, $fs FROM b ORDER BY doc_id"
     },
     "t22_readability" ->
-      "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws, lower(trim(text)) AS lt FROM documents), st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(GREATEST(1, len(regexp_extract_all(lt, '[.!?]+'))) AS BIGINT) AS n_sentences, CAST(list_sum([GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+'))) FOR x IN ws]) AS BIGINT) AS n_syllables FROM w) SELECT doc_id, n_words, n_sentences, n_syllables, ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 3) AS fk_grade FROM st ORDER BY doc_id",
+      ("WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws, lower(trim(text)) AS lt FROM documents), st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(GREATEST(1, len(regexp_extract_all(lt, '[.!?]+'))) AS BIGINT) AS n_sentences, CAST(list_sum([GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+'))) FOR x IN ws]) AS BIGINT) AS n_syllables FROM w) SELECT doc_id, n_words, n_sentences, n_syllables, " +
+      ExactPresent.roundDivSql(
+        "39 * n_words * n_words + 1180 * n_syllables * n_sentences" +
+          " - 1559 * n_sentences * n_words",
+        "100 * n_sentences * n_words", 3) +
+      " AS fk_grade FROM st ORDER BY doc_id"),
     "t21_token_entropy" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), c AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w), s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE)) * c * 1000000) AS BIGINT)) AS BIGINT) AS s FROM c GROUP BY doc_id) SELECT doc_id, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct, ROUND(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / 1000000.0 / n_tokens, 4) AS entropy FROM s ORDER BY doc_id",
     "ss13_mips" ->
@@ -319,11 +335,14 @@ object PipelineOracle {
     "ss16_truncated_rerank" ->
       "WITH el AS (SELECT vec_id, i.i AS i, CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM embeddings, unnest(range(0, 64)) i(i)), pd AS (SELECT b.vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS pdot FROM el a JOIN el b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0 WHERE a.i < 32 GROUP BY b.vec_id), cand AS (SELECT vec_id, pdot FROM pd ORDER BY pdot DESC, vec_id LIMIT 30), fd AS (SELECT b.vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot FROM el a JOIN el b ON a.i = b.i AND a.vec_id = 0 JOIN cand c ON c.vec_id = b.vec_id GROUP BY b.vec_id) SELECT f.vec_id, f.dot, c.pdot AS prefix_dot FROM fd f JOIN cand c USING (vec_id) ORDER BY f.dot DESC, f.vec_id LIMIT 10",
     "t19_dsir_weights" ->
-      "WITH arr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), g AS (SELECT doc_id, doc_id % 97 = 0 AS t, CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15)) AS BIGINT) % 256 AS b FROM arr, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2), tgt AS (SELECT b, COUNT(*) AS nt FROM g WHERE t GROUP BY b), rw AS (SELECT b, COUNT(*) AS nr FROM g WHERE NOT t GROUP BY b), tot AS (SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_r FROM g), lr AS (SELECT g.doc_id, CAST(ROUND((ln((COALESCE(tgt.nt, 0) + 1.0) / (tot.n_t + 256.0)) - ln((COALESCE(rw.nr, 0) + 1.0) / (tot.n_r + 256.0))) * 1000000) AS BIGINT) AS lr FROM g LEFT JOIN tgt ON tgt.b = g.b LEFT JOIN rw ON rw.b = g.b, tot WHERE NOT g.t), sc AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(lr) AS s FROM lr GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, ROUND(CAST(sc.s AS DOUBLE) / 1000000.0 / sc.n_grams, 4) AS avg_log_ratio FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id",
+      ("WITH arr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), g AS (SELECT doc_id, doc_id % 97 = 0 AS t, CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15)) AS BIGINT) % 256 AS b FROM arr, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2), tgt AS (SELECT b, COUNT(*) AS nt FROM g WHERE t GROUP BY b), rw AS (SELECT b, COUNT(*) AS nr FROM g WHERE NOT t GROUP BY b), tot AS (SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_r FROM g), lr AS (SELECT g.doc_id, CAST(ROUND((ln((COALESCE(tgt.nt, 0) + 1.0) / (tot.n_t + 256.0)) - ln((COALESCE(rw.nr, 0) + 1.0) / (tot.n_r + 256.0))) * 1000000) AS BIGINT) AS lr FROM g LEFT JOIN tgt ON tgt.b = g.b LEFT JOIN rw ON rw.b = g.b, tot WHERE NOT g.t), sc AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(lr) AS s FROM lr GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, " +
+      ExactPresent.roundDivSql("sc.s", "1000000 * sc.n_grams", 4) +
+      " AS avg_log_ratio FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"),
     "t28_collocations" ->
       "WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tok AS (SELECT unnest(ws) AS w FROM d), uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w), n1t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM tok), bg AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2 FROM d, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2), n2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM bg), bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5) SELECT b.w1, b.w2, b.c12, CAST(ROUND(ln((CAST(b.c12 AS DOUBLE) / n2) / ((CAST(u1.c AS DOUBLE) / n1) * (CAST(u2.c AS DOUBLE) / n1))) * 1000000) AS BIGINT) AS pmi_micro FROM bgc b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, n1t, n2t ORDER BY pmi_micro DESC, b.w1, b.w2 LIMIT 20",
     "t20_bigram_logprob" ->
-      "WITH arr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tok AS (SELECT doc_id, unnest(ws) AS w FROM arr), cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w), vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 50), tot AS (SELECT COUNT(*) AS n_total FROM tok), bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM arr, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2), bgc AS (SELECT bg.w1, bg.w2, COUNT(*) AS c12 FROM bg JOIN vocab v1 ON v1.w = bg.w1 JOIN vocab v2 ON v2.w = bg.w2 GROUP BY bg.w1, bg.w2), lp AS (SELECT b.doc_id, CAST(ROUND(ln(CASE WHEN bgc.c12 IS NOT NULL THEN 0.7 * bgc.c12 / v1.n ELSE 0.0 END + 0.3 * (COALESCE(v2.n, 0) + 1.0) / (tot.n_total + 50.0)) * 1000000) AS BIGINT) AS lp FROM bg b LEFT JOIN bgc ON bgc.w1 = b.w1 AND bgc.w2 = b.w2 LEFT JOIN vocab v1 ON v1.w = b.w1 LEFT JOIN vocab v2 ON v2.w = b.w2, tot), sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS s FROM lp GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, ROUND(CAST(sc.s AS DOUBLE) / 1000000.0 / sc.n_bigrams, 4) AS avg_logprob FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id",
+      ("WITH arr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tok AS (SELECT doc_id, unnest(ws) AS w FROM arr), cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w), vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 50), tot AS (SELECT COUNT(*) AS n_total FROM tok), bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM arr, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2), bgc AS (SELECT bg.w1, bg.w2, COUNT(*) AS c12 FROM bg JOIN vocab v1 ON v1.w = bg.w1 JOIN vocab v2 ON v2.w = bg.w2 GROUP BY bg.w1, bg.w2), lp AS (SELECT b.doc_id, CAST(ROUND(ln(CASE WHEN bgc.c12 IS NOT NULL THEN 0.7 * bgc.c12 / v1.n ELSE 0.0 END + 0.3 * (COALESCE(v2.n, 0) + 1.0) / (tot.n_total + 50.0)) * 1000000) AS BIGINT) AS lp FROM bg b LEFT JOIN bgc ON bgc.w1 = b.w1 AND bgc.w2 = b.w2 LEFT JOIN vocab v1 ON v1.w = b.w1 LEFT JOIN vocab v2 ON v2.w = b.w2, tot), sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS s FROM lp GROUP BY doc_id) SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, " + ExactPresent.roundDivSql("sc.s", "1000000 * sc.n_bigrams", 4) +
+      " AS avg_logprob FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id"),
     "t18_quality_rules" ->
       "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), st AS (SELECT doc_id, len(ws) AS n, CAST(list_sum([length(x) FOR x IN ws]) AS BIGINT) AS tl, len(list_distinct(ws)) AS nd, len(list_intersect(list_distinct(ws), ['the','a','of','to','and','in','is','it'])) AS sh, CAST(list_max([len([y FOR y IN ws IF y = x]) FOR x IN list_distinct(ws)]) AS BIGINT) AS tc FROM tok) SELECT doc_id, n AS n_tokens, (tl * 100) // n AS mean_len_centi, (nd * 1000) // n AS distinct_permille, sh AS stop_hits, (tc * 1000) // n AS top_permille, n BETWEEN 30 AND 120 AS r_words, tl >= 3 * n AND tl <= 10 * n AS r_mean_len, nd * 1000 >= n * 500 AS r_distinct, sh >= 2 AS r_stop, tc * 1000 <= n * 150 AS r_top, (n BETWEEN 30 AND 120) AND tl >= 3 * n AND tl <= 10 * n AND nd * 1000 >= n * 500 AND sh >= 2 AND tc * 1000 <= n * 150 AS pass FROM st ORDER BY doc_id",
     "c06_embedding_decontaminate" ->

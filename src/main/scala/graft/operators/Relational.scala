@@ -553,8 +553,8 @@ object Relational {
       .withColumn("cents_1h", sum(col("__cents")).over(w))
       .select(col("event_id"), col("user_id"), col("ts_us"), col("n_1h"),
         col("cents_1h"),
-        round(col("cents_1h").cast("double") / col("n_1h") / 100.0, 3)
-          .as("avg_value_1h"))
+        graft.operators.ExactPresent.roundDiv(col("cents_1h"),
+          col("n_1h") * lit(100L), 3).as("avg_value_1h"))
       .orderBy("event_id")
   }
 
@@ -1228,7 +1228,9 @@ object Relational {
     "q31_window_distribution" ->
       "SELECT event_type, event_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cdf FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_type, event_id",
     "q32_moving_window" ->
-      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_us, COUNT(*) OVER w AS n_1h, CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h, ROUND(CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE) / (COUNT(*) OVER w) / 100.0, 3) AS avg_value_1h FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) SELECT event_id, user_id, ts_us, COUNT(*) OVER w AS n_1h, CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h, " + graft.operators.ExactPresent.roundDivSql(
+        "CAST(SUM(cents) OVER w AS BIGINT)", "100 * (COUNT(*) OVER w)", 3) +
+      " AS avg_value_1h FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
     "q33_interval_join" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events), p AS (SELECT event_id AS click_id, user_id, tsu AS pt FROM e WHERE event_type = 'click'), iv AS (SELECT event_id AS purchase_id, user_id, tsu AS s FROM e WHERE event_type = 'purchase') SELECT p.click_id, p.user_id, iv.purchase_id, p.pt - iv.s AS delta_us FROM p JOIN iv ON iv.user_id = p.user_id AND p.pt >= iv.s AND p.pt < iv.s + 3600000000 ORDER BY p.click_id, iv.purchase_id",
     "q35_cohort_retention" ->

@@ -120,7 +120,8 @@ object TextAnalysis {
         size(array_distinct(col("g"))).as("n_unique"))
       .withColumn("rep_ratio",
         when(col("n_grams") > 0,
-          round(lit(1.0) - col("n_unique").cast("double") / col("n_grams"), 3))
+          ExactPresent.roundDiv(col("n_grams") - col("n_unique"),
+            col("n_grams"), 3))
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
   }
@@ -345,8 +346,10 @@ object TextAnalysis {
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        round(sum(expr("CAST(ROUND(quality * 1000) AS BIGINT)"))
-          .cast("double") / 1000.0 / count(lit(1)), 3).as("mean_quality"))
+        sum(expr("CAST(ROUND(quality * 1000) AS BIGINT)")).as("__qs"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        ExactPresent.roundDiv(col("__qs"),
+          lit(1000L) * col("n_docs"), 3).as("mean_quality"))
       .orderBy("source", "lang")
   }
 
@@ -389,9 +392,12 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("doc_id"), lpMicros.as("lp"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lp")).cast("double") / 1e6 / count(lit(1)), 4)
-          .as("avg_logprob"))
+      // mean presentation rides ExactPresent: s/1e6/n in doubles is the
+      // multi-step rational shape that diverged cross-engine at t20
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        ExactPresent.roundDiv(col("__s"),
+          lit(1000000L) * col("n_tokens"), 4).as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -671,9 +677,10 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .select(col(idCol), lr.as("lr"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        round(sum(col("lr")).cast("double") / 1e6 / count(lit(1)), 4)
-          .as("avg_log_ratio"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("__s"))
+      .select(col(idCol), col("n_grams"),
+        ExactPresent.roundDiv(col("__s"),
+          lit(1000000L) * col("n_grams"), 4).as("avg_log_ratio"))
     docs.where(!isTarget).select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -737,9 +744,12 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("doc_id"), lp.as("lp"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / 1e6 / count(lit(1)), 4)
-          .as("avg_logprob"))
+      // s = −140012950 micros over n = 41 is EXACTLY −3.41495: the sf0.1
+      // divergence that motivated ExactPresent (scaladoc there)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ExactPresent.roundDiv(col("__s"),
+          lit(1000000L) * col("n_bigrams"), 4).as("avg_logprob"))
     arr.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -825,10 +835,14 @@ object TextAnalysis {
           transform(col("ws"), w => greatest(lit(1),
             size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
           lit(0L), (acc, x) => acc + x.cast("long")).as("n_syllables"))
-      .withColumn("fk_grade", round(
-        lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
-          lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
-          lit(15.59), 3))
+      // FK = 0.39·w/s + 11.8·syl/w − 15.59 as ONE rational
+      // (39·w² + 1180·syl·s − 1559·s·w)/(100·s·w): the multi-term double
+      // shape is ExactPresent's divergence class
+      .withColumn("fk_grade", ExactPresent.roundDiv(
+        lit(39L) * col("n_words") * col("n_words") +
+          lit(1180L) * col("n_syllables") * col("n_sentences") -
+          lit(1559L) * col("n_sentences") * col("n_words"),
+        lit(100L) * col("n_sentences") * col("n_words"), 3))
 
   /** t23 — HASHED FEATURE VECTORS (the hashing trick): bag-of-words
     * counts folded into a fixed-width vector by token hash — the

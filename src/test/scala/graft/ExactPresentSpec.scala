@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ExactPresent
+
+/** ExactPresent.roundDiv must equal exact decimal half-up rounding of the
+  * TRUE rational num/den — the property `round(double, k)` cannot deliver
+  * (see ExactPresent's scaladoc: the observed t20 sf0.1 divergence). */
+class ExactPresentSpec extends SparkSpec {
+
+  private def grid(num: Long, den: Long, k: Int): Double = {
+    // reference: exact decimal half-up on the true rational
+    val bd = (BigDecimal(num) / BigDecimal(den))
+      .setScale(k, BigDecimal.RoundingMode.HALF_UP)
+    bd.toDouble
+  }
+
+  test("the observed t20 boundary case rounds away from zero on the true half") {
+    import spark.implicits._
+    // s = −140012950 micros over 41 bigrams = EXACTLY −3.41495; the old
+    // double path printed −3.4149 in Spark and −3.415 in DuckDB
+    val r = Seq((-140012950L, 41L)).toDF("s", "n")
+      .select(ExactPresent.roundDiv(col("s"), lit(1000000L) * col("n"), 4)
+        .as("v")).head.getDouble(0)
+    assert(r == -3.415, s"got $r")
+  }
+
+  test("roundDiv equals exact decimal HALF_UP on random rationals, both signs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val cases = Seq.tabulate(4000) { i =>
+      val den = 1L + rnd.nextInt(100000)
+      val num = rnd.nextLong() % (den * 10000L) // keep |num/den| small-ish
+      val k = 1 + rnd.nextInt(6)
+      (num, den, k)
+    } ++ Seq( // adversarial exact halves at every scale
+      (5L, 100L, 1), (-5L, 100L, 1), (15L, 1000L, 2), (-15L, 1000L, 2),
+      (125L, 1000L, 2), (1L, 32L, 4), (-1L, 32L, 4), (1L, 2L, 3),
+      (140012950L, 41000000L, 4), (-140012950L, 41000000L, 4))
+    for (group <- cases.grouped(500)) {
+      val df = group.toDF("num", "den", "k")
+      val got = df.select(col("num"), col("den"), col("k"),
+          when(col("k") === 1, ExactPresent.roundDiv(col("num"), col("den"), 1))
+            .when(col("k") === 2, ExactPresent.roundDiv(col("num"), col("den"), 2))
+            .when(col("k") === 3, ExactPresent.roundDiv(col("num"), col("den"), 3))
+            .when(col("k") === 4, ExactPresent.roundDiv(col("num"), col("den"), 4))
+            .when(col("k") === 5, ExactPresent.roundDiv(col("num"), col("den"), 5))
+            .otherwise(ExactPresent.roundDiv(col("num"), col("den"), 6))
+            .as("v"))
+        .collect()
+      for (r <- got) {
+        val (num, den, k) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        val want = grid(num, den, k)
+        assert(r.getDouble(3) == want,
+          s"roundDiv($num, $den, $k) = ${r.getDouble(3)}, want $want")
+      }
+    }
+  }
+
+  test("roundDivSql is the DuckDB twin: same integer, same formula shape") {
+    // can't run DuckDB in-JVM; pin the emitted SQL so the generated
+    // formula can't silently drift from the Scala side's semantics
+    val sql = ExactPresent.roundDivSql("s", "n", 4)
+    assert(sql ==
+      "(CASE WHEN (s) >= 0 THEN (2 * (s) * 10000 + (n)) // (2 * (n)) " +
+        "ELSE -((-2 * (s) * 10000 + (n)) // (2 * (n))) END / 10000.0)")
+  }
+
+  test("null numerator propagates (c12's missing-dim sums)") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Option.empty[Long])).toDF("s")
+      .select(ExactPresent.roundDiv(col("s"), lit(100000000L), 4).as("v"))
+      .head
+    assert(r.isNullAt(0))
+  }
+}
