@@ -78,9 +78,15 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
+        // quantities are integer-valued: a double sum is exact to 2^53
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"))
+        // disc_price is a 4-decimal rational (cents × a 2-decimal factor):
+        // sum it as int64 ten-thousandths — a raw double sum's ulp drift
+        // crossed the cent boundary at sf10 (~15M rows per group), the
+        // first scale where order-dependent summation became visible
+        ExactPresent.roundDiv(sum(expr(
+          "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")),
+          lit(10000L), 2).as("sum_disc_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Q06 — count (ref melt.clj:301-305 count-topic). */
@@ -364,7 +370,13 @@ object Relational {
     * element — the value at 1-based rank ⌈p·N⌉, no interpolation
     * arithmetic to order differently — and DuckDB's `quantile_disc`
     * selects the same rank (verified at convention-divergent probe points
-    * p=0.85/0.05 as well as on the fixture). */
+    * p=0.85/0.05 as well as on the fixture). Above that regime the sketch
+    * is honestly approximate and the oracle match is NOT expected: the
+    * round-13 sf10 sweep (N ≈ 2M per group) measured p50 off by ~0.02 —
+    * within the ≤ 20-rank contract — while exact q24 stayed oracle-green
+    * at sf10. By design, not a defect: the gate SF sits in the exact
+    * regime, and at scale an approx sketch's contract is rank error, not
+    * value equality. */
   def q24bPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy("event_type")
@@ -447,7 +459,11 @@ object Relational {
         .as("hour_bucket"), col("user_id"), col("value"))
       .groupBy("hour_bucket")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // per-hour groups grow without bound with corpus size: same cents
+        // convention as q05/q30 so the sum stays exact at any scale
+        ExactPresent.roundDiv(sum(expr(
+          "CAST(ROUND(value * 100) AS BIGINT)")), lit(100L), 2)
+          .as("sum_value"))
       .orderBy("hour_bucket")
 
   /** Q30 — dimension-chain rollup (the TPC-H Q5 shape): revenue by region
@@ -1156,7 +1172,11 @@ object Relational {
     "q04_compaction" ->
       "SELECT user_id, max_by(value, ts) AS last_value, max_by(event_type, ts) AS last_type FROM events GROUP BY user_id ORDER BY user_id",
     "q05_agg" ->
-      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        graft.operators.ExactPresent.roundDivSql(
+          "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))",
+          "10000", 2) +
+        " AS sum_disc_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q06_count" ->
       "SELECT COUNT(*) AS c FROM orders",
     "q07_sample" ->
@@ -1208,7 +1228,10 @@ object Relational {
     "q28_cube" ->
       "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
     "q29_time_buckets" ->
-      "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
+      ("SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users, " +
+        graft.operators.ExactPresent.roundDivSql(
+          "SUM(CAST(ROUND(value * 100) AS BIGINT))", "100", 2) +
+        " AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
     "q40_kmv_distinct" ->
       "WITH h AS (SELECT DISTINCT event_type, CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h), st AS (SELECT event_type, COUNT(*) AS held, MAX(CASE WHEN rk = 64 THEN h END) AS kth FROM rk WHERE rk <= 64 GROUP BY event_type), ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY event_type) SELECT ex.event_type, ex.n_exact, CAST(CASE WHEN st.held < 64 THEN st.held ELSE CAST(ROUND(63 * 1.152921504606846976e18 / st.kth) AS BIGINT) END AS BIGINT) AS kmv_estimate FROM ex JOIN st USING (event_type) ORDER BY ex.event_type",
     "q41_kmv_rollup" ->
