@@ -970,24 +970,23 @@ class PipelinesSpec extends SparkSpec {
       // operator-internal unpins are deliberately non-blocking (the
       // operator must not stall on block eviction), so under concurrent
       // suite load a superseded pin can linger — the r9-flagged flake
-      // was exactly this: a 1s no-shrink window expired while an
-      // enqueued unpersist was still >1s out, reporting 2 live pins for
-      // a steady state of 1. The invariant is "eventually bounded", not
-      // "instantaneously bounded", so poll toward the EXPECTED floor:
-      // exit early once ≤ settleTo pins remain (the legitimate result
-      // pins), otherwise keep waiting while the set is still shrinking
-      // (5s quiet period, 30s cap). A genuine leak never shrinks, so it
-      // still reports every leaked pin after the quiet period.
-      val deadline = System.nanoTime() + 30000000000L
+      // was exactly this: a no-shrink quiet window expired while an
+      // enqueued unpersist was still queued behind a neighbor suite's
+      // jobs, reporting 2 live pins for a steady state of 1 (observed
+      // again in round 13: two full-suite runs under driver load tripped
+      // the 5 s window; isolation and a quiet machine always pass). The
+      // invariant is "eventually bounded", not "instantaneously bounded",
+      // and the quiet-window heuristic only bought faster FAILURE
+      // reporting at the price of load-dependent false positives — so
+      // poll plainly to the hard deadline and exit early once ≤ settleTo
+      // pins remain. A genuine leak never shrinks to the floor and is
+      // still reported in full; only the failure path pays the wait.
+      val deadline = System.nanoTime() + 60000000000L
       def snap() = ids.filter(spark.sparkContext.getPersistentRDDs.keySet)
       var out = snap()
-      var quietUntil = System.nanoTime() + 5000000000L
-      while (out.size > settleTo &&
-          System.nanoTime() < math.min(quietUntil, deadline)) {
+      while (out.size > settleTo && System.nanoTime() < deadline) {
         Thread.sleep(100)
-        val next = snap()
-        if (next.size < out.size) quietUntil = System.nanoTime() + 5000000000L
-        out = next
+        out = snap()
       }
       out
     }
