@@ -83,19 +83,31 @@ object StreamingCurationExample {
         val survivors = scored.where(col("quality") >= minQuality)
           .select("doc_id", "source", "text", "ts", "quality")
         survivors.persist()
+        // every frame the publish-and-account stage consumes MORE THAN
+        // ONCE is pinned before first use (the composed-graph pin rule):
+        // `adm` feeds both the quarantine split and the clean filter, and
+        // `clean` feeds the curated publish, the conservation count, and
+        // the profile. Left lazy, each consumer would RE-RUN the near-dup
+        // admit join against the live ledger tables — a concurrent ledger
+        // append between the publish and the count would then make the
+        // accounting row disagree with the rows actually published, the
+        // exact invariant the ledger exists to prove.
+        var adm0: Option[DataFrame] = None
+        var clean: DataFrame = survivors
         try {
-          val clean = nearDupLedger match {
+          clean = nearDupLedger match {
             case Some(name)
                 if spark.catalog.tableExists(s"${name}_bands") =>
               val adm = graft.operators.Dedup.nearDupAdmitAgainstLedger(
-                spark, survivors, name, nearDupThreshold)
+                spark, survivors, name, nearDupThreshold).persist()
+              adm0 = Some(adm)
               quarantineDir.foreach { qd =>
                 graft.sources.Sink.idempotentAppend(
                   survivors.join(adm.where(!col("admitted"))
                     .select("doc_id"), "doc_id"), qd, batchId)
               }
               survivors.join(adm.where(col("admitted"))
-                .select("doc_id"), "doc_id")
+                .select("doc_id"), "doc_id").persist()
             case _ => survivors
           }
           // batch-id-keyed idempotent publishes: a re-delivered batch
@@ -119,7 +131,10 @@ object StreamingCurationExample {
           ledgerDir.foreach { ld =>
             val ss = batch.sparkSession
             import ss.implicits._
-            val nIn = scored.count()
+            // all three counts come from pinned frames (survivors/clean)
+            // or the stable micro-batch itself (scored is a narrow
+            // deterministic map over `batch`, so its count IS batch's)
+            val nIn = batch.count()
             val nSurv = survivors.count()
             val nKept = clean.count()
             graft.sources.Sink.idempotentAppend(
@@ -136,7 +151,12 @@ object StreamingCurationExample {
               col("n_docs"), col("sum_quality")),
             profileDir, batchId)
           ()
-        } finally { survivors.unpersist(); () }
+        } finally {
+          if (!(clean eq survivors)) clean.unpersist()
+          adm0.foreach(_.unpersist())
+          survivors.unpersist()
+          ()
+        }
       }
       .start()
   }

@@ -36,11 +36,13 @@ import graft.operators.{Dedup, ImageCodec, Multimodal}
   * `main` drives the identical plan through the text-stub demuxers the
   * declared m06–m08 queries use.
   *
-  * Scale shape: two map-only codec passes (scene signatures; per-frame
-  * hashes — each holds ONE live canvas regardless of frame count), one
-  * doc_id-partitioned keyframe join, then banded pairs over |keyframes|
-  * rows — everything downstream of decode is the dedup ladder's
-  * existing economics.
+  * Scale shape: two map-only codec passes — scene signatures, demuxed
+  * ONCE and pinned for both detectors (an unpinned twice-consumed codec
+  * pass would pay the dominant decode cost twice — the `losers` lesson),
+  * and per-frame hashes; each holds ONE live canvas regardless of frame
+  * count — one doc_id-partitioned keyframe join, then banded pairs over
+  * |keyframes| rows — everything downstream of decode is the dedup
+  * ladder's existing economics.
   *
   * Run against a TESTDATA sf dir:
   * {{{
@@ -59,9 +61,17 @@ object VideoDedupExample {
     * before any pairing can bucket them together. */
   def keyframeHashes(videos: DataFrame, theta: Long,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
+      hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame =
+    keyframeHashesOf(Multimodal.frameSigsWith(videos, sigDemux), videos,
+      theta, hashDemux)
+
+  /** [[keyframeHashes]] over an ALREADY-demuxed FrameSig frame — the
+    * composed-graph entry point: [[dedupVideos]] demuxes ONCE, pins, and
+    * feeds the pinned sigs here AND to the exact-scene detector, so the
+    * dominant decode cost is paid a single time. */
+  def keyframeHashesOf(sigs: DataFrame, videos: DataFrame, theta: Long,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame = {
-    val kf = Multimodal
-      .sceneKeyframesOf(Multimodal.frameSigsWith(videos, sigDemux), theta)
+    val kf = Multimodal.sceneKeyframesOf(sigs, theta)
       .where(col("keyframe") >= 0)
       .select(col("doc_id"), col("scene"), col("keyframe"))
     val fh = Multimodal.framePhashesWith(videos, hashDemux)
@@ -76,13 +86,30 @@ object VideoDedupExample {
     * (Hamming ≤ `maxHamming` between DCT hashes): (doc_a, doc_b,
     * shared_keyframes), doc_a < doc_b. Keyframe identity packs
     * (doc_id, scene) into one int64 — doc_id < 2⁴³, < 2²⁰ scenes per
-    * video, the [[RagIndexExample]] chunk_id convention. */
+    * video, the [[RagIndexExample]] chunk_id convention — and the bounds
+    * are ENFORCED in-plan (the pqPartsQ precedent): an out-of-range id
+    * would silently corrupt pair identity, manufacturing false duplicate
+    * pairs that [[dedupVideos]] then drops as "duplicates". */
   def nearDupVideoPairs(videos: DataFrame, theta: Long,
       maxHamming: Int = 4, minShared: Long = 1L,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
+      hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame =
+    nearDupVideoPairsOf(Multimodal.frameSigsWith(videos, sigDemux), videos,
+      theta, maxHamming, minShared, hashDemux)
+
+  /** [[nearDupVideoPairs]] over an ALREADY-demuxed FrameSig frame (see
+    * [[keyframeHashesOf]]). */
+  def nearDupVideoPairsOf(sigs: DataFrame, videos: DataFrame, theta: Long,
+      maxHamming: Int = 4, minShared: Long = 1L,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame = {
-    val kh = keyframeHashes(videos, theta, sigDemux, hashDemux)
-      .withColumn("kid", expr("doc_id * 1048576L + scene"))
+    val kh = keyframeHashesOf(sigs, videos, theta, hashDemux)
+      .withColumn("kid",
+        when(col("doc_id").between(0L, (1L << 43) - 1L) &&
+            col("scene").between(0L, 1048575L),
+          col("doc_id") * lit(1048576L) + col("scene"))
+          .otherwise(raise_error(concat(
+            lit("keyframe-id pack out of range (doc_id < 2^43, scene < 2^20): "),
+            lit("doc_id="), col("doc_id"), lit(" scene="), col("scene")))))
     Dedup.hammingPairsOf(kh, maxHamming, idCol = "kid", sigCol = "phash")
       .withColumn("da", expr("ida div 1048576L"))
       .withColumn("db", expr("idb div 1048576L"))
@@ -107,15 +134,22 @@ object VideoDedupExample {
       minShared: Long = 1L, containmentPpm: Long = 500000L,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame = {
-    val exact = Multimodal
-      .duplicateScenesOf(Multimodal.frameSigsWith(videos, sigDemux), theta)
+    // Demux ONCE and pin: both detectors consume the FrameSig frame, and
+    // for a real ffmpeg demuxer the decode is the dominant cost — an
+    // unpinned twice-consumed codec pass is exactly the `losers` bug the
+    // sf10 rehearsal found (SCALING.md "pin any frame a gate consumes
+    // twice"). PinDisciplineSpec audits this structurally.
+    val sigs = Multimodal.frameSigsWith(videos, sigDemux)
+      .transform(graft.Materialize.pin)
+    val exact = Multimodal.duplicateScenesOf(sigs, theta)
       .where(col("containment_ppm") >= containmentPpm)
       .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
-    val near = nearDupVideoPairs(videos, theta, maxHamming, minShared,
-      sigDemux, hashDemux)
+    val near = nearDupVideoPairsOf(sigs, videos, theta, maxHamming,
+      minShared, hashDemux)
       .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
     val pairs = exact.unionAll(near).distinct()
       .transform(graft.Materialize.pin)
+    graft.Materialize.unpin(sigs)
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .repartition(col("ida"))

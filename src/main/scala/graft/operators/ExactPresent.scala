@@ -35,21 +35,49 @@ import org.apache.spark.sql.catalyst.expressions.IntegralDivide
   */
 object ExactPresent {
 
-  /** round-half-up-away-from-zero(num/den) in pure int64 (den > 0; both
-    * sides must fit int64 after the ×2 — callers audit their ranges). */
+  /** round-half-up-away-from-zero(num/den) in pure int64 (den > 0).
+    *
+    * The ×2 headroom is CHECKED in-plan, not left to caller audits:
+    * 2·|num|+den and 2·den must both fit int64, else Spark's non-ANSI
+    * long arithmetic wraps silently while DuckDB widens to HUGEINT and
+    * the engines diverge — the exact failure class this object exists
+    * to eliminate. The guard is one codegen'd comparison per row
+    * (the pqPartsQ in-plan-check precedent, Similarity.scala:384). */
   def roundHalfUpInt(num: Column, den: Column): Column = {
     val n = num.cast("long")
-    val d = den.cast("long")
-    val q = idiv(abs(n) * lit(2L) + d, d * lit(2L))
-    when(n < 0, -q).otherwise(q)
+    val d0 = den.cast("long")
+    // nulls pass through (null num/den has always yielded a null result);
+    // the raise_error branches fire only on NON-null out-of-range values
+    val d = when(d0.isNull || (d0 > 0L && d0 <= Long.MaxValue / 2), d0)
+      .otherwise(raise_error(concat(
+        lit("roundHalfUpInt: den out of range (0, 2^62]: "), d0)))
+    val nSafe = when(
+      n.isNull || d.isNull || abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L)), n)
+      .otherwise(raise_error(concat(
+        lit("roundHalfUpInt: 2*|num|+den overflows int64: num="), n,
+        lit(" den="), d)))
+    val q = idiv(abs(nSafe) * lit(2L) + d, d * lit(2L))
+    when(nSafe < 0, -q).otherwise(q)
   }
 
   /** round(num/den, k) emitted as DOUBLE, exactly and engine-portably:
-    * one int64 rounding, one double division by 10ᵏ. */
+    * one int64 rounding, one double division by 10ᵏ. The ×10ᵏ scaling
+    * is guarded in-plan: |num| must stay ≤ (2⁶³−1−den)/(2·10ᵏ), else
+    * raise_error — a silent wrap here would make the Spark side wrong
+    * while the DuckDB twin (HUGEINT) stays right. */
   def roundDiv(num: Column, den: Column, k: Int): Column = {
     require(k >= 0 && k <= 9, s"k: $k")
     val p = math.pow(10, k).toLong
-    roundHalfUpInt(num.cast("long") * lit(p), den).cast("double") /
+    val n = num.cast("long")
+    val d = den.cast("long")
+    // |num| ≤ (MaxValue − den) / (2·10ᵏ)  ⇒  |num·10ᵏ|·2 + den fits, and
+    // a fortiori num·10ᵏ itself fits (den ≥ 1).
+    val bound = idiv(lit(Long.MaxValue) - d, lit(2L * p))
+    val nSafe = when(n.isNull || d.isNull || abs(n) <= bound, n)
+      .otherwise(raise_error(concat(
+        lit(s"roundDiv: |num|*2*10^$k+den overflows int64: num="), n,
+        lit(" den="), d)))
+    roundHalfUpInt(nSafe * lit(p), den).cast("double") /
       lit(p.toDouble)
   }
 

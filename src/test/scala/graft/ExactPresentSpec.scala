@@ -66,6 +66,66 @@ class ExactPresentSpec extends SparkSpec {
         "ELSE -((-2 * (s) * 10000 + (n)) // (2 * (n))) END / 10000.0)")
   }
 
+  test("roundDiv raises in-plan on int64 overflow instead of wrapping silently") {
+    import spark.implicits._
+    // q05's sf10 ten-thousandths sum sits ~3x under the k=4 ceiling
+    // (ADVICE r13): one more scale decade and num*10^4 wraps. The guard
+    // must turn that silent wrap into a loud error.
+    val over = (Long.MaxValue - 1L) / (2L * 10000L) + 1L // just past the bound
+    val e = intercept[Exception] {
+      Seq((over, 1L)).toDF("s", "n")
+        .select(ExactPresent.roundDiv(col("s"), col("n"), 4).as("v"))
+        .head
+    }
+    assert(e.getMessage.contains("overflows int64"), e.getMessage)
+    // negative side too
+    val e2 = intercept[Exception] {
+      Seq((-over, 1L)).toDF("s", "n")
+        .select(ExactPresent.roundDiv(col("s"), col("n"), 4).as("v"))
+        .head
+    }
+    assert(e2.getMessage.contains("overflows int64"), e2.getMessage)
+  }
+
+  test("roundDiv is exact at the guard boundary (no false positives)") {
+    import spark.implicits._
+    val den = 41L
+    val atBound = (Long.MaxValue - den) / (2L * 10000L) // largest legal |num|
+    for (num <- Seq(atBound, -atBound)) {
+      val r = Seq((num, den)).toDF("s", "n")
+        .select(ExactPresent.roundDiv(col("s"), col("n"), 4).as("v"))
+        .head.getDouble(0)
+      // the contract at |t| > 2^53 is the FORMULA (int64 round, then ONE
+      // double division — identical in the DuckDB twin), not BigDecimal's
+      // decimal-exact conversion, which can differ by 1 ulp up here
+      val t = {
+        val n2 = BigInt(num) * 10000
+        val q = (n2.abs * 2 + den) / (BigInt(den) * 2)
+        (if (num < 0) -q else q).toLong
+      }
+      val want = t.toDouble / 10000.0
+      assert(r == want, s"roundDiv($num, $den, 4) = $r, want $want")
+    }
+  }
+
+  test("roundHalfUpInt raises on a denominator outside (0, 2^62]") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, Long.MaxValue / 2 + 1L)).toDF("s", "n")
+        .select(ExactPresent.roundHalfUpInt(col("s"), col("n")).as("v"))
+        .head
+    }
+    assert(e.getMessage.contains("den out of range"), e.getMessage)
+  }
+
+  test("null denominator still propagates null (not an error)") {
+    import spark.implicits._
+    val r = Seq((5L, Option.empty[Long])).toDF("s", "n")
+      .select(ExactPresent.roundDiv(col("s"), col("n"), 4).as("v"))
+      .head
+    assert(r.isNullAt(0))
+  }
+
   test("null numerator propagates (c12's missing-dim sums)") {
     import spark.implicits._
     val r = Seq(Tuple1(Option.empty[Long])).toDF("s")
