@@ -187,7 +187,9 @@ object PretrainPipelineExample {
         s"$outDir/corpus", partitionCols = Seq("lang"),
         sortCols = Seq("quality"))
       packed.write.mode("overwrite").parquet(s"$outDir/placement")
-      Curation.datasetCardOf(finalCorpus)
+      // the gate already counted finalCorpus — hand the card that total
+      // so it doesn't pay (and the pin audit doesn't flag) a recount
+      Curation.datasetCardOf(finalCorpus, knownTotal = Some(nFinal))
         .write.mode("overwrite").parquet(s"$outDir/card")
       import spark.implicits._
       val lineage = stages.toSeq

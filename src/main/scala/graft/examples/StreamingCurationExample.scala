@@ -133,10 +133,12 @@ object StreamingCurationExample {
             import ss.implicits._
             // all three counts come from pinned frames (survivors/clean)
             // or the stable micro-batch itself (scored is a narrow
-            // deterministic map over `batch`, so its count IS batch's)
+            // deterministic map over `batch`, so its count IS batch's);
+            // without a ledger clean IS survivors — reuse the count
+            // rather than re-running the same cached-scan aggregate
             val nIn = batch.count()
             val nSurv = survivors.count()
-            val nKept = clean.count()
+            val nKept = if (clean eq survivors) nSurv else clean.count()
             graft.sources.Sink.idempotentAppend(
               Seq((nIn, nKept, nIn - nSurv, nSurv - nKept))
                 .toDF("n_in", "n_kept", "n_quality_rejected",

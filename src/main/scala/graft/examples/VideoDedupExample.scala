@@ -62,16 +62,18 @@ object VideoDedupExample {
   def keyframeHashes(videos: DataFrame, theta: Long,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame =
-    keyframeHashesOf(Multimodal.frameSigsWith(videos, sigDemux), videos,
-      theta, hashDemux)
+    keyframeHashesOf(Multimodal.sceneFramesOf(
+      Multimodal.frameSigsWith(videos, sigDemux), theta), videos, hashDemux)
 
-  /** [[keyframeHashes]] over an ALREADY-demuxed FrameSig frame — the
-    * composed-graph entry point: [[dedupVideos]] demuxes ONCE, pins, and
-    * feeds the pinned sigs here AND to the exact-scene detector, so the
-    * dominant decode cost is paid a single time. */
-  def keyframeHashesOf(sigs: DataFrame, videos: DataFrame, theta: Long,
+  /** [[keyframeHashes]] over an ALREADY scene-assigned frame (a
+    * [[Multimodal.sceneFramesOf]] output) — the composed-graph entry
+    * point: [[dedupVideos]] demuxes and scene-assigns ONCE, pins, and
+    * feeds the pinned scenes here AND to the exact-scene detector, so
+    * the dominant decode cost AND the doc_id window chain are each paid
+    * a single time. */
+  def keyframeHashesOf(scenes: DataFrame, videos: DataFrame,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame = {
-    val kf = Multimodal.sceneKeyframesOf(sigs, theta)
+    val kf = Multimodal.sceneKeyframesFromScenes(scenes)
       .where(col("keyframe") >= 0)
       .select(col("doc_id"), col("scene"), col("keyframe"))
     val fh = Multimodal.framePhashesWith(videos, hashDemux)
@@ -94,15 +96,16 @@ object VideoDedupExample {
       maxHamming: Int = 4, minShared: Long = 1L,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame =
-    nearDupVideoPairsOf(Multimodal.frameSigsWith(videos, sigDemux), videos,
-      theta, maxHamming, minShared, hashDemux)
+    nearDupVideoPairsOf(Multimodal.sceneFramesOf(
+      Multimodal.frameSigsWith(videos, sigDemux), theta), videos,
+      maxHamming, minShared, hashDemux)
 
-  /** [[nearDupVideoPairs]] over an ALREADY-demuxed FrameSig frame (see
+  /** [[nearDupVideoPairs]] over an ALREADY scene-assigned frame (see
     * [[keyframeHashesOf]]). */
-  def nearDupVideoPairsOf(sigs: DataFrame, videos: DataFrame, theta: Long,
+  def nearDupVideoPairsOf(scenes: DataFrame, videos: DataFrame,
       maxHamming: Int = 4, minShared: Long = 1L,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame = {
-    val kh = keyframeHashesOf(sigs, videos, theta, hashDemux)
+    val kh = keyframeHashesOf(scenes, videos, hashDemux)
       .withColumn("kid",
         when(col("doc_id").between(0L, (1L << 43) - 1L) &&
             col("scene").between(0L, 1048575L),
@@ -134,22 +137,26 @@ object VideoDedupExample {
       minShared: Long = 1L, containmentPpm: Long = 500000L,
       sigDemux: SigDemux = ImageCodec.gifFrameSigsComposed,
       hashDemux: HashDemux = ImageCodec.gifFramePhashes): DataFrame = {
-    // Demux ONCE and pin: both detectors consume the FrameSig frame, and
-    // for a real ffmpeg demuxer the decode is the dominant cost — an
-    // unpinned twice-consumed codec pass is exactly the `losers` bug the
-    // sf10 rehearsal found (SCALING.md "pin any frame a gate consumes
-    // twice"). PinDisciplineSpec audits this structurally.
-    val sigs = Multimodal.frameSigsWith(videos, sigDemux)
+    // Demux AND scene-assign ONCE, then pin: both detectors consume the
+    // scene-assigned frame, and for a real ffmpeg demuxer the decode is
+    // the dominant cost — an unpinned twice-consumed codec pass is
+    // exactly the `losers` bug the sf10 rehearsal found (SCALING.md "pin
+    // any frame a gate consumes twice"). Pinning BELOW the scene windows
+    // would still re-run the doc_id window chain per detector; pinning
+    // here pays decode + windows once. PinAudit (wired into ExamplesSpec)
+    // enforces this structurally — it caught the window-chain variant.
+    val scenes = Multimodal.sceneFramesOf(
+      Multimodal.frameSigsWith(videos, sigDemux), theta)
       .transform(graft.Materialize.pin)
-    val exact = Multimodal.duplicateScenesOf(sigs, theta)
+    val exact = Multimodal.duplicateScenesFromScenes(scenes)
       .where(col("containment_ppm") >= containmentPpm)
       .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
-    val near = nearDupVideoPairsOf(sigs, videos, theta, maxHamming,
+    val near = nearDupVideoPairsOf(scenes, videos, maxHamming,
       minShared, hashDemux)
       .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
     val pairs = exact.unionAll(near).distinct()
       .transform(graft.Materialize.pin)
-    graft.Materialize.unpin(sigs)
+    graft.Materialize.unpin(scenes)
     val edges = pairs
       .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .repartition(col("ida"))

@@ -347,14 +347,25 @@ object Curation {
     * frame — the per-source summary a pipeline publishes beside its
     * FINAL corpus (the composed end-to-end example emits this as its
     * last stage). Same integer-summed arithmetic as the declared query,
-    * so a card over the raw documents table ≡ c11 row-for-row. */
-  def datasetCardOf(docs: DataFrame): DataFrame = {
+    * so a card over the raw documents table ≡ c11 row-for-row.
+    *
+    * `knownTotal`: a composed pipeline that just gated `docs` already
+    * holds its row count — pass it and the card skips its own 1-row
+    * corpus-count aggregate (one fewer full scan of the input; the pin
+    * audit flags the recount as a twice-executed subplan otherwise).
+    * Callers without a count in hand omit it and pay the scan. */
+  def datasetCardOf(docs: DataFrame, knownTotal: Option[Long] = None)
+      : DataFrame = {
     import graft.operators.TextAnalysis.{fingerprint, quality}
     val scored = docs.select(col("doc_id"), col("source"), col("lang"),
       size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("__nt"),
       quality(col("text")).as("__q"), fingerprint(col("text")).as("__fp"))
     val dupCounts = scored.groupBy("__fp").agg(count(lit(1)).as("__nd"))
-    val total = scored.agg(count(lit(1)).as("__total"))
+    val total = knownTotal match {
+      case Some(n) => docs.sparkSession.range(1)
+        .select(lit(n).as("__total"))
+      case None => scored.agg(count(lit(1)).as("__total"))
+    }
     scored.join(dupCounts, "__fp")
       .crossJoin(broadcast(total))
       .groupBy("source")

@@ -426,14 +426,24 @@ object Multimodal {
     * s_f·C ≤ 255·pixels · frames·pixels — at 8 M-pixel frames and 300
     * frames ≈ 5·10¹⁸, inside Long; 4K-at-10⁴-frames callers rescale the
     * demuxer's level sums (documented, not silently wrapped). */
-  def sceneKeyframesOf(sigs: DataFrame, theta: Long): DataFrame = {
+  def sceneKeyframesOf(sigs: DataFrame, theta: Long): DataFrame =
+    sceneKeyframesFromScenes(sceneFramesOf(sigs, theta))
+
+  /** [[sceneKeyframesOf]] over an ALREADY scene-assigned frame (a
+    * [[sceneFramesOf]] output) — the composed-graph entry point: a graph
+    * that needs keyframes AND scene signatures (video dedup) computes the
+    * scene assignment ONCE, pins it, and feeds it here and to
+    * [[sceneSignaturesFromScenes]]; re-deriving scenes from raw sigs in
+    * each consumer would pay the doc_id window chain (and upstream, the
+    * decode) twice — the pin audit flags exactly that. */
+  def sceneKeyframesFromScenes(scenes: DataFrame): DataFrame = {
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "scene")
     val dev = abs(col("level_sum") * col("scene_bytes") -
       col("scene_sum") * col("n_bytes"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "scene").orderBy(dev.asc, col("frame_no").asc)
-    sceneFramesOf(sigs, theta)
+    scenes
       .withColumn("scene_bytes", sum(col("n_bytes").cast("long")).over(ws))
       .withColumn("scene_sum", sum(col("level_sum")).over(ws))
       .withColumn("n_frames", count(lit(1)).over(ws))
@@ -478,7 +488,12 @@ object Multimodal {
     * persistent scene ledger stores ([[graft.streaming.Streaming.streamingDuplicateScenes]]
     * probes it stream-static). */
   def sceneSignaturesOf(sigs: DataFrame, theta: Long): DataFrame =
-    sceneFramesOf(sigs, theta)
+    sceneSignaturesFromScenes(sceneFramesOf(sigs, theta))
+
+  /** [[sceneSignaturesOf]] over an ALREADY scene-assigned frame — see
+    * [[sceneKeyframesFromScenes]] for when and why. */
+  def sceneSignaturesFromScenes(scenes: DataFrame): DataFrame =
+    scenes
       .groupBy("doc_id", "scene")
       .agg(count(lit(1)).as("nf"),
         sum(col("n_bytes").cast("long")).as("cb"),
@@ -486,6 +501,11 @@ object Multimodal {
 
   def duplicateScenesOf(sigs: DataFrame, theta: Long): DataFrame =
     containmentPairsOf(sceneSignaturesOf(sigs, theta), "scenes")
+
+  /** [[duplicateScenesOf]] over an ALREADY scene-assigned frame — see
+    * [[sceneKeyframesFromScenes]] for when and why. */
+  def duplicateScenesFromScenes(scenes: DataFrame): DataFrame =
+    containmentPairsOf(sceneSignaturesFromScenes(scenes), "scenes")
 
   /** The shared exact-containment tail of [[duplicateScenesOf]] (video
     * scenes) and [[duplicateSegmentsOf]] (audio segments): distinct

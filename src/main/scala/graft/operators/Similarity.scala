@@ -1487,7 +1487,12 @@ object Similarity {
     val postings = spark.read.parquet(path0)
       .select(col("vec_id"), col("cell").cast("long").as("label"), col("q"),
         col("cell"))
-    val (subs, cb) = pqPartsQ(postings.select("vec_id", "label", "q"), m)
+    val (subs, cb0) = pqPartsQ(postings.select("vec_id", "label", "q"), m)
+    // two write actions consume the codebook frame (the codes' broadcast
+    // join side AND the _pq_codebooks artifact) — pinned, or each write
+    // re-runs the posexplode + two-level centroid aggregate over the
+    // whole postings set (the pin audit flags exactly this)
+    val cb = graft.Materialize.pin(cb0)
     val codes = pqEncode(subs, cb)
       .join(postings.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id"), col("sub"), col("code"), col("cell"))
@@ -1496,9 +1501,10 @@ object Similarity {
     cb.write.mode("overwrite").parquet(s"$path0/_pq_codebooks")
     writeNonce(fsOf(spark, path0), s"$path0/_pq_codebooks")
     ensurePointerUnmoved(spark, path, path0)
-    // artifacts are on disk — release the build's pinned subspace frame
+    // artifacts are on disk — release the build's pinned frames
     // (same library-caller contract as buildIndexFrom)
     graft.Materialize.unpin(subs)
+    graft.Materialize.unpin(cb)
   }
 
   /** Re-derive the PQ codes of a PQ-augmented index after an append or a

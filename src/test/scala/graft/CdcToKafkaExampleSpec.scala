@@ -44,7 +44,9 @@ class CdcToKafkaExampleSpec extends SparkSpec {
 
     // 1. no-gap bootstrap: version captured pre-snapshot; empty topic →
     //    the diff-driven sync snapshots every row through the kafka write
-    val b = CdcToKafkaExample.bootstrap(spark, url, props, source, feed, store)
+    val b = PinAudit.auditedOrThrow(spark) {
+      CdcToKafkaExample.bootstrap(spark, url, props, source, feed, store)
+    }
     assert(b == CdcToKafkaExample.Bootstrap(fromVersion = 3, snapshotCount = 3))
 
     // 2. stream from the captured version: nothing to deliver yet
@@ -69,7 +71,7 @@ class CdcToKafkaExampleSpec extends SparkSpec {
     val q2 = CdcToKafkaExample.start(spark, "mirror_items", source, store,
       ckpt, b.fromVersion)
     try {
-      q2.processAllAvailable()
+      PinAudit.auditedOrThrow(spark) { q2.processAllAvailable() }
       val raw = store.read(Seq(source.topic))
       assert(raw.count() == 6, "3 snapshot + 1 live + 2 offline, nothing replayed")
 

@@ -36,7 +36,11 @@ class ExamplesSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$drop/zz-corrupt.json"),
       "{broken json\nnot json at all\n".getBytes)
 
-    val r = PretrainPipelineExample.run(spark, drop, s"$root/out")
+    // the whole composed run must honor the pin rule (PinDisciplineSpec's
+    // standing audit: no heavy subplan re-executed across its actions)
+    val r = PinAudit.auditedOrThrow(spark) {
+      PretrainPipelineExample.run(spark, drop, s"$root/out")
+    }
     val byStage = r.lineage.map(s => s.stage -> s).toMap
     // the ledger covers every stage, in order
     assert(r.lineage.map(_.stage) == Seq("ingest", "clean", "exact-dedup",
@@ -134,8 +138,12 @@ class ExamplesSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(exact.toSet == Set((0L, 2L)),
       s"only the verbatim shot splice is an exact dup: ${exact.toSet}")
-    val kept = VideoDedupExample.dedupVideos(videos, theta = 16L)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // dedupVideos composes two detectors over ONE demux — the audit
+    // proves the codec pass is genuinely paid once (the r13 ADVICE item)
+    val kept = PinAudit.auditedOrThrow(spark) {
+      VideoDedupExample.dedupVideos(videos, theta = 16L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
     assert(kept == Set(0L, 3L), s"survivors: $kept")
     // the transitive-chain case pairwise dropping gets WRONG: 1–9 share
     // a barsY re-render, 9–5 share a checker re-render, 1–5 share
@@ -149,8 +157,10 @@ class ExamplesSpec extends SparkSpec {
       (9L, gif(Seq(barsY(3), barsY(5), checker(3), checker(5), checker(7)))),
       (5L, gif(Seq(checker(0), checker(2), checker(4), diag40(0), diag40(2)))))
       .toDF("doc_id", "payload")
-    val chainKept = VideoDedupExample.dedupVideos(chain, theta = 16L)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val chainKept = PinAudit.auditedOrThrow(spark) {
+      VideoDedupExample.dedupVideos(chain, theta = 16L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
     assert(chainKept == Set(1L), s"chain survivors: $chainKept")
   }
 
@@ -173,7 +183,9 @@ class ExamplesSpec extends SparkSpec {
     val docs = graft.sources.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")
     val root = tmpDir("ragidx")
-    val n = RagIndexExample.buildRagIndex(spark, docs, root)
+    val n = PinAudit.auditedOrThrow(spark) {
+      RagIndexExample.buildRagIndex(spark, docs, root)
+    }
     assert(n > 0)
     // versioned layout + PQ artifacts landed
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -250,12 +262,17 @@ class ExamplesSpec extends SparkSpec {
     val emb = graft.sources.Tables.t(spark, sf, "embeddings")
     // same snapshot on both sides: drift must be zero, novelty must be
     // zero (every fingerprint of B was seen in A)
-    val same = CorpusReportExample.nightlyReport(docs, docs, emb, emb)
-    same.scalarDrift.collect().foreach(r =>
+    // one nightlyReport call's three outputs are ONE composed graph —
+    // consuming all three must not re-run any shared heavy subplan
+    val (sameRows, n0) = PinAudit.auditedOrThrow(spark) {
+      val same = CorpusReportExample.nightlyReport(docs, docs, emb, emb)
+      ((same.scalarDrift.collect(), same.embeddingDrift.collect()),
+        same.novelty.collect()(0))
+    }
+    sameRows._1.foreach(r =>
       assert(r.getAs[String]("verdict") == "stable", r.toString))
-    same.embeddingDrift.collect().foreach(r =>
+    sameRows._2.foreach(r =>
       assert(r.getAs[String]("verdict") == "stable", r.toString))
-    val n0 = same.novelty.collect()(0)
     assert(n0.getAs[Long]("new_permille") == 0L)
     assert(n0.getAs[Long]("jaccard_permille") == 1000L)
     // disjoint halves: the novelty section must see mostly-new content

@@ -18,8 +18,10 @@ class NightlyIngestSpec extends SparkSpec {
     // night 1: docs 0–249 (the fixture contains intra-batch duplicates —
     // first-in-batch wins, the rest reject)
     val n1 = docs.where(col("doc_id") < 250)
-    val r1 = NightlyIngestExample.ingestNight(spark, n1,
-      vecs.where(col("vec_id") < 250), curated, index)
+    val r1 = PinAudit.auditedOrThrow(spark) {
+      NightlyIngestExample.ingestNight(spark, n1,
+        vecs.where(col("vec_id") < 250), curated, index)
+    }
     assert(r1.admitted + r1.rejected == 250)
     assert(r1.admitted > 0 && !r1.indexRetrained)
     val store1 = spark.read.parquet(curated)
@@ -30,8 +32,10 @@ class NightlyIngestSpec extends SparkSpec {
     // only genuinely new content (ids 250–299, minus cross-night dups)
     // can be admitted
     val n2 = docs.where(col("doc_id") < 300)
-    val r2 = NightlyIngestExample.ingestNight(spark, n2,
-      vecs.where(col("vec_id") < 300), curated, index)
+    val r2 = PinAudit.auditedOrThrow(spark) {
+      NightlyIngestExample.ingestNight(spark, n2,
+        vecs.where(col("vec_id") < 300), curated, index)
+    }
     assert(r2.admitted + r2.rejected == 300)
     assert(r2.admitted <= 50, s"re-sent docs were re-admitted: $r2")
     val store2 = spark.read.parquet(curated)
@@ -83,9 +87,11 @@ class NightlyIngestSpec extends SparkSpec {
 
     // night 1 bootstraps the banded ledger from its survivors
     val n1 = docs.where(col("doc_id") < 100)
-    val r1 = NightlyIngestExample.ingestNight(spark, n1,
-      vecs.where(col("vec_id") < 100), curated, index,
-      nearDupLedger = Some(ledger))
+    val r1 = PinAudit.auditedOrThrow(spark) {
+      NightlyIngestExample.ingestNight(spark, n1,
+        vecs.where(col("vec_id") < 100), curated, index,
+        nearDupLedger = Some(ledger))
+    }
     assert(r1.nearDupRejected == 0L) // no standing ledger on night 1
     assert(spark.catalog.tableExists(s"${ledger}_bands"))
     val store1 = spark.read.parquet(curated)
@@ -106,9 +112,11 @@ class NightlyIngestSpec extends SparkSpec {
       .select("doc_id", "lang", "source", "text")
       .unionByName(Seq((1000L, donor.getString(1), donor.getString(2),
         mutated)).toDF("doc_id", "lang", "source", "text"))
-    val r2 = NightlyIngestExample.ingestNight(spark, n2,
-      vecs.where(col("vec_id") === 150), curated, index,
-      nearDupLedger = Some(ledger))
+    val r2 = PinAudit.auditedOrThrow(spark) {
+      NightlyIngestExample.ingestNight(spark, n2,
+        vecs.where(col("vec_id") === 150), curated, index,
+        nearDupLedger = Some(ledger))
+    }
     assert(r2.nearDupRejected == 1L,
       s"the planted near-dup must be caught by the standing ledger: $r2")
     val store2 = spark.read.parquet(curated)

@@ -43,8 +43,10 @@ class StreamingExampleSpec extends SparkSpec {
       row(12, "s1", goodText + " one", "2026-01-01T10:01:00Z"),
       row(13, "s1", goodText + " two", "2026-01-01T10:02:00Z"),
       row(31, "s2", "junk", "2026-01-01T10:03:00Z")))
-    val q1 = run()
-    try q1.processAllAvailable() finally q1.stop()
+    PinAudit.auditedOrThrow(spark) {
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+    }
 
     val out1 = spark.read.parquet(curated)
     // doc 13 over s1's quota, doc 31 below the quality gate (dedup is
@@ -62,8 +64,10 @@ class StreamingExampleSpec extends SparkSpec {
       row(14, "s1", goodText + " three", "2026-01-01T10:10:00Z"),
       row(15, "s3", goodText, "2026-01-01T10:10:30Z"),
       row(16, "s3", goodText + " four", "2026-01-01T10:11:00Z")))
-    val q2 = run()
-    try q2.processAllAvailable() finally q2.stop()
+    PinAudit.auditedOrThrow(spark) {
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+    }
 
     val out2 = spark.read.parquet(curated)
     // 14 rejected by recovered quota; 15 rejected by recovered dedup
@@ -108,11 +112,13 @@ class StreamingExampleSpec extends SparkSpec {
           s"""{"doc_id":201,"source":"s1","text":"$goodText six","ts":"2026-01-01T10:00:00Z"}""",
           s"""{"doc_id":202,"source":"s1","text":"fresh words entirely and the day is a good one for a long walk in the new town by the sea","ts":"2026-01-01T10:01:00Z"}""")
           .mkString("\n").getBytes("UTF-8"))
-      val q = StreamingCurationExample.start(spark,
-        spark.readStream.schema(schema).json(srcDir),
-        ckpt, curated, profile, quota = 10, minQuality = 0.3,
-        nearDupLedger = Some(ledger), quarantineDir = Some(quarantine))
-      try q.processAllAvailable() finally q.stop()
+      PinAudit.auditedOrThrow(spark) {
+        val q = StreamingCurationExample.start(spark,
+          spark.readStream.schema(schema).json(srcDir),
+          ckpt, curated, profile, quota = 10, minQuality = 0.3,
+          nearDupLedger = Some(ledger), quarantineDir = Some(quarantine))
+        try q.processAllAvailable() finally q.stop()
+      }
       val kept = spark.read.parquet(curated)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val quarantined = spark.read.parquet(quarantine)
@@ -169,8 +175,10 @@ class StreamingExampleSpec extends SparkSpec {
       row(1, "s1", goodText, "2026-01-01T10:00:00Z"),
       row(2, "s1", goodText + " one", "2026-01-01T10:01:00Z"),
       row(3, "s2", "junk", "2026-01-01T10:02:00Z")))
-    val q1 = run()
-    try q1.processAllAvailable() finally q1.stop()
+    PinAudit.auditedOrThrow(spark) {
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+    }
     val (in1, kept1) = conserved()
     assert(in1 == 3 && kept1 == 2, s"batch-0 accounting: in=$in1 kept=$kept1")
     // the ledger store carries the idempotent sink's lineage marker
@@ -184,8 +192,10 @@ class StreamingExampleSpec extends SparkSpec {
     writeFile("b2.json", Seq(
       row(4, "s3", goodText + " two", "2026-01-01T10:10:00Z"),
       row(5, "s3", "junk too", "2026-01-01T10:11:00Z")))
-    val q2 = run()
-    try q2.processAllAvailable() finally q2.stop()
+    PinAudit.auditedOrThrow(spark) {
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+    }
     val (in2, kept2) = conserved()
     assert(in2 == 5 && kept2 == 3, s"batch-1 accounting: in=$in2 kept=$kept2")
 
