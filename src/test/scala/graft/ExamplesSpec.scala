@@ -164,6 +164,55 @@ class ExamplesSpec extends SparkSpec {
     assert(chainKept == Set(1L), s"chain survivors: $chainKept")
   }
 
+  test("ffmpeg-CLI demuxer seam: real demuxer when present, stub otherwise — one plan either way") {
+    import spark.implicits._
+    import graft.operators.{FfmpegDemux, Multimodal}
+    // a deterministic two-shot y4m clip composed in-JVM (no encoder
+    // needed): frames 0-2 sit at luma ~40, frames 3-4 jump to ~200 —
+    // a planted scene cut at frame 3
+    def plane(v: Int) =
+      Array.fill(FfmpegDemux.W * FfmpegDemux.H)(v.toByte)
+    val clip = FfmpegDemux.y4mOf(
+      Seq(plane(40), plane(42), plane(44), plane(200), plane(202)))
+    val videos = Seq((7L, clip)).toDF("doc_id", "payload")
+    type SigDemux = (Long, Array[Byte]) => Iterator[Multimodal.FrameSig]
+    val stub: SigDemux = Multimodal.frameSigStub(100) _
+    val real: SigDemux =
+      if (FfmpegDemux.available) FfmpegDemux.frameSigs _ else stub
+    // the swap is a pure function injection: the PHYSICAL plan shape must
+    // be identical whichever demuxer rides the seam — a cluster without
+    // ffmpeg runs the same graph on the stub
+    def shape(d: SigDemux): Seq[String] =
+      Multimodal.frameSigsWith(videos, d)
+        .queryExecution.executedPlan
+        .collect { case p => p.getClass.getSimpleName }
+    assert(shape(real) == shape(stub),
+      s"demuxer changed the plan: ${shape(real)} vs ${shape(stub)}")
+    if (FfmpegDemux.available) {
+      // the REAL CLI decode: 5 frames back, in order, raster-sized, and
+      // the scene assignment finds exactly the planted cut
+      val sigs = Multimodal.frameSigsWith(videos, FfmpegDemux.frameSigs _)
+      val rows = sigs.orderBy("frame_no").collect()
+      assert(rows.length == 5, s"expected 5 frames: ${rows.toSeq}")
+      assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3, 4))
+      assert(rows.forall(_.getInt(2) == FfmpegDemux.W * FfmpegDemux.H))
+      val scenes = Multimodal.sceneFramesOf(sigs, theta = 16L)
+        .orderBy("frame_no").select("frame_no", "scene").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toSeq
+      assert(scenes == Seq(0 -> 0, 1 -> 0, 2 -> 0, 3 -> 1, 4 -> 1),
+        s"planted cut at frame 3 not found: $scenes")
+      // and an undecodable payload is a sentinel row, never an exception
+      val bad = Seq((9L, Array.fill(64)(0x55.toByte))).toDF(
+        "doc_id", "payload")
+      val s9 = Multimodal.frameSigsWith(bad, FfmpegDemux.frameSigs _).head()
+      assert(s9.getInt(1) == -1 && s9.getLong(3) == -1L, s9.toString)
+    } else {
+      // no ffmpeg in this environment: the identical graph still runs
+      // end to end on the stub — the recipe stays executable everywhere
+      assert(Multimodal.frameSigsWith(videos, stub).count() > 0)
+    }
+  }
+
   test("CurationExample.curated runs and honors its gates") {
     val out = CurationExample.curated(spark, sf)
     assert(out.columns.toSeq ==

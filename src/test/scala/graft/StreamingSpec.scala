@@ -1072,6 +1072,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup alerts see CROSS-APPLICATION ledger growth after refreshNearDupLedger") {
+    // the other half of the visibility contract (r13 verdict #5): a
+    // nightly batch JOB — a different application, modeled here as a
+    // fresh session with its own catalog/relation caches — grows the
+    // ledger under a running 24/7 stream. The stream's session never saw
+    // the insert, so nothing invalidated ITS caches; the documented
+    // remedy is refreshNearDupLedger wired to the grow's completion
+    // signal, after which the next micro-batch must alert against the
+    // grown entry.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val grown = (1 to 60).map(i => s"x$i").mkString(" ")
+    val nearGrown = (4 to 60).map(i => s"x$i").mkString(" ")
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    Seq("sndx_test_bands", "sndx_test_sets").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmRf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Dedup.writeNearDupLedger(Seq((2L, base)).toDF("doc_id", "text"),
+      "sndx_test", buckets = 4)
+    try {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val out = Streaming.streamingNearDupAlerts(spark,
+        in.toDF().toDF("doc_id", "text", "ts"), "sndx_test",
+        threshold = 0.3, tsCol = "ts", watermark = "10 seconds")
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ndxalerts").start()
+      try {
+        val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+        // resolve + run one batch so the streaming session's relation
+        // caches are warm (the staleness being tested needs a cache)
+        in.addData((10L, nearGrown, ts))
+        q.processAllAvailable()
+        assert(spark.table("ndxalerts").isEmpty,
+          "alerted against a ledger entry that does not exist yet")
+        // the nightly grow runs in a SECOND application: a fresh session
+        // whose inserts invalidate its OWN caches, not the stream's
+        val nightly = spark.newSession()
+        Dedup.growNearDupLedger(
+          nightly.range(21, 22).select(
+            org.apache.spark.sql.functions.col("id").as("doc_id"),
+            org.apache.spark.sql.functions.lit(grown).as("text")),
+          "sndx_test")
+        // the completion signal fires the documented remedy on the
+        // STREAMING session
+        Streaming.refreshNearDupLedger(spark, "sndx_test")
+        // next batch: a fresh near-dup of the grown doc must now alert
+        in.addData((11L, nearGrown, ts))
+        q.processAllAvailable()
+        val got = spark.table("ndxalerts").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.toSet == Set((11L, 21L)),
+          s"cross-application growth not visible after refresh: ${got.toSeq}")
+      } finally q.stop()
+    } finally {
+      Seq("sndx_test_bands", "sndx_test_sets").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    }
+  }
+
   test("streaming duplicate-scene alerts replay the batch m08 pairs from the scene ledger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
