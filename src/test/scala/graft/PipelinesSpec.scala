@@ -674,8 +674,13 @@ class PipelinesSpec extends SparkSpec {
     // engine computes per BYTE — equal only for non-empty pure-ASCII text.
     // Assert that precondition on every fixture SF so a future non-ASCII
     // fixture fails HERE, not as a mysterious oracle hash mismatch.
+    // Scaled rehearsal dirs (tools/ScaleUp output) are covered too when
+    // present: the r13 verdict's standing requirement is that EVERY newly
+    // generated SF re-proves the property, not just the driver fixtures.
+    val scaled = Seq("/root/repo/target/sf1", "/root/repo/target/sf10")
+      .filter(d => new java.io.File(d, "documents.parquet").exists())
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
+        "/root/testdata/sf0.1") ++ scaled) {
       val bad = graft.sources.Tables.t(spark, dir, "documents")
         .where(octet_length(col("text")) =!= length(col("text")) ||
           length(col("text")) === 0)
