@@ -23,7 +23,41 @@ for p in glob.glob(f"{sfDir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outDir}/oracle_sql.json"))
+# GRAFT_COMPARE_ONLY=<name>[,<name>...]: run just those queries — the
+# unit an outer driver wraps in `timeout` for process-level isolation of
+# heavy up-scale oracles (thread-level interrupt cannot reclaim DuckDB's
+# memory; a killed subprocess can).
+only = os.environ.get("GRAFT_COMPARE_ONLY")
+if only:
+    keep = {x.strip() for x in only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = []
+# Per-oracle time budget (seconds) for up-scale runs: a quadratic oracle
+# (dd02/ss02 class) that is fine at sf0.01 can be hours in DuckDB at sf1.
+# 0 = no budget (the driver-parity default).
+budget = float(os.environ.get("GRAFT_COMPARE_TIMEOUT", "0"))
+
+def run_oracle(sql):
+    if budget <= 0:
+        return con.execute(sql).fetchdf()
+    import threading
+    box = {}
+    def go():
+        try:
+            box["df"] = con.execute(sql).fetchdf()
+        except Exception as e:
+            box["err"] = e
+    t = threading.Thread(target=go, daemon=True)
+    t.start()
+    t.join(budget)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        raise TimeoutError(f"oracle exceeded {budget:.0f}s budget")
+    if "err" in box:
+        raise box["err"]
+    return box["df"]
+
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{outDir}/{name}.parquet"
     if not os.path.isdir(spark_dir):
@@ -31,7 +65,9 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_dir):
         fails.append((name, "missing spark output")); continue
     try:
-        odf = con.execute(sql).fetchdf()
+        odf = run_oracle(sql)
+    except TimeoutError as e:
+        fails.append((name, f"oracle timeout: {e}")); continue
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
     sdf = con.execute(
