@@ -182,13 +182,16 @@ object PipelineOracle {
     "t01_token_count" ->
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
     "t02_quality" ->
-      "WITH tok AS (SELECT doc_id, n_chars, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) SELECT doc_id, len(ws) AS n_tokens, ROUND(CAST(n_chars AS DOUBLE) / len(ws), 2) AS avg_token_len, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws), 3) AS stop_ratio, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok ORDER BY doc_id",
+      ("WITH tok AS (SELECT doc_id, n_chars, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) SELECT doc_id, len(ws) AS n_tokens, " +
+      ExactPresent.roundDivSql("n_chars", "len(ws)", 2) + " AS avg_token_len, " +
+      ExactPresent.roundDivSql("len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')])", "len(ws)", 3) + " AS stop_ratio, " +
+      ExactPresent.roundDivSql("len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN len(ws) ELSE 0 END", "2 * len(ws)", 3) + " AS quality FROM tok ORDER BY doc_id"),
     "t03_langid" ->
       "WITH tok AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), sc AS (SELECT doc_id, lang, len([w FOR w IN ws IF w IN ('the','a','is')]) AS s_en, len([w FOR w IN ws IF w IN ('le','la','et')]) AS s_fr, len([w FOR w IN ws IF w IN ('der','die','und')]) AS s_de FROM tok) SELECT doc_id, lang, CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en' WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr' WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred FROM sc ORDER BY doc_id",
     "t04_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
     "t05_bpe_tokens" ->
-      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words, len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens, ROUND(CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')), 3) AS ratio FROM documents ORDER BY doc_id",
+      ("SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words, len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens, " + ExactPresent.roundDivSql("len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]'))", "len(string_split_regex(trim(text), '\\s+'))", 3) + " AS ratio FROM documents ORDER BY doc_id"),
     "t06_quality_topk" ->
       "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT doc_id, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok), r AS (SELECT d.lang, d.doc_id, q.quality, row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, d.doc_id) AS rk FROM documents d JOIN q ON q.doc_id = d.doc_id) SELECT lang, rk, doc_id, quality FROM r WHERE rk <= 3 ORDER BY lang, rk",
     "t07_repetition" ->
@@ -254,7 +257,7 @@ object PipelineOracle {
     "dd09_duplicate_spans" ->
       "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), sp AS (SELECT doc_id, array_to_string(ws[CAST(i AS INT):CAST(i+19 AS INT)], ' ') AS s FROM w, unnest(range(1, len(ws) - 18)) t(i) WHERE len(ws) >= 20), cnt AS (SELECT s, COUNT(*) AS occ FROM sp GROUP BY s), agg AS (SELECT doc_id, COUNT(*) AS n_windows, CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM sp JOIN cnt USING(s) GROUP BY doc_id) SELECT d.doc_id, CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows, CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id",
     "t10_common_ratio" ->
-      "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM tok GROUP BY w ORDER BY n DESC, w LIMIT 20)), cnt AS (SELECT t.doc_id, COUNT(*) AS n_all, CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common FROM tok t LEFT JOIN vocab v ON v.w = t.w GROUP BY t.doc_id) SELECT doc_id, CAST(n_all AS BIGINT) AS n_tokens, n_common, ROUND(CAST(n_common AS DOUBLE) / n_all, 3) AS common_ratio FROM cnt ORDER BY doc_id",
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM tok GROUP BY w ORDER BY n DESC, w LIMIT 20)), cnt AS (SELECT t.doc_id, COUNT(*) AS n_all, CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common FROM tok t LEFT JOIN vocab v ON v.w = t.w GROUP BY t.doc_id) SELECT doc_id, CAST(n_all AS BIGINT) AS n_tokens, n_common, " + ExactPresent.roundDivSql("n_common", "n_all", 3) + " AS common_ratio FROM cnt ORDER BY doc_id"),
     "t11_quality_bins" ->
       "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), q AS (SELECT doc_id, ROUND(CAST(len([w FOR w IN ws IF w IN ('the','a','of','to','and','in','is','it')]) AS DOUBLE) / len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.5 ELSE 0.0 END, 3) AS quality FROM tok), c AS (SELECT quantile_disc(quality, [0.25, 0.5, 0.75]) AS cuts FROM q) SELECT q.doc_id, q.quality, (CASE WHEN q.quality > c.cuts[1] THEN 1 ELSE 0 END + CASE WHEN q.quality > c.cuts[2] THEN 1 ELSE 0 END + CASE WHEN q.quality > c.cuts[3] THEN 1 ELSE 0 END) AS bin FROM q, c ORDER BY q.doc_id",
     "t12_corpus_profile" ->
@@ -289,7 +292,7 @@ object PipelineOracle {
     "dd14_soft_dedup" ->
       "WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents), c AS (SELECT fp, COUNT(*) AS n_dups FROM fp GROUP BY fp) SELECT f.doc_id, c.n_dups, ROUND(1.0 / CAST(c.n_dups AS DOUBLE), 4) AS weight FROM fp f JOIN c USING (fp) ORDER BY f.doc_id",
     "dd15_passage_scrub" ->
-      "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), p AS (SELECT doc_id, CAST(c AS BIGINT) AS idx, array_to_string(ws[(CAST(c AS INT)*20+1):(CAST(c AS INT)*20+20)], ' ') AS passage FROM w, unnest(range(0, (len(ws)+19)//20)) t(c)), canon AS (SELECT passage, MIN(doc_id * 1048576 + idx) AS ck FROM p GROUP BY passage) SELECT p.doc_id, COUNT(*) AS n_passages, CAST(SUM(CASE WHEN p.doc_id * 1048576 + p.idx = c.ck THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, string_agg(CASE WHEN p.doc_id * 1048576 + p.idx = c.ck THEN p.passage END, ' ' ORDER BY p.idx) AS clean_text FROM p JOIN canon c USING (passage) GROUP BY p.doc_id ORDER BY p.doc_id",
+      "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), p AS (SELECT doc_id, CAST(c AS BIGINT) AS idx, array_to_string(ws[(CAST(c AS INT)*20+1):(CAST(c AS INT)*20+20)], ' ') AS passage FROM w, unnest(range(0, (len(ws)+19)//20)) t(c)), canon AS (SELECT passage, MIN(CAST(doc_id AS HUGEINT) * 1048576 + idx) AS ck FROM p GROUP BY passage) SELECT p.doc_id, COUNT(*) AS n_passages, CAST(SUM(CASE WHEN CAST(p.doc_id AS HUGEINT) * 1048576 + p.idx = c.ck THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, string_agg(CASE WHEN CAST(p.doc_id AS HUGEINT) * 1048576 + p.idx = c.ck THEN p.passage END, ' ' ORDER BY p.idx) AS clean_text FROM p JOIN canon c USING (passage) GROUP BY p.doc_id ORDER BY p.doc_id",
     "c08_cluster_safe_split" ->
       s"WITH RECURSIVE $simhashBandCtes, prs AS (SELECT ida, idb FROM cand WHERE bit_count(xor(ha, hb)) <= 4), edges AS (SELECT ida AS a, idb AS b FROM prs UNION ALL SELECT idb, ida FROM prs), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), comp AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a), cl AS (SELECT d.doc_id, CAST(LEAST(COALESCE(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster FROM documents d LEFT JOIN comp c ON c.a = d.doc_id) SELECT doc_id, cluster, CASE WHEN CAST(('0x' || substr(md5('csplit:' || CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900 THEN 'train' ELSE 'val' END AS split FROM cl ORDER BY doc_id",
     "sp14_preference_pairs" ->

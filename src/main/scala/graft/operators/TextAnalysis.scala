@@ -54,21 +54,37 @@ object TextAnalysis {
 
   /** t02 — quality scoring: stopword ratio + a length prior. The heuristic is
     * deliberately simple and deterministic (the point is the distributed
-    * shape, not the linguistics): score = 0.5·stop_ratio + 0.5·[20 ≤ tokens ≤ 80]. */
+    * shape, not the linguistics): score = 0.5·stop_ratio + 0.5·[20 ≤ tokens ≤ 80].
+    *
+    * EMITTED ratios go through [[ExactPresent.roundDiv]] — the sf10 gate
+    * falsified ExactPresent's "single-division ratios never diverge"
+    * claim right here: doc 5497558138896 has n_chars/n_tokens = 353/40 =
+    * EXACTLY 8.825, whose nearest double sits an ulp BELOW the half, so
+    * Spark (shortest-decimal half-up) printed 8.83 while DuckDB (×10²
+    * then half-away) printed 8.82 — 1440 of 500k docs split this way.
+    * A single float division agrees across engines only when the true
+    * rational is NOT on (or within an ulp of) a rounding half; integer
+    * numerator/denominator ratios land on halves for ordinary inputs.
+    * quality emits the same rational as [[qualityOf]] —
+    * (stops + [20 ≤ n ≤ 80]·n) / (2n) — in exact form; the GATE column
+    * (threshold compares) keeps the double formula, where an ulp cannot
+    * flip engines that both compute it identically. */
   def t02Quality(spark: SparkSession, dir: String): DataFrame = {
+    import ExactPresent.roundDiv
     val ws = toks
-    val nTok = size(ws)
-    val stopRatio = countIn(ws, stopwords).cast("double") / nTok
     t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), ws.as("ws"))
       .select(
         col("doc_id"),
         size(col("ws")).as("n_tokens"),
-        round(col("n_chars").cast("double") / size(col("ws")), 2)
-          .as("avg_token_len"),
-        round(countIn(col("ws"), stopwords).cast("double") / size(col("ws")), 3)
+        roundDiv(col("n_chars"), size(col("ws")), 2).as("avg_token_len"),
+        roundDiv(countIn(col("ws"), stopwords), size(col("ws")), 3)
           .as("stop_ratio"),
-        qualityOf(col("ws")).as("quality"))
+        roundDiv(
+          countIn(col("ws"), stopwords) +
+            when(size(col("ws")).between(20, 80), size(col("ws")))
+              .otherwise(lit(0)),
+          size(col("ws")).cast("long") * 2L, 3).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -242,7 +258,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_common"))
       .withColumn("common_ratio",
-        round(col("n_common").cast("double") / col("n_tokens"), 3))
+        // integer ratio emission → exact rounding (t02's sf10 lesson)
+        ExactPresent.roundDiv(col("n_common"), col("n_tokens"), 3))
       .orderBy("doc_id")
   }
 
@@ -464,7 +481,8 @@ object TextAnalysis {
         size(split(trim(col("text")), "\\s+")).as("n_words"),
         size(sub).as("n_subtokens"))
       .withColumn("ratio",
-        round(col("n_subtokens").cast("double") / col("n_words"), 3))
+        // integer ratio emission → exact rounding (t02's sf10 lesson)
+        ExactPresent.roundDiv(col("n_subtokens"), col("n_words"), 3))
       .orderBy("doc_id")
   }
 

@@ -11,10 +11,22 @@ Spark parquet, sort columns by name, compare row count, schema-ish, and
 values (exact string compare after normalization).
 """
 import json, sys, glob, os
+# numpy/pandas are imported UP FRONT, not lazily inside the compare loop:
+# duckdb's fetch paths import numpy on demand, and after a memory-heavy
+# oracle the C-extension mmap can fail, surfacing as a bogus "importing
+# numpy from its source directory" ImportError (observed on dd13 at sf10)
+import numpy  # noqa: F401
+import pandas as pd
 import duckdb
 
 outDir, sfDir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Bound the oracle's appetite: an up-scale recursive/quadratic oracle can
+# otherwise eat the whole box (c02 at sf1 peaked at 89 GB RSS). DuckDB
+# spills to disk past the cap or fails the ONE query — either way the
+# rest of the gate survives. Override via GRAFT_DUCKDB_MEM.
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for p in glob.glob(f"{sfDir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver testdata ships single parquet FILES; Spark writers (ScaleUp's
@@ -81,7 +93,6 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"rowcount oracle={len(o)} spark={len(s)}"))
         continue
     # value compare: stringify with repr-ish normalization
-    import pandas as pd
     def norm(df):
         out = df.copy()
         for c in out.columns:

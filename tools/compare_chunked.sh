@@ -5,13 +5,20 @@
 # the documented dd02/ss02 quadratic baselines) can be killed and
 # RECORDED without taking the rest of the gate down with it.
 #
-# usage: compare_chunked.sh <outDir> <sfDir> <logFile> [budgetSec]
+# usage: compare_chunked.sh <outDir> <sfDir> <logFile> [budgetSec] [mod rem]
+#   mod/rem: run only names with index % mod == rem — split the gate
+#   across parallel workers (each subprocess is an independent DuckDB).
 set -u
 outDir=$1; sfDir=$2; log=$3; budget=${4:-600}
+mod=${5:-1}; rem=${6:-0}
 : > "$log"
+# the oracle json carries each query under both `name` and
+# `name.parquet` (driver compat); the pair compares identically — run one
 names=$(python3 -c "
 import json,sys
-print('\n'.join(sorted(json.load(open('$outDir/oracle_sql.json')))))")
+ks = sorted(json.load(open('$outDir/oracle_sql.json')))
+ks = [k for k in ks if not k.endswith('.parquet')]
+print('\n'.join(k for i, k in enumerate(ks) if i % $mod == $rem))")
 for n in $names; do
   start=$(date +%s)
   if GRAFT_COMPARE_ONLY="$n" timeout -k 30 "$budget" \
