@@ -111,6 +111,64 @@ object PipelineOracle {
       "ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 3) AS bpe_per_word FROM agg ORDER BY doc_id"
   }
 
+  /** Shared CTE chain for the BM25 scorer (t17 and the ss19 lexical leg):
+    * tokenized docs, per-doc query-term tfs + length, 1-row corpus stats. */
+  private val bm25Ctes: String =
+    "w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tfs AS (SELECT doc_id, len(ws) AS dl, len([x FOR x IN ws IF x = 'hash']) AS tf0, len([x FOR x IN ws IF x = 'join']) AS tf1, len([x FOR x IN ws IF x = 'vector']) AS tf2 FROM w), st AS (SELECT COUNT(*) AS n, SUM(dl) AS sl, SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tfs)"
+
+  /** The BM25 scored top-`limit` select over [[bm25Ctes]] — every
+    * floating-point step written identically to the Spark side (t17's
+    * parity argument). */
+  private def bm25Select(limit: Int): String =
+    s"SELECT doc_id, ROUND(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * (CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sl AS DOUBLE) / n))) + ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * (CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sl AS DOUBLE) / n))) + ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * (CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sl AS DOUBLE) / n))), 4) AS bm25 FROM tfs, st ORDER BY bm25 DESC, doc_id LIMIT $limit"
+
+  /** Shared CTE chain for the exact-cosine top-k of vec_id 0 (ss01, the
+    * ss19 dense leg, and the ss20 candidate pool): quantized elements,
+    * norms, and the query dots. */
+  private val cosTopCtes: String =
+    "el AS (SELECT vec_id, i.i AS i, CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM embeddings, unnest(range(0, 64)) i(i)), nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM el GROUP BY vec_id), dots AS (SELECT b.vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot FROM el a JOIN el b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0 GROUP BY b.vec_id)"
+
+  /** The cosine-ranked top-`limit` select over [[cosTopCtes]]. */
+  private def cosTopSelect(limit: Int): String =
+    s"SELECT d.vec_id, ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos FROM dots d JOIN nrm na ON na.vec_id = 0 JOIN nrm nb ON nb.vec_id = d.vec_id ORDER BY cos DESC, d.vec_id LIMIT $limit"
+
+  /** ss20's greedy MMR selection, unrolled round by round (the BPE-unroll
+    * precedent — k is a compile-time constant, so unrolling is exact).
+    * Round r scores every unselected candidate
+    * `0.7·rel − 0.3·max_sim(to mcum_{r−1})` and takes the
+    * (score DESC, vec_id) argmax. Raw (unrounded) doubles feed every
+    * comparison — identical IEEE expressions to the Spark/driver side —
+    * and the literals 0.7/0.3 are INDEPENDENT (never 1−λ, a different
+    * double). */
+  private def mmrRoundCtes(r: Int): String = {
+    val p = r - 1
+    // every round CTE MATERIALIZED (the BPE-unroll lesson): without the
+    // pins DuckDB re-inlines each round's whole prefix chain per correlated
+    // subquery — exponential re-expansion, not a 10-step loop
+    s"mscored$r AS MATERIALIZED (SELECT c.vec_id, c.rel, CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * (SELECT MAX(s.sim) FROM msims s JOIN mcum$p m ON s.idb = m.vec_id WHERE s.ida = c.vec_id) AS score FROM mcand c WHERE c.vec_id NOT IN (SELECT vec_id FROM mcum$p)), " +
+      s"msel$r AS MATERIALIZED (SELECT vec_id, rel, score FROM mscored$r ORDER BY score DESC, vec_id LIMIT 1), " +
+      s"mcum$r AS MATERIALIZED (SELECT vec_id FROM mcum$p UNION ALL SELECT vec_id FROM msel$r)"
+  }
+
+  private def mmrSql(nCand: Int, k: Int): String = {
+    // the shared top-k CTEs get the same pins (same rationale; harmless —
+    // all of these frames are tiny)
+    val pinnedCos = Seq("el", "nrm", "dots").foldLeft(cosTopCtes)((s, n) =>
+      s.replaceFirst(s"$n AS \\(", s"$n AS MATERIALIZED ("))
+    val head = s"WITH $pinnedCos, " +
+      s"mcand AS MATERIALIZED (SELECT d.vec_id, CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS rel FROM dots d JOIN nrm na ON na.vec_id = 0 JOIN nrm nb ON nb.vec_id = d.vec_id ORDER BY ROUND(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) DESC, d.vec_id LIMIT $nCand), " +
+      "mpd AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb, CAST(SUM(ea.q * eb.q) AS BIGINT) AS dot FROM mcand a JOIN mcand b ON a.vec_id < b.vec_id JOIN el ea ON ea.vec_id = a.vec_id JOIN el eb ON eb.vec_id = b.vec_id AND eb.i = ea.i GROUP BY a.vec_id, b.vec_id), " +
+      "msims0 AS MATERIALIZED (SELECT ida, idb, CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim FROM mpd JOIN nrm na ON na.vec_id = ida JOIN nrm nb ON nb.vec_id = idb), " +
+      "msims AS MATERIALIZED (SELECT ida, idb, sim FROM msims0 UNION ALL SELECT idb, ida, sim FROM msims0), " +
+      "msel1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS score FROM mcand ORDER BY score DESC, vec_id LIMIT 1), " +
+      "mcum1 AS MATERIALIZED (SELECT vec_id FROM msel1)"
+    val rounds = (2 to k).map(mmrRoundCtes).mkString(", ")
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS r, vec_id, rel, score FROM msel$r").mkString(" UNION ALL ")
+    s"$head, $rounds SELECT r AS " + "\"rank\"" +
+      s", vec_id, ROUND(rel, 4) AS rel, ROUND(score, 4) AS mmr FROM ($union) ORDER BY r"
+  }
+
   val sql: Map[String, String] = Map(
     "t24_bpe_train" -> bpeTrainSql,
     "t25_bpe_segment" -> bpeSegmentSql,
@@ -237,7 +295,14 @@ object PipelineOracle {
     "dd06_neardup_clusters" ->
       s"WITH RECURSIVE $simhashBandCtes, prs AS (SELECT ida, idb FROM cand WHERE bit_count(xor(ha, hb)) <= 4), edges AS (SELECT ida AS a, idb AS b FROM prs UNION ALL SELECT idb, ida FROM prs), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), comp AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) SELECT d.doc_id, CAST(LEAST(COALESCE(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster FROM documents d LEFT JOIN comp c ON c.a = d.doc_id ORDER BY d.doc_id",
     "ss01_cosine_topk" ->
-      "WITH el AS (SELECT vec_id, i.i AS i, CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM embeddings, unnest(range(0, 64)) i(i)), nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM el GROUP BY vec_id), dots AS (SELECT b.vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot FROM el a JOIN el b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0 GROUP BY b.vec_id) SELECT d.vec_id, ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos FROM dots d JOIN nrm na ON na.vec_id = 0 JOIN nrm nb ON nb.vec_id = d.vec_id ORDER BY cos DESC, d.vec_id LIMIT 10",
+      s"WITH $cosTopCtes ${cosTopSelect(10)}",
+    "ss19_rrf_fusion" ->
+      (s"WITH $bm25Ctes, lex AS (${bm25Select(50)}), " +
+        "lexr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex), " +
+        s"$cosTopCtes, den AS (${cosTopSelect(50)}), " +
+        "denr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS dense_rank FROM den) " +
+        "SELECT COALESCE(l.id, r.id) AS doc_id, CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank, CAST(COALESCE(r.dense_rank, 0) AS BIGINT) AS dense_rank, CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) + COALESCE(1000000 // (60 + r.dense_rank), 0) AS BIGINT) AS rrf_micros FROM lexr l FULL OUTER JOIN denr r ON r.id = l.id ORDER BY rrf_micros DESC, doc_id LIMIT 20"),
+    "ss20_mmr_diversify" -> mmrSql(nCand = 30, k = 10),
     "ss02_neardup" ->
       "WITH el AS (SELECT vec_id, i.i AS i, CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM embeddings, unnest(range(0, 64)) i(i)), nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM el GROUP BY vec_id), dots AS (SELECT a.vec_id AS ida, b.vec_id AS idb, CAST(SUM(a.q * b.q) AS BIGINT) AS dot FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY a.vec_id, b.vec_id), sc AS (SELECT ida, idb, CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS c FROM dots JOIN nrm na ON na.vec_id = ida JOIN nrm nb ON nb.vec_id = idb) SELECT ida, idb, ROUND(c, 4) AS cos FROM sc WHERE c >= 0.4 ORDER BY ida, idb",
     "ss03_lsh_ann" ->
@@ -280,7 +345,7 @@ object PipelineOracle {
     "t16_normalize" ->
       "SELECT doc_id, nfc_normalize(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_text, nfc_normalize(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) <> text AS changed FROM documents ORDER BY doc_id",
     "t17_bm25" ->
-      "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tfs AS (SELECT doc_id, len(ws) AS dl, len([x FOR x IN ws IF x = 'hash']) AS tf0, len([x FOR x IN ws IF x = 'join']) AS tf1, len([x FOR x IN ws IF x = 'vector']) AS tf2 FROM w), st AS (SELECT COUNT(*) AS n, SUM(dl) AS sl, SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tfs) SELECT doc_id, ROUND(ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * (CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sl AS DOUBLE) / n))) + ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * (CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sl AS DOUBLE) / n))) + ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * (CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sl AS DOUBLE) / n))), 4) AS bm25 FROM tfs, st ORDER BY bm25 DESC, doc_id LIMIT 20",
+      s"WITH $bm25Ctes ${bm25Select(20)}",
     "dd13_cdc_chunks" ->
       "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tk AS (SELECT doc_id, i.i AS i, ws[i.i] AS w FROM w, unnest(range(1, len(ws) + 1)) i(i)), g AS (SELECT doc_id, i, w, CASE WHEN CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS gate FROM tk), ck AS (SELECT doc_id, i, w, COALESCE(SUM(gate) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c FROM g), ch AS (SELECT doc_id, c, string_agg(w, ' ' ORDER BY i) AS chunk FROM ck GROUP BY doc_id, c), oc AS (SELECT chunk, COUNT(*) AS occ FROM ch GROUP BY chunk) SELECT ch.doc_id, COUNT(*) AS n_chunks, CAST(SUM(CASE WHEN oc.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks FROM ch JOIN oc USING (chunk) GROUP BY ch.doc_id ORDER BY ch.doc_id",
     "sp10_curriculum" ->

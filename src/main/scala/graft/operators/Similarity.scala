@@ -59,20 +59,8 @@ object Similarity {
   /** ss01 — exact cosine top-10 neighbors of vec_id 0 (brute force): one
     * broadcast of the query vector, one scan of the corpus with the native
     * dot product, TakeOrderedAndProject keeps k rows per partition. */
-  def ss01CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ArrayDot.dotLong
-    val qv = corpus(spark, dir)
-    val query = qv.where(col("vec_id") === 0)
-      .select(col("q").as("qq"), col("n2").as("qn2"))
-    qv.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(query))
-      .select(col("vec_id"),
-        round(dotLong(col("q"), col("qq")).cast("double") /
-          sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
-          .as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
-  }
+  def ss01CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    exactCosineTopK(spark, dir, 10)
 
   /** ss02 — embedding-cosine near-dup: all pairs with cosine ≥ 0.4. Array
     * formulation: the broadcast-nested-loop join streams quantized vectors,
@@ -2150,5 +2138,172 @@ object Similarity {
         col("prefix_dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The ss01 plan with a caller k: exact cosine top-k of vec_id 0 —
+    * (vec_id, cos) rows ordered by (cos DESC, vec_id), cos rounded to 4.
+    * Shared by ss01, the ss19 dense fusion leg, and the ss20 candidate
+    * pool. One 1-row query broadcast + one scan + TakeOrderedAndProject. */
+  private[graft] def exactCosineTopK(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    val qv = corpus(spark, dir)
+    val query = qv.where(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    qv.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(dotLong(col("q"), col("qq")).cast("double") /
+          sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ss19 — hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/
+    * Büttcher RRF): the lexical BM25 top-50 (t17's scorer, terms
+    * hash/join/vector) fused with the dense exact-cosine top-50 (ss01's
+    * plan) on the shared document id, score = Σ_leg 1/(c + rank), c = 60.
+    *
+    * Engine parity by construction: each leg's list and order is already
+    * hash-proven (t17/ss01 at every SF), ranks are row numbers over those
+    * lists, and the fusion score is computed in INTEGER micros —
+    * `1000000 div (c + rank)` per leg — so no floating-point division can
+    * diverge between engines (the ExactPresent lesson applied up front).
+    * A document absent from a leg contributes 0 and shows rank 0.
+    *
+    * Scale shape: both legs end in TakeOrderedAndProject, so the rank
+    * windows and the full-outer fusion join run over two ≤ 50-row frames —
+    * constants of the operator, whatever the corpus size. At 100 TB the
+    * cost is the two legs' scans (each one pass, already audited); fusion
+    * adds nothing measurable. */
+  def ss19RrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusion(spark, dir, Seq("hash", "join", "vector"),
+      kLeg = 50, kOut = 20, c = 60)
+
+  /** Library surface: RRF fusion of the BM25 and dense legs for caller
+    * terms/cutoffs. `kLeg` bounds each leg's list; `kOut` the fused
+    * emission; `c` the RRF smoothing constant. */
+  def rrfFusion(spark: SparkSession, dir: String, terms: Seq[String],
+      kLeg: Int, kOut: Int, c: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kLeg >= 1 && kOut >= 1 && c >= 0, s"kLeg=$kLeg kOut=$kOut c=$c")
+    // both rank windows order a ≤ kLeg-row frame (post-TakeOrdered), so the
+    // single-partition window is bounded by the operator constant, never
+    // the corpus (the sp10 curriculumOrderOf machinery exists for the
+    // corpus-sized case)
+    val lex = TextAnalysis.bm25TopK(spark, dir, terms, kLeg)
+      .select(col("doc_id").as("id"), row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("lex_rank"))
+    val den = exactCosineTopK(spark, dir, kLeg)
+      .select(col("vec_id").as("id"), row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id")))
+        .cast("long").as("dense_rank"))
+    lex.join(den, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        (coalesce(expr(s"1000000L div (${c}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${c}L + dense_rank)"), lit(0L)))
+          .as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(kOut)
+  }
+
+  /** ss20 — maximal-marginal-relevance diversified top-k (Carbonell/
+    * Goldstein MMR): greedily select k results from an exact top-`nCand`
+    * candidate pool, each step maximizing
+    * `λ·rel(v) − μ·max_{s∈selected} sim(v, s)` — relevance to the query
+    * balanced against redundancy with what's already picked. λ and μ are
+    * INDEPENDENT literals (not μ = 1−λ): `1.0 − 0.7` and the decimal
+    * literal `0.3` are different doubles, and the oracle can only emit
+    * the literal — constraining them to sum to 1 would reintroduce the
+    * exact cross-engine ulp divergence this file's integer quantization
+    * exists to prevent.
+    *
+    * Engine parity: candidates and the cut use ss01's proven rounded-cos
+    * ordering; rel/sim are integer-dot ÷ sqrt(integer-norm product) — the
+    * identical IEEE expression on both sides — and every greedy comparison
+    * happens on those bit-identical doubles with a vec_id tie-break, so
+    * the selection sequence is deterministic across engines. Rounding
+    * happens only at emission (presentation, the established round-4).
+    *
+    * Scale shape: the corpus-sized work is the candidate scan (ss01's
+    * TakeOrderedAndProject — swap in the IVF index for the pool at 100 TB)
+    * and the distributed nCand² pair-dot self-join (a broadcast join of two
+    * nCand-row frames). Only then does the inherently-SEQUENTIAL greedy
+    * argmax run on the driver, over nCand + nCand(nCand−1)/2 collected
+    * integer rows — bounded by operator constants (30 + 435 here),
+    * independent of corpus size: the sanctioned |panel|-class collect. */
+  def ss20MmrDiversify(spark: SparkSession, dir: String): DataFrame =
+    mmrDiversify(spark, dir, nCand = 30, k = 10, lambda = 0.7, mu = 0.3)
+
+  /** Library surface: MMR selection for caller pool size / k / weights. */
+  def mmrDiversify(spark: SparkSession, dir: String, nCand: Int, k: Int,
+      lambda: Double, mu: Double): DataFrame = {
+    import graft.functions.ArrayDot.dotLong
+    require(nCand >= k && k >= 1, s"nCand=$nCand k=$k")
+    val qv = corpus(spark, dir)
+    val query = qv.where(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    // candidate pool: the ss01 cut — rounded cos DESC, vec_id ASC
+    val cand = qv.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("qdot", dotLong(col("q"), col("qq")))
+      .withColumn("relr", round(col("qdot").cast("double") /
+        sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4))
+      .orderBy(col("relr").desc, col("vec_id"))
+      .limit(nCand)
+      .select("vec_id", "q", "n2", "qn2", "qdot")
+      // consumed three ways (two pair-join sides + the collect): pin once
+      .transform(graft.Materialize.pin)
+    val pairs = cand
+      .select(col("vec_id").as("ida"), col("q").as("qa"), col("n2").as("na"))
+      .join(broadcast(cand.select(col("vec_id").as("idb"),
+        col("q").as("qb"), col("n2").as("nb"))), col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        dotLong(col("qa"), col("qb")).as("dot"), col("na"), col("nb"))
+    // bounded collects: nCand and nCand(nCand−1)/2 integer rows; the pin
+    // is consumed entirely here, so release it before the driver-side
+    // greedy (the result frame below is built from collected rows and
+    // holds no reference to it)
+    val (candRows, pairRows) = try {
+      val c = cand.select("vec_id", "qdot", "n2", "qn2").collect()
+      require(c.nonEmpty, "mmr: empty candidate pool")
+      (c, pairs.collect())
+    } finally graft.Materialize.unpin(cand)
+    val rel: Map[Long, Double] = candRows.map(r =>
+      r.getLong(0) -> r.getLong(1).toDouble /
+        math.sqrt(r.getLong(3).toDouble * r.getLong(2).toDouble)).toMap
+    val sim = scala.collection.mutable.HashMap[(Long, Long), Double]()
+    for (r <- pairRows) {
+      val s = r.getLong(2).toDouble /
+        math.sqrt(r.getLong(3).toDouble * r.getLong(4).toDouble)
+      sim((r.getLong(0), r.getLong(1))) = s
+      sim((r.getLong(1), r.getLong(0))) = s
+    }
+    var selected = List.empty[Long]
+    val avail = scala.collection.mutable.SortedSet[Long](rel.keys.toSeq: _*)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    for (r <- 1 to math.min(k, candRows.length)) {
+      // argmax by (score DESC, vec_id ASC): avail iterates ascending and
+      // strict > keeps the smaller vec_id on exact double ties — the SQL
+      // ORDER BY score DESC, vec_id LIMIT 1 semantics
+      val best = avail.iterator.map { v =>
+        val ms = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => sim((v, s))).max
+        (v, lambda * rel(v) - mu * ms)
+      }.reduceLeft((p, q) => if (q._2 > p._2) q else p)
+      out += ((r, best._1, rel(best._1), best._2))
+      selected = best._1 :: selected
+      avail -= best._1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "vec_id", "rel_raw", "mmr_raw")
+      .select(col("rank"), col("vec_id"),
+        round(col("rel_raw"), 4).as("rel"),
+        round(col("mmr_raw"), 4).as("mmr"))
+      .orderBy("rank")
   }
 }

@@ -2111,4 +2111,60 @@ class PipelinesSpec extends SparkSpec {
       assert(ppm == want, s"$s ppm $ppm != $want")
     }
   }
+
+  test("ss19 RRF: integer score recomputes from the leg ranks; legs agree") {
+    val fused = Similarity.ss19RrfFusion(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(fused.nonEmpty && fused.length <= 20)
+    // the emitted score IS the declared integer formula of the emitted
+    // ranks — no hidden float leg can drift
+    fused.foreach { case (id, lr, dr, s) =>
+      val want = (if (lr > 0) 1000000L / (60L + lr) else 0L) +
+        (if (dr > 0) 1000000L / (60L + dr) else 0L)
+      assert(s == want && (lr > 0 || dr > 0), s"doc $id: $lr/$dr/$s")
+    }
+    // emission order: score desc, doc_id tie-break
+    fused.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1), s"$a !>= $b")
+      case _ => ()
+    }
+    // leg ranks recompute from the legs themselves (rank = position in the
+    // leg's proven ordering)
+    val lexIds = TextAnalysis.bm25TopK(spark, sf,
+      Seq("hash", "join", "vector"), 50).collect().map(_.getLong(0))
+    val denIds = Similarity.ss01CosineTopK(spark, sf).collect()
+      .map(_.getLong(0)) // top-10 prefix of the dense leg
+    fused.foreach { case (id, lr, dr, _) =>
+      if (lr > 0) assert(lexIds(lr.toInt - 1) == id, s"lex rank $lr of $id")
+      if (dr > 0 && dr <= 10)
+        assert(denIds(dr.toInt - 1) == id, s"dense rank $dr of $id")
+    }
+  }
+
+  test("ss20 MMR: from-candidates, relevance-first, monotone, diversified") {
+    val sel = Similarity.ss20MmrDiversify(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(sel.length == 10 && sel.map(_._1).toSeq == (1 to 10))
+    assert(sel.map(_._2).distinct.length == 10, "duplicate selection")
+    // every pick comes from the exact top-30 candidate pool, and rank 1 is
+    // the pure-relevance argmax (empty selected set = no penalty)
+    val cand = Similarity.exactCosineTopK(spark, sf, 30).collect()
+      .map(_.getLong(0))
+    assert(sel.forall(s => cand.contains(s._2)))
+    assert(sel.head._2 == cand.head, "rank 1 must be the relevance top-1")
+    // the greedy invariant: pick scores never increase (the candidate set
+    // shrinks and the max-sim penalty only grows); rounded-4 slack
+    sel.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 <= a._4 + 1e-4, s"$a then $b")
+      case _ => ()
+    }
+    // it actually diversifies on this fixture: the selection is NOT the
+    // top-10 by relevance (if embeddings cluster at all, MMR must swap
+    // someone out; guards the penalty term against silently becoming 0)
+    assert(sel.map(_._2).toSet != cand.take(10).toSet,
+      "MMR degenerated to pure relevance — penalty term inert?")
+  }
 }

@@ -47,6 +47,14 @@ class PlanAuditSpec extends SparkSpec {
     // ss18's broadcast side is the ONE-row query-norm frame (ss10's
     // shape); cell means, codebooks, and LUTs attach by keyed equi-joins
     "ss18_residual_pq_adc",
+    // ss19's broadcast sides are t17's ONE-row BM25 stats frame and
+    // ss01's ONE-row query vector — the fusion join itself is two
+    // ≤ 50-row rank frames
+    "ss19_rrf_fusion",
+    // ss20's broadcast sides are the ONE-row query vector (the ss01
+    // candidate cut) and the nCand-row pool (30 rows — the pair-dot
+    // self-join is bounded by the operator constant at any corpus size)
+    "ss20_mmr_diversify",
     // c06's broadcast side is the BENCHMARK embedding set — bounded by
     // definition of an eval suite (ivfKnnJoin is the escape hatch)
     "c06_embedding_decontaminate",
