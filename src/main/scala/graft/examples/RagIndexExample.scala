@@ -83,17 +83,65 @@ object RagIndexExample {
     * rerank. Returns (vec_id = chunk_id, cos). */
   def retrieve(spark: SparkSession, indexRoot: String, queryText: String,
       k: Int, dim: Int = 16, nprobe: Int = 2, rerank: Int = 0): DataFrame = {
-    import spark.implicits._
-    val qvec = Seq(queryText).toDF("text")
-      .select(hashEmbedding(TextAnalysis.normalized(col("text")), dim)
-        .as("embedding"))
-      .head().getSeq[Float](0).toArray
     // rerank depth is the recall knob that costs least (more exact reads,
     // same pruned scan); nprobe = all cells + corpus-sized rerank is the
     // exhaustive setting, exact by the IvfIndexSpec identity proof
-    Similarity.probeIvfPqIndex(spark, indexRoot, qvec,
-      nprobe = nprobe, k = k,
+    Similarity.probeIvfPqIndex(spark, indexRoot,
+      embedQuery(spark, queryText, dim), nprobe = nprobe, k = k,
       rerank = if (rerank > 0) rerank else math.max(10 * k, 50))
+  }
+
+  /** Embed query text through the SAME hashEmbedding column on a one-row
+    * frame — query and corpus embeddings cannot drift. */
+  def embedQuery(spark: SparkSession, queryText: String,
+      dim: Int): Array[Float] = {
+    import spark.implicits._
+    Seq(queryText).toDF("text")
+      .select(hashEmbedding(TextAnalysis.normalized(col("text")), dim)
+        .as("embedding"))
+      .head().getSeq[Float](0).toArray
+  }
+
+  /** HYBRID retrieval: the lexical BM25 leg over the passage text and the
+    * dense IVF+PQ probe leg, reciprocal-rank-fused (ss19's operator as a
+    * composition). The query's distinct tokens (capped at 8) are the BM25
+    * terms; each leg is cut at `kLeg`, the fusion emits `k`.
+    *
+    * Scale shape: the lexical leg is t17's one-scan plan over passages;
+    * the dense leg reads nprobe cells' codes from the persistent index;
+    * the fusion joins two ≤ kLeg-row frames — nothing new is corpus-sized.
+    * Returns (id = chunk_id, lex_rank, dense_rank, rrf_micros). */
+  def hybridRetrieve(spark: SparkSession, docs: DataFrame, indexRoot: String,
+      queryText: String, k: Int, kLeg: Int = 20, dim: Int = 16,
+      nprobe: Int = 2, rerank: Int = 0): DataFrame = {
+    val terms = queryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.take(8).toSeq
+    val lex = TextAnalysis.bm25TopKOf(
+      passages(docs, dim = dim).select(col("chunk_id"), col("chunk_text")),
+      terms, kLeg, idCol = "chunk_id", textCol = "chunk_text")
+      .select(col("doc_id").as("id"), col("bm25").as("score"))
+    val den = retrieve(spark, indexRoot, queryText, k = kLeg,
+      dim = dim, nprobe = nprobe, rerank = rerank)
+      .select(col("vec_id").as("id"), col("cos").as("score"))
+    Similarity.rrfFusionOf(lex, den, kOut = k, c = 60)
+  }
+
+  /** DIVERSIFIED retrieval: MMR-select `k` passages from the exact
+    * top-`nCand` pool around the query (ss20's operator as a composition)
+    * — the redundancy-aware shortlist for a RAG context window, where two
+    * near-identical passages waste half the budget. The query embeds as a
+    * member row under a reserved id, so the pool cut and the greedy
+    * selection run the declared operator's exact plan. */
+  def diversifiedRetrieve(spark: SparkSession, docs: DataFrame,
+      queryText: String, k: Int, nCand: Int = 30,
+      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val qvec = embedQuery(spark, queryText, dim)
+    val pool = passages(docs, dim = dim)
+      .select(col("chunk_id").as("vec_id"), col("embedding"))
+    val queryRow = Seq((-1L, qvec.toSeq)).toDF("vec_id", "embedding")
+    Similarity.mmrDiversifyOf(pool.unionAll(queryRow), queryId = -1L,
+      nCand = nCand, k = k, lambda = 0.7, mu = 0.3)
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,6 +161,13 @@ object RagIndexExample {
       val hits = retrieve(spark, args(1), sample, k = 3).collect()
       println(s"indexed $n passages; top hits for doc 0's text: " +
         hits.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+      val fused = hybridRetrieve(spark, docs, args(1), sample, k = 3)
+        .collect()
+      println("hybrid (BM25 + dense, RRF): " + fused.map(r =>
+        s"${r.getLong(0)}@${r.getLong(3)}").mkString(", "))
+      val div = diversifiedRetrieve(spark, docs, sample, k = 3).collect()
+      println("diversified (MMR): " + div.map(r =>
+        s"${r.getLong(1)}@${r.getDouble(3)}").mkString(", "))
     } finally spark.stop()
   }
 }

@@ -2185,29 +2185,38 @@ object Similarity {
     * terms/cutoffs. `kLeg` bounds each leg's list; `kOut` the fused
     * emission; `c` the RRF smoothing constant. */
   def rrfFusion(spark: SparkSession, dir: String, terms: Seq[String],
-      kLeg: Int, kOut: Int, c: Int): DataFrame = {
+      kLeg: Int, kOut: Int, c: Int): DataFrame =
+    rrfFusionOf(
+      TextAnalysis.bm25TopK(spark, dir, terms, kLeg)
+        .select(col("doc_id").as("id"), col("bm25").as("score")),
+      exactCosineTopK(spark, dir, kLeg)
+        .select(col("vec_id").as("id"), col("cos").as("score")),
+      kOut, c)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Library surface: RRF-fuse ANY two pre-cut (id, score) result lists
+    * (each already bounded by its own top-k — the rank windows below are
+    * single-partition over those CONSTANT-sized frames, never a corpus).
+    * Emits (id, lex_rank, dense_rank, rrf_micros): the first list's rank
+    * lands in `lex_rank`, the second's in `dense_rank`, absence is 0. */
+  def rrfFusionOf(lex0: DataFrame, den0: DataFrame, kOut: Int,
+      c: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(kLeg >= 1 && kOut >= 1 && c >= 0, s"kLeg=$kLeg kOut=$kOut c=$c")
-    // both rank windows order a ≤ kLeg-row frame (post-TakeOrdered), so the
-    // single-partition window is bounded by the operator constant, never
-    // the corpus (the sp10 curriculumOrderOf machinery exists for the
-    // corpus-sized case)
-    val lex = TextAnalysis.bm25TopK(spark, dir, terms, kLeg)
-      .select(col("doc_id").as("id"), row_number()
-        .over(Window.orderBy(col("bm25").desc, col("doc_id")))
-        .cast("long").as("lex_rank"))
-    val den = exactCosineTopK(spark, dir, kLeg)
-      .select(col("vec_id").as("id"), row_number()
-        .over(Window.orderBy(col("cos").desc, col("vec_id")))
-        .cast("long").as("dense_rank"))
+    require(kOut >= 1 && c >= 0, s"kOut=$kOut c=$c")
+    val lex = lex0.select(col("id"), row_number()
+      .over(Window.orderBy(col("score").desc, col("id")))
+      .cast("long").as("lex_rank"))
+    val den = den0.select(col("id"), row_number()
+      .over(Window.orderBy(col("score").desc, col("id")))
+      .cast("long").as("dense_rank"))
     lex.join(den, Seq("id"), "full_outer")
-      .select(col("id").as("doc_id"),
+      .select(col("id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
         coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
         (coalesce(expr(s"1000000L div (${c}L + lex_rank)"), lit(0L)) +
           coalesce(expr(s"1000000L div (${c}L + dense_rank)"), lit(0L)))
           .as("rrf_micros"))
-      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .orderBy(col("rrf_micros").desc, col("id"))
       .limit(kOut)
   }
 
@@ -2239,20 +2248,36 @@ object Similarity {
   def ss20MmrDiversify(spark: SparkSession, dir: String): DataFrame =
     mmrDiversify(spark, dir, nCand = 30, k = 10, lambda = 0.7, mu = 0.3)
 
-  /** Library surface: MMR selection for caller pool size / k / weights. */
+  /** MMR over the fixture embeddings table (query = vec_id 0). */
   def mmrDiversify(spark: SparkSession, dir: String, nCand: Int, k: Int,
-      lambda: Double, mu: Double): DataFrame = {
+      lambda: Double, mu: Double): DataFrame =
+    mmrDiversifyOf(t(spark, dir, "embeddings"), queryId = 0,
+      nCand, k, lambda, mu)
+
+  /** Library surface: MMR selection over ANY (id, vector) frame with the
+    * query a member row (`queryId`) — caller pool size / k / weights. */
+  def mmrDiversifyOf(vecs: DataFrame, queryId: Long, nCand: Int, k: Int,
+      lambda: Double, mu: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     import graft.functions.ArrayDot.dotLong
     require(nCand >= k && k >= 1, s"nCand=$nCand k=$k")
-    val qv = corpus(spark, dir)
-    val query = qv.where(col("vec_id") === 0)
+    val spark = vecs.sparkSession
+    val qv = vecs.select(col(idCol).as("vec_id"),
+      quantizedOf(col(vecCol)).as("q"))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+    val query = qv.where(col("vec_id") === queryId)
       .select(col("q").as("qq"), col("n2").as("qn2"))
-    // candidate pool: the ss01 cut — rounded cos DESC, vec_id ASC
-    val cand = qv.where(col("vec_id") =!= 0)
+    // candidate pool: the ss01 cut — rounded cos DESC, vec_id ASC.
+    // guardedCos, not a bare divide: caller data can hold zero-norm
+    // vectors (a RAG passage whose ±1 token contributions cancel), and
+    // ANSI Spark turns the 0-divide into a job abort; degenerate rows get
+    // the defined −1 and rank last (fixture parity unaffected — the
+    // declared query's preconditions exclude zero norms, PipelinesSpec)
+    val cand = qv.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(query))
       .withColumn("qdot", dotLong(col("q"), col("qq")))
-      .withColumn("relr", round(col("qdot").cast("double") /
-        sqrt(col("qn2").cast("double") * col("n2").cast("double")), 4))
+      .withColumn("relr",
+        round(guardedCos(col("qdot"), col("qn2"), col("n2")), 4))
       .orderBy(col("relr").desc, col("vec_id"))
       .limit(nCand)
       .select("vec_id", "q", "n2", "qn2", "qdot")
@@ -2273,13 +2298,17 @@ object Similarity {
       require(c.nonEmpty, "mmr: empty candidate pool")
       (c, pairs.collect())
     } finally graft.Materialize.unpin(cand)
+    // the driver-side mirror of guardedCos: same −1 for degenerate rows,
+    // identical IEEE expression otherwise
+    def gCos(dot: Long, n2a: Long, n2b: Long): Double =
+      if (n2a > 0 && n2b > 0)
+        dot.toDouble / math.sqrt(n2a.toDouble * n2b.toDouble)
+      else -1.0
     val rel: Map[Long, Double] = candRows.map(r =>
-      r.getLong(0) -> r.getLong(1).toDouble /
-        math.sqrt(r.getLong(3).toDouble * r.getLong(2).toDouble)).toMap
+      r.getLong(0) -> gCos(r.getLong(1), r.getLong(3), r.getLong(2))).toMap
     val sim = scala.collection.mutable.HashMap[(Long, Long), Double]()
     for (r <- pairRows) {
-      val s = r.getLong(2).toDouble /
-        math.sqrt(r.getLong(3).toDouble * r.getLong(4).toDouble)
+      val s = gCos(r.getLong(2), r.getLong(3), r.getLong(4))
       sim((r.getLong(0), r.getLong(1))) = s
       sim((r.getLong(1), r.getLong(0))) = s
     }

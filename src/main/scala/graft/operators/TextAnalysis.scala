@@ -520,12 +520,21 @@ object TextAnalysis {
     * top-k plans as TakeOrderedAndProject. Nothing shuffles but the
     * 1-row stats and k winners — a 100 TB BM25 query is one scan. */
   def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKOf(t(spark, dir, "documents"), terms, k, k1, b)
+
+  /** Library surface: BM25 top-k over ANY (id, text) frame — the same
+    * one-scan plan as the declared query, with caller id/text columns
+    * (RagIndexExample scores PASSAGES through this). */
+  def bm25TopKOf(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct: $terms")
     require(k >= 1, s"k: $k")
-    val base = t(spark, dir, "documents")
-      .select(col("doc_id"), toks.as("__ws"))
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__ws"))
       .withColumn("__len", size(col("__ws")))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (term, i)) =>
       d.withColumn(s"__tf$i",

@@ -257,6 +257,37 @@ class ExamplesSpec extends SparkSpec {
     // exactness, is its contract — asserted on the operator's own spec)
     assert(RagIndexExample.retrieve(spark, root, probe.getString(1),
       k = 3).count() == 3)
+    // HYBRID retrieval at the exhaustive dense setting: the probed chunk
+    // is dense rank 1 (bit-equal embedding — the exact assertion above),
+    // so it must appear in the fused list carrying dense_rank == 1; its
+    // LEXICAL rank is a corpus property, not a theorem (word-salad text:
+    // BM25's length normalization can rank a shorter chunk above the one
+    // containing the query) — assert only the fusion algebra on it
+    val fused = RagIndexExample.hybridRetrieve(spark, docs, root,
+      probe.getString(1), k = 20, nprobe = 10, rerank = n.toInt).collect()
+    assert(fused.length == 20)
+    assert(fused.map(_.getLong(0)).distinct.length == 20)
+    // the emitted score IS the integer formula of the emitted ranks
+    fused.foreach { r =>
+      val want = (if (r.getLong(1) > 0) 1000000L / (60L + r.getLong(1))
+        else 0L) +
+        (if (r.getLong(2) > 0) 1000000L / (60L + r.getLong(2)) else 0L)
+      assert(r.getLong(3) == want, s"fused row $r breaks the RRF formula")
+    }
+    val probedRow = fused.find(_.getLong(0) == probe.getLong(0))
+    assert(probedRow.isDefined, "probed chunk absent from the fused list")
+    assert(probedRow.get.getLong(2) == 1L,
+      s"probed chunk ${probedRow.get} is not dense rank 1")
+    // DIVERSIFIED retrieval: k distinct passages from the pool, the
+    // query's own chunk first (it is the relevance argmax at cosine 1)
+    val div = RagIndexExample.diversifiedRetrieve(spark, docs,
+      probe.getString(1), k = 5).collect()
+    assert(div.length == 5)
+    assert(div.map(_.getLong(1)).distinct.length == 5)
+    assert(div.head.getLong(1) == probe.getLong(0),
+      s"MMR rank 1 ${div.head} is not the probed chunk")
+    // the reserved query id is never selected
+    assert(!div.map(_.getLong(1)).contains(-1L))
   }
 
   test("CurationExample write path emits lang-partitioned parquet") {
