@@ -27,6 +27,12 @@ con = duckdb.connect()
 # rest of the gate survives. Override via GRAFT_DUCKDB_MEM.
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# Scaled rehearsal dirs offset every key by replica*2^39 (ScaleUp), and
+# DuckDB's perfect-hash aggregate sizes an ARRAY by the group key's
+# min..max RANGE — a GROUP BY doc_id at sf1 then tries to allocate a
+# PiB-scale vector and aborts (observed: dd16 "Cannot resize vector to
+# 15579.5 PiB"). Disable it; the classic hash aggregate is range-blind.
+con.execute("SET perfect_ht_threshold=0")
 for p in glob.glob(f"{sfDir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver testdata ships single parquet FILES; Spark writers (ScaleUp's
