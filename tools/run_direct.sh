@@ -1,0 +1,19 @@
+#!/bin/bash
+# Direct-JVM runner for any graft main (ScaleUp, Verify, tools.*):
+# bypasses sbt so long up-scale runs can't collide with the build lock
+# or trigger a recompile mid-run. Usage:
+#   tools/run_direct.sh <mem> <mainClass> [args...]
+# e.g. tools/run_direct.sh 48g graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1 10
+set -euo pipefail
+cd /root/repo
+MEM="$1"; MAIN="$2"; shift 2
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Djava.awt.headless=true -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC "-Xmx$MEM" \
+  -cp "$CP" "$MAIN" "$@"
