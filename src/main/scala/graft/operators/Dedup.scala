@@ -305,14 +305,21 @@ object Dedup {
       .select(col("doc_id"), col("bd.band"), col("bd.k1"), col("bd.k2"))
   }
 
-  private def minhashCandidatePairsOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSigOf(docs)
+  /** Distinct banded-collision id pairs (ida < idb) of a sig frame — the
+    * raw candidate retrieval step, before any exact verification. Split
+    * out so dd19's recall audit can measure THIS step alone. */
+  private def candidateIdsOfSig(sig: DataFrame): DataFrame = {
     val bands = bandsOfSig(sig)
-    val cand = bands.select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
+    bands.select(col("doc_id").as("ida"), col("band"), col("k1"), col("k2"))
       .join(bands.select(col("doc_id").as("idb"), col("band"), col("k1"), col("k2")),
         Seq("band", "k1", "k2"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
+  }
+
+  private def minhashCandidatePairsOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSigOf(docs)
+    val cand = candidateIdsOfSig(sig)
     // Attach both shingle sets so callers can verify candidates exactly.
     // Deliberately NO broadcast() hint: `sets` is one row per DOCUMENT, so a
     // mandatory broadcast hard-fails at the 8 GB limit long before 100 TB.
@@ -346,6 +353,51 @@ object Dedup {
     * wrappers over this. Same banding, same verified-candidates contract. */
   def minhashNearDupsOf(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOfPairs(minhashCandidatePairsOf(docs), threshold)
+
+  /** dd19 — LSH RECALL AUDIT: empirical per-Jaccard-decile recall of the
+    * banded MinHash CANDIDATE step (dd03's sub-quadratic retrieval) against
+    * the exact all-pairs ground truth (dd02's arm). This is the design
+    * audit every banding deployment owes: the 8-bands-of-2 family's
+    * theoretical catch probability 1−(1−J²)⁸ is ~0.53 at J=0.3 and
+    * ~0.99997 at J=0.9, so a corpus deduped at a LOW threshold through
+    * dd03 silently loses barely-similar pairs — this query MEASURES that
+    * curve on the actual corpus instead of trusting the formula (ss17's
+    * role, for the dedup ladder). Deciles are cut with INTEGER arithmetic
+    * ((10·|A∩B|) div |A∪B|) so bucket boundaries cannot drift between
+    * engines, and recall is an ExactPresent.roundDiv.
+    *
+    * Scale stance: the exact arm is dd02's quadratic all-pairs BY DESIGN —
+    * ground truth has no sub-quadratic shortcut. At 100 TB the audit runs
+    * on a sampled panel (feed `lshRecallAuditOf` a sp01-style deterministic
+    * sample); the LSH arm it grades is the full-corpus-shaped plan either
+    * way. Output is ≤ 8 rows (deciles 3..10 at the 0.3 threshold). */
+  def dd19LshRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAuditOf(t(spark, dir, "documents"), 0.3)
+
+  /** Generic library surface: the LSH recall audit over ANY (doc_id, text)
+    * frame at a caller-chosen ground-truth Jaccard threshold. */
+  def lshRecallAuditOf(docs: DataFrame, threshold: Double): DataFrame = {
+    // ONE signature scan feeds three consumers (both sides of the exact
+    // pair join + the banded candidate arm) — pinned per the
+    // multi-consumer rule the examples enforce via PinAudit.
+    val sig = graft.Materialize.pin(minhashSigOf(docs))
+    val sets = sig.select(col("doc_id"), col("set"))
+    val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
+      .repartition(64, col("ida"))
+    val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
+    val exact = scoredPairs(a.join(broadcast(b), col("ida") < col("idb")),
+        threshold)
+      .where(col("jraw") >= threshold)
+    val caught = candidateIdsOfSig(sig).withColumn("hit", lit(1L))
+    exact.join(caught, Seq("ida", "idb"), "left")
+      .withColumn("bucket", expr("(10 * c) div (na + nb - c)").cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall",
+        ExactPresent.roundDiv(col("n_caught"), col("n_exact"), 3))
+      .orderBy("bucket")
+  }
 
   /** dd07 — passage-level exact dedup (the boilerplate-removal shape:
     * repeated headers/footers/templates recur across documents even when

@@ -795,4 +795,39 @@ object Sampling {
     counts.toSeq.map { case (g, n) => (g, n, ratePpm(n)) }
       .toDF(groupCol, "n_docs", "rate_ppm")
   }
+
+  /** sp16 — LENGTH-BUCKETED BATCHING census (the dynamic-batching /
+    * padding-waste audit): every document lands in the smallest
+    * power-of-two token-capacity bucket that holds it (floor 16, ceiling
+    * 2²¹ — anything longer overflows into the top bucket), and each bucket
+    * reports doc count, longest member, token mass, and the padding a
+    * fixed-capacity batch at that bucket would waste. This is the survey a
+    * pipeline runs before choosing batch shapes: padding cost is
+    * `1 − sum_tokens / (n_docs·cap)` per bucket, and a heavy-waste bucket
+    * says "split this range further" while near-zero waste says buckets
+    * can merge. One map-side-combined groupBy on a computed integer key —
+    * a single shuffle of ≤ 18 rows regardless of corpus size; everything
+    * else is integer arithmetic inside whole-stage codegen, with the one
+    * ratio an ExactPresent.roundDiv. */
+  def sp16LengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketsOf(t(spark, dir, "documents"))
+
+  /** Generic library surface: the padding census over ANY (text) frame. */
+  def lengthBucketsOf(docs: DataFrame): DataFrame = {
+    val caps: Seq[Long] = (4 to 21).map(1L << _)
+    val n = size(TextAnalysis.toks).cast("long")
+    // smallest cap ≥ n: innermost otherwise is the overflow ceiling
+    val cap = caps.init.reverse.foldLeft(lit(caps.last): Column) {
+      (acc, c) => when(n <= c, lit(c)).otherwise(acc)
+    }
+    docs.select(cap.as("bucket_cap"), n.as("n"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_len"),
+        sum(col("n")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("bucket_cap") - col("sum_tokens"))
+      .withColumn("pad_ratio", ExactPresent.roundDiv(col("pad_tokens"),
+        col("n_docs") * col("bucket_cap"), 3))
+      .orderBy("bucket_cap")
+  }
 }

@@ -407,6 +407,63 @@ class PipelinesSpec extends SparkSpec {
     assert(j.forall(r => math.abs(r.getDouble(2) - 0.922) < 0.001))
   }
 
+  test("dd19 recall audit integer-buckets planted pairs and measures the banding") {
+    // Same planted-vocabulary construction as the dd03 floor test (unique
+    // bigram space per pair ⇒ exact Jaccard by construction, deterministic
+    // hash family ⇒ no flake): J=0.922 pairs land in decile (10·95) div
+    // 103 = 9, J=0.347 pairs in (10·51) div 147 = 3.
+    import spark.implicits._
+    def tokens(pair: Int, tag: String, n: Int): IndexedSeq[String] =
+      (0 until n).map(j => s"q${pair}${tag}$j")
+    def doc(pair: Int, mut: IndexedSeq[String] => IndexedSeq[String])
+        : String = mut(tokens(pair, "w", 100)).mkString(" ")
+    val tight = (0 until 40).map { i =>
+      (800L + 4 * i, doc(i, identity),
+        801L + 4 * i, doc(i, ts => ts.updated(30, s"q${i}x30")
+          .updated(70, s"q${i}x70")))
+    }
+    val loose = (0 until 40).map { i =>
+      (802L + 4 * i, doc(2000 + i, identity),
+        803L + 4 * i, doc(2000 + i,
+          ts => ts.take(52) ++ tokens(2000 + i, "z", 48)))
+    }
+    val docs = (tight ++ loose)
+      .flatMap { case (ia, ta, ib, tb) => Seq((ia, ta), (ib, tb)) }
+      .toDF("doc_id", "text")
+    val audit = Dedup.lshRecallAuditOf(docs, 0.3).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(audit.keySet == Set(3, 9), s"buckets: ${audit.keySet}")
+    val (e9, c9, r9) = audit(9)
+    assert(e9 == 40 && c9 >= 38,
+      s"J=0.922 bucket: $c9/$e9 (theory 0.999998)")
+    val (e3, c3, r3) = audit(3)
+    assert(e3 == 40 && c3 >= 16 && c3 <= 40,
+      s"J=0.347 bucket: $c3/$e3 (theory ≈ 0.64)")
+    info(s"dd19 measured recall: bucket 9 → $r9, bucket 3 → $r3")
+    // recall is exactly the int64 half-up round of n_caught/n_exact
+    def rd(c: Long, e: Long): Double = ((2 * c * 1000 + e) / (2 * e)) / 1000.0
+    assert(r9 == rd(c9, e9) && r3 == rd(c3, e3))
+  }
+
+  test("sp16 length buckets: power-of-two caps and exact padding arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")), // 10 -> cap 16
+      (2L, (1 to 16).map(i => s"b$i").mkString(" ")), // 16 -> cap 16 (boundary is inclusive)
+      (3L, (1 to 17).map(i => s"c$i").mkString(" ")), // 17 -> cap 32
+      (4L, (1 to 100).map(i => s"d$i").mkString(" ")) // 100 -> cap 128
+    ).toDF("doc_id", "text")
+    val got = Sampling.lengthBucketsOf(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (16L, 2L, 16L, 26L, 6L, 0.188),    // 6/32  = 0.1875  -> half-up 0.188
+      (32L, 1L, 17L, 17L, 15L, 0.469),   // 15/32 = 0.46875 -> 0.469
+      (128L, 1L, 100L, 100L, 28L, 0.219) // 28/128 = 0.21875 -> 0.219
+    ), s"got: $got")
+  }
+
   test("ivfKnnJoin recalls from the exact knn join through probed cells") {
     val isQ = col("vec_id") % 50 === 0
     val exact = Similarity.knnJoin(spark, sf, isQ, k = 3).collect()

@@ -26,7 +26,11 @@ con = duckdb.connect()
 # spills to disk past the cap or fails the ONE query — either way the
 # rest of the gate survives. Override via GRAFT_DUCKDB_MEM.
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# per-process spill dir: parallel compare_chunked workers otherwise share
+# one temp_directory and clobber each other's spill files mid-read
+# (observed: c03 at sf1 "Could not read enough bytes from
+# duckdb_temp_storage-2.tmp" while a sibling worker spilled)
+con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
 # Scaled rehearsal dirs offset every key by replica*2^39 (ScaleUp), and
 # DuckDB's perfect-hash aggregate sizes an ARRAY by the group key's
 # min..max RANGE — a GROUP BY doc_id at sf1 then tries to allocate a
