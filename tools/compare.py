@@ -30,7 +30,15 @@ con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
 # one temp_directory and clobber each other's spill files mid-read
 # (observed: c03 at sf1 "Could not read enough bytes from
 # duckdb_temp_storage-2.tmp" while a sibling worker spilled)
-con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+# GRAFT_SPILL_DIR lets an outer driver own (and clean) the spill dir —
+# a `timeout -k`-killed DuckDB leaves its temp storage behind, and two
+# orphaned heavy spills filled this box's disk
+con.execute("SET temp_directory='%s'" % os.environ.get(
+    "GRAFT_SPILL_DIR", f"/tmp/duckdb_spill_{os.getpid()}"))
+# GRAFT_DUCKDB_THREADS: cap DuckDB's parallelism so gate workers can
+# share the box with a concurrent Spark run (default: all cores)
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
 # Scaled rehearsal dirs offset every key by replica*2^39 (ScaleUp), and
 # DuckDB's perfect-hash aggregate sizes an ARRAY by the group key's
 # min..max RANGE — a GROUP BY doc_id at sf1 then tries to allocate a

@@ -19,9 +19,10 @@ import json,sys
 ks = sorted(json.load(open('$outDir/oracle_sql.json')))
 ks = [k for k in ks if not k.endswith('.parquet')]
 print('\n'.join(k for i, k in enumerate(ks) if i % $mod == $rem))")
+spill="/tmp/graft_spill_$$"
 for n in $names; do
   start=$(date +%s)
-  if GRAFT_COMPARE_ONLY="$n" timeout -k 30 "$budget" \
+  if GRAFT_COMPARE_ONLY="$n" GRAFT_SPILL_DIR="$spill" timeout -k 30 "$budget" \
       python3 -u tools/compare.py "$outDir" "$sfDir" >> "$log" 2>&1; then
     :
   else
@@ -34,5 +35,7 @@ for n in $names; do
   fi
   end=$(date +%s)
   echo "t $n $((end-start))s" >> "$log.times"
+  # reclaim spill left by a killed/oom'd DuckDB before the next query
+  rm -rf "$spill"
 done
 echo "DONE" >> "$log"
