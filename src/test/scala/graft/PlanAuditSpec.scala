@@ -16,6 +16,9 @@ class PlanAuditSpec extends SparkSpec {
     * definition or it isn't a coarse quantizer). */
   private val bnljAllowed = Set(
     "dd02_ngram_jaccard", "ss02_neardup",
+    // dd19's exact arm IS dd02's quadratic all-pairs (the audit's ground
+    // truth has no sub-quadratic shortcut; sample the panel at scale)
+    "dd19_lsh_recall_audit",
     "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann", "ss13_mips",
     // ss14's broadcast sides are the ONE-row max-norm aggregate and the
     // ONE-row augmented query vector — bounded at any corpus size
