@@ -374,21 +374,65 @@ object Dedup {
   def dd19LshRecallAudit(spark: SparkSession, dir: String): DataFrame =
     lshRecallAuditOf(t(spark, dir, "documents"), 0.3)
 
+  /** dd20 — the SAMPLED-PANEL edition of dd19: the audit's scale path.
+    * The exact ground-truth arm is restricted to pairs whose BOTH
+    * endpoints fall in a deterministic salted-md5 panel (sp01's split
+    * rule, `perMille`/1000 of the corpus), so its cost is
+    * (perMille/1000)²·N² — at 100 TB pick a panel of ~10⁶ docs and the
+    * exact arm is a bounded broadcast join while the LSH arm under audit
+    * stays the FULL-corpus banded plan, identical in shape to the dd03
+    * production path it grades. Per-decile recall over panel pairs is an
+    * unbiased estimate of corpus recall (the panel rule is independent
+    * of content; each qualifying pair is sampled with probability
+    * (perMille/1000)²). perMille=500 at the declared scale keeps every
+    * decile populated; the estimator, not the constant, is the point. */
+  def dd20LshRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAuditSampled(t(spark, dir, "documents"), 0.3, 500)
+
   /** Generic library surface: the LSH recall audit over ANY (doc_id, text)
     * frame at a caller-chosen ground-truth Jaccard threshold. */
-  def lshRecallAuditOf(docs: DataFrame, threshold: Double): DataFrame = {
+  def lshRecallAuditOf(docs: DataFrame, threshold: Double): DataFrame =
+    lshRecallAudit(docs, threshold, panelPerMille = None)
+
+  /** [[lshRecallAuditOf]] with the exact arm confined to a deterministic
+    * hash panel — the executable form of dd19's "sample the panel at
+    * scale" scaladoc. The LSH candidate arm still runs over the FULL
+    * corpus. */
+  def lshRecallAuditSampled(docs: DataFrame, threshold: Double,
+      perMille: Int): DataFrame = {
+    require(perMille >= 1 && perMille <= 1000, s"perMille: $perMille")
+    lshRecallAudit(docs, threshold, Some(perMille))
+  }
+
+  private def inPanel(id: Column, perMille: Int): Column =
+    (graft.functions.Hashing.md5Long(
+      concat(lit("ddpanel:"), id.cast("string")), 15) % 1000) < perMille
+
+  private def lshRecallAudit(docs: DataFrame, threshold: Double,
+      panelPerMille: Option[Int]): DataFrame = {
     // ONE signature scan feeds three consumers (both sides of the exact
-    // pair join + the banded candidate arm) — pinned per the
-    // multi-consumer rule the examples enforce via PinAudit.
-    val sig = graft.Materialize.pin(minhashSigOf(docs))
-    val sets = sig.select(col("doc_id"), col("set"))
+    // pair join + the banded candidate arm); minhashSigOf already pins
+    // internally (it ends with .transform(Materialize.pin)), which
+    // satisfies the multi-consumer rule — wrapping it again would
+    // localCheckpoint the heaviest intermediate twice.
+    val sig = minhashSigOf(docs)
+    val panel = sig.select(col("doc_id"), col("set"))
+    val sets = panelPerMille.fold(panel)(pm =>
+      panel.where(inPanel(col("doc_id"), pm)))
     val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
       .repartition(64, col("ida"))
     val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
     val exact = scoredPairs(a.join(broadcast(b), col("ida") < col("idb")),
         threshold)
       .where(col("jraw") >= threshold)
-    val caught = candidateIdsOfSig(sig).withColumn("hit", lit(1L))
+    // full-corpus banding either way (the plan under audit); with a
+    // panel, prune the probe side to panel pairs by EXPRESSION (no join —
+    // the left join below would drop non-panel candidates anyway, this
+    // just keeps them out of the shuffle)
+    val caughtAll = candidateIdsOfSig(sig)
+    val caught = panelPerMille.fold(caughtAll)(pm =>
+        caughtAll.where(inPanel(col("ida"), pm) && inPanel(col("idb"), pm)))
+      .withColumn("hit", lit(1L))
     exact.join(caught, Seq("ida", "idb"), "left")
       .withColumn("bucket", expr("(10 * c) div (na + nb - c)").cast("int"))
       .groupBy("bucket")

@@ -45,19 +45,27 @@ object ExactPresent {
     * (the pqPartsQ in-plan-check precedent, Similarity.scala:384). */
   def roundHalfUpInt(num: Column, den: Column): Column = {
     val n = num.cast("long")
-    val d0 = den.cast("long")
-    // nulls pass through (null num/den has always yielded a null result);
-    // the raise_error branches fire only on NON-null out-of-range values
-    val d = when(d0.isNull || (d0 > 0L && d0 <= Long.MaxValue / 2), d0)
-      .otherwise(raise_error(concat(
-        lit("roundHalfUpInt: den out of range (0, 2^62]: "), d0)))
-    val nSafe = when(
-      n.isNull || d.isNull || abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L)), n)
+    val d = den.cast("long")
+    // Each guard is ONE condition evaluated ONCE, then a single branch.
+    // The first shipped shape wrapped num and den each in their own
+    // when/raise_error and threaded the WRAPPED columns through the
+    // arithmetic — every downstream reference replicated the full
+    // guard+raise subtree, blowing the expression tree up ~10x and
+    // costing 1.3-1.9x on per-row emissions (r14's t02-family
+    // regression). Guards and semantics are unchanged: nulls pass
+    // through, raise_error only on NON-null out-of-range values.
+    val denOk = d > 0L && d <= Long.MaxValue / 2
+    val numOk = abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L))
+    val q = idiv(abs(n) * lit(2L) + d, d * lit(2L)) *
+      when(n < 0, lit(-1L)).otherwise(lit(1L))
+    when(n.isNull || d.isNull, lit(null).cast("long"))
+      .when(denOk && numOk, q)
+      .when(!denOk, raise_error(concat(
+        lit("roundHalfUpInt: den out of range (0, 2^62]: "), d))
+        .cast("long"))
       .otherwise(raise_error(concat(
         lit("roundHalfUpInt: 2*|num|+den overflows int64: num="), n,
-        lit(" den="), d)))
-    val q = idiv(abs(nSafe) * lit(2L) + d, d * lit(2L))
-    when(nSafe < 0, -q).otherwise(q)
+        lit(" den="), d)).cast("long"))
   }
 
   /** round(num/den, k) emitted as DOUBLE, exactly and engine-portably:
@@ -70,15 +78,25 @@ object ExactPresent {
     val p = math.pow(10, k).toLong
     val n = num.cast("long")
     val d = den.cast("long")
+    // Inlined rather than delegating to [[roundHalfUpInt]]: nesting the
+    // guarded num column inside a second guarded function replicated the
+    // whole roundDiv guard subtree at every roundHalfUpInt reference
+    // (r14's t02-family regression). Guards are identical in strength:
     // |num| ≤ (MaxValue − den) / (2·10ᵏ)  ⇒  |num·10ᵏ|·2 + den fits, and
-    // a fortiori num·10ᵏ itself fits (den ≥ 1).
-    val bound = idiv(lit(Long.MaxValue) - d, lit(2L * p))
-    val nSafe = when(n.isNull || d.isNull || abs(n) <= bound, n)
+    // a fortiori num·10ᵏ itself fits (den ≥ 1); den ∈ (0, 2^62] keeps
+    // 2·den in range. Each condition evaluates ONCE, then one branch.
+    val denOk = d > 0L && d <= Long.MaxValue / 2
+    val numOk = abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L * p))
+    val q = idiv(abs(n) * lit(2L * p) + d, d * lit(2L)) *
+      when(n < 0, lit(-1L)).otherwise(lit(1L))
+    when(n.isNull || d.isNull, lit(null).cast("double"))
+      .when(denOk && numOk, q.cast("double") / lit(p.toDouble))
+      .when(!denOk, raise_error(concat(
+        lit("roundHalfUpInt: den out of range (0, 2^62]: "), d))
+        .cast("double"))
       .otherwise(raise_error(concat(
         lit(s"roundDiv: |num|*2*10^$k+den overflows int64: num="), n,
-        lit(" den="), d)))
-    roundHalfUpInt(nSafe * lit(p), den).cast("double") /
-      lit(p.toDouble)
+        lit(" den="), d)).cast("double"))
   }
 
   /** The DuckDB twin of [[roundDiv]] as SQL text (num/den are SQL

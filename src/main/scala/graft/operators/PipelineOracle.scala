@@ -303,6 +303,13 @@ object PipelineOracle {
       ("WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s FROM w, unnest(range(1, len(ws))) t(i)), n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), ex AS (SELECT ida, idb, c, na.ns + nb.ns - c AS u FROM inter JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.3), hh AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM sh), sig AS (SELECT doc_id, MIN((506952114*hm + 40510) % 2147483647) AS m1, MIN((1013904228*hm + 81013) % 2147483647) AS m2, MIN((1520856342*hm + 121516) % 2147483647) AS m3, MIN((2027808456*hm + 162019) % 2147483647) AS m4, MIN((387276923*hm + 202522) % 2147483647) AS m5, MIN((894229037*hm + 243025) % 2147483647) AS m6, MIN((1401181151*hm + 283528) % 2147483647) AS m7, MIN((1908133265*hm + 324031) % 2147483647) AS m8, MIN((267601732*hm + 364534) % 2147483647) AS m9, MIN((774553846*hm + 405037) % 2147483647) AS m10, MIN((1281505960*hm + 445540) % 2147483647) AS m11, MIN((1788458074*hm + 486043) % 2147483647) AS m12, MIN((147926541*hm + 526546) % 2147483647) AS m13, MIN((654878655*hm + 567049) % 2147483647) AS m14, MIN((1161830769*hm + 607552) % 2147483647) AS m15, MIN((1668782883*hm + 648055) % 2147483647) AS m16 FROM hh GROUP BY doc_id), bands AS (SELECT doc_id, 0 AS band, m1 AS k1, m2 AS k2 FROM sig UNION ALL SELECT doc_id, 1 AS band, m3 AS k1, m4 AS k2 FROM sig UNION ALL SELECT doc_id, 2 AS band, m5 AS k1, m6 AS k2 FROM sig UNION ALL SELECT doc_id, 3 AS band, m7 AS k1, m8 AS k2 FROM sig UNION ALL SELECT doc_id, 4 AS band, m9 AS k1, m10 AS k2 FROM sig UNION ALL SELECT doc_id, 5 AS band, m11 AS k1, m12 AS k2 FROM sig UNION ALL SELECT doc_id, 6 AS band, m13 AS k1, m14 AS k2 FROM sig UNION ALL SELECT doc_id, 7 AS band, m15 AS k1, m16 AS k2 FROM sig), cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x JOIN bands y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id), j AS (SELECT ex.c, ex.u, (cand.ida IS NOT NULL) AS caught FROM ex LEFT JOIN cand ON cand.ida = ex.ida AND cand.idb = ex.idb), g AS (SELECT CAST((10 * c) // u AS INT) AS bucket, COUNT(*) AS n_exact, CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught FROM j GROUP BY 1) SELECT bucket, n_exact, n_caught, " +
         ExactPresent.roundDivSql("n_caught", "n_exact", 3) +
         " AS recall FROM g ORDER BY bucket"),
+    // dd20 = dd19 with the exact ground-truth arm confined to a
+    // deterministic md5 panel (both pair endpoints in-panel); the banded
+    // candidate arm stays full-corpus — the audit's 100 TB scale path.
+    "dd20_lsh_recall_sampled" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s FROM w, unnest(range(1, len(ws))) t(i)), psh AS (SELECT doc_id, s FROM sh WHERE CAST(('0x' || substr(md5('ddpanel:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 500), n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), ex AS (SELECT ida, idb, c, na.ns + nb.ns - c AS u FROM inter JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.3), hh AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM sh), sig AS (SELECT doc_id, MIN((506952114*hm + 40510) % 2147483647) AS m1, MIN((1013904228*hm + 81013) % 2147483647) AS m2, MIN((1520856342*hm + 121516) % 2147483647) AS m3, MIN((2027808456*hm + 162019) % 2147483647) AS m4, MIN((387276923*hm + 202522) % 2147483647) AS m5, MIN((894229037*hm + 243025) % 2147483647) AS m6, MIN((1401181151*hm + 283528) % 2147483647) AS m7, MIN((1908133265*hm + 324031) % 2147483647) AS m8, MIN((267601732*hm + 364534) % 2147483647) AS m9, MIN((774553846*hm + 405037) % 2147483647) AS m10, MIN((1281505960*hm + 445540) % 2147483647) AS m11, MIN((1788458074*hm + 486043) % 2147483647) AS m12, MIN((147926541*hm + 526546) % 2147483647) AS m13, MIN((654878655*hm + 567049) % 2147483647) AS m14, MIN((1161830769*hm + 607552) % 2147483647) AS m15, MIN((1668782883*hm + 648055) % 2147483647) AS m16 FROM hh GROUP BY doc_id), bands AS (SELECT doc_id, 0 AS band, m1 AS k1, m2 AS k2 FROM sig UNION ALL SELECT doc_id, 1 AS band, m3 AS k1, m4 AS k2 FROM sig UNION ALL SELECT doc_id, 2 AS band, m5 AS k1, m6 AS k2 FROM sig UNION ALL SELECT doc_id, 3 AS band, m7 AS k1, m8 AS k2 FROM sig UNION ALL SELECT doc_id, 4 AS band, m9 AS k1, m10 AS k2 FROM sig UNION ALL SELECT doc_id, 5 AS band, m11 AS k1, m12 AS k2 FROM sig UNION ALL SELECT doc_id, 6 AS band, m13 AS k1, m14 AS k2 FROM sig UNION ALL SELECT doc_id, 7 AS band, m15 AS k1, m16 AS k2 FROM sig), cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x JOIN bands y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id), j AS (SELECT ex.c, ex.u, (cand.ida IS NOT NULL) AS caught FROM ex LEFT JOIN cand ON cand.ida = ex.ida AND cand.idb = ex.idb), g AS (SELECT CAST((10 * c) // u AS INT) AS bucket, COUNT(*) AS n_exact, CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught FROM j GROUP BY 1) SELECT bucket, n_exact, n_caught, " +
+        ExactPresent.roundDivSql("n_caught", "n_exact", 3) +
+        " AS recall FROM g ORDER BY bucket"),
     "dd16_neardup_admit" ->
       "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s FROM w, unnest(range(1, len(ws))) t(i)), hh AS (SELECT doc_id, s, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM sh), sig AS (SELECT doc_id, MIN((506952114*hm + 40510) % 2147483647) AS m1, MIN((1013904228*hm + 81013) % 2147483647) AS m2, MIN((1520856342*hm + 121516) % 2147483647) AS m3, MIN((2027808456*hm + 162019) % 2147483647) AS m4, MIN((387276923*hm + 202522) % 2147483647) AS m5, MIN((894229037*hm + 243025) % 2147483647) AS m6, MIN((1401181151*hm + 283528) % 2147483647) AS m7, MIN((1908133265*hm + 324031) % 2147483647) AS m8, MIN((267601732*hm + 364534) % 2147483647) AS m9, MIN((774553846*hm + 405037) % 2147483647) AS m10, MIN((1281505960*hm + 445540) % 2147483647) AS m11, MIN((1788458074*hm + 486043) % 2147483647) AS m12, MIN((147926541*hm + 526546) % 2147483647) AS m13, MIN((654878655*hm + 567049) % 2147483647) AS m14, MIN((1161830769*hm + 607552) % 2147483647) AS m15, MIN((1668782883*hm + 648055) % 2147483647) AS m16 FROM hh GROUP BY doc_id), bands AS (SELECT doc_id, 0 AS band, m1 AS k1, m2 AS k2 FROM sig UNION ALL SELECT doc_id, 1 AS band, m3 AS k1, m4 AS k2 FROM sig UNION ALL SELECT doc_id, 2 AS band, m5 AS k1, m6 AS k2 FROM sig UNION ALL SELECT doc_id, 3 AS band, m7 AS k1, m8 AS k2 FROM sig UNION ALL SELECT doc_id, 4 AS band, m9 AS k1, m10 AS k2 FROM sig UNION ALL SELECT doc_id, 5 AS band, m11 AS k1, m12 AS k2 FROM sig UNION ALL SELECT doc_id, 6 AS band, m13 AS k1, m14 AS k2 FROM sig UNION ALL SELECT doc_id, 7 AS band, m15 AS k1, m16 AS k2 FROM sig), cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x JOIN bands y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0), n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), inter AS (SELECT c.ida, c.idb, COUNT(*) AS cc FROM cand c JOIN sh a ON a.doc_id = c.ida JOIN sh b ON b.doc_id = c.idb AND a.s = b.s GROUP BY c.ida, c.idb), hit AS (SELECT DISTINCT i.ida FROM inter i JOIN n na ON na.doc_id = i.ida JOIN n nb ON nb.doc_id = i.idb WHERE CAST(cc AS DOUBLE) / (na.ns + nb.ns - cc) >= 0.3), nc AS (SELECT ida, COUNT(*) AS n_candidates FROM cand GROUP BY ida) SELECT d.doc_id, CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates, (h.ida IS NULL) AS admitted FROM documents d LEFT JOIN nc ON nc.ida = d.doc_id LEFT JOIN hit h ON h.ida = d.doc_id WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id",
     "dd04_simhash" ->

@@ -74,17 +74,25 @@ object TextAnalysis {
     val ws = toks
     t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), ws.as("ws"))
+      // Bind the per-row array scans ONCE before roundDiv: its in-plan
+      // overflow guards embed num/den in several when/raise_error
+      // branches and codegen does not CSE across conditional branches,
+      // so inlining countIn/size here re-ran the stopword scan several
+      // times per row (r14's 1.85x regression on this query).
+      // CollapseProject keeps this projection: non-cheap expressions
+      // referenced more than once are never collapsed into consumers.
+      .select(col("doc_id"), col("n_chars"),
+        size(col("ws")).as("__n"),
+        countIn(col("ws"), stopwords).as("__stops"))
       .select(
         col("doc_id"),
-        size(col("ws")).as("n_tokens"),
-        roundDiv(col("n_chars"), size(col("ws")), 2).as("avg_token_len"),
-        roundDiv(countIn(col("ws"), stopwords), size(col("ws")), 3)
-          .as("stop_ratio"),
+        col("__n").as("n_tokens"),
+        roundDiv(col("n_chars"), col("__n"), 2).as("avg_token_len"),
+        roundDiv(col("__stops"), col("__n"), 3).as("stop_ratio"),
         roundDiv(
-          countIn(col("ws"), stopwords) +
-            when(size(col("ws")).between(20, 80), size(col("ws")))
-              .otherwise(lit(0)),
-          size(col("ws")).cast("long") * 2L, 3).as("quality"))
+          col("__stops") +
+            when(col("__n").between(20, 80), col("__n")).otherwise(lit(0)),
+          col("__n").cast("long") * 2L, 3).as("quality"))
       .orderBy("doc_id")
   }
 

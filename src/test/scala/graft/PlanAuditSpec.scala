@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     // dd19's exact arm IS dd02's quadratic all-pairs (the audit's ground
     // truth has no sub-quadratic shortcut; sample the panel at scale)
     "dd19_lsh_recall_audit",
+    // dd20 is that sampled panel: the exact-arm BNLJ is bounded by the
+    // (perMille/1000)-sized panel, the LSH arm stays full-corpus banded
+    "dd20_lsh_recall_sampled",
     "ss01_cosine_topk", "ss03_lsh_ann", "ss06_ivf_ann", "ss13_mips",
     // ss14's broadcast sides are the ONE-row max-norm aggregate and the
     // ONE-row augmented query vector — bounded at any corpus size

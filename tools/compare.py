@@ -10,7 +10,7 @@ For each query: run the oracle SQL in DuckDB over the sf tables, load the
 Spark parquet, sort columns by name, compare row count, schema-ish, and
 values (exact string compare after normalization).
 """
-import json, sys, glob, os
+import json, sys, glob, os, atexit, shutil
 # numpy/pandas are imported UP FRONT, not lazily inside the compare loop:
 # duckdb's fetch paths import numpy on demand, and after a memory-heavy
 # oracle the C-extension mmap can fail, surfacing as a bogus "importing
@@ -33,8 +33,19 @@ con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
 # GRAFT_SPILL_DIR lets an outer driver own (and clean) the spill dir —
 # a `timeout -k`-killed DuckDB leaves its temp storage behind, and two
 # orphaned heavy spills filled this box's disk
-con.execute("SET temp_directory='%s'" % os.environ.get(
-    "GRAFT_SPILL_DIR", f"/tmp/duckdb_spill_{os.getpid()}"))
+spill_dir = os.environ.get("GRAFT_SPILL_DIR", f"/tmp/duckdb_spill_{os.getpid()}")
+con.execute("SET temp_directory='%s'" % spill_dir)
+if "GRAFT_SPILL_DIR" not in os.environ:
+    # default (per-PID) dir is OURS to clean: a timeout-killed or OOM'd
+    # run otherwise orphans a uniquely-named spill dir every invocation —
+    # the exact disk-fill mode the comment above reports. atexit covers
+    # normal/exception exits; the stale sweep covers SIGKILL'd siblings
+    # (only dirs whose owning PID is dead).
+    atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    for d in glob.glob("/tmp/duckdb_spill_*"):
+        pid = d.rsplit("_", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(d, ignore_errors=True)
 # GRAFT_DUCKDB_THREADS: cap DuckDB's parallelism so gate workers can
 # share the box with a concurrent Spark run (default: all cores)
 if os.environ.get("GRAFT_DUCKDB_THREADS"):

@@ -8,6 +8,11 @@ set -euo pipefail
 cd /root/repo
 SF_DIR="$1"; MEM="$2"; shift 2
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# stale-build guard (same as run_direct.sh): timing STALE bytecode after
+# a source edit mis-attributes perf movement to code that never ran.
+if [ -n "$(find src/main -name '*.scala' -newer target/scala-2.13/classes -print -quit 2>/dev/null)" ]; then
+  echo "WARNING: src/main has edits newer than target/scala-2.13/classes — running STALE bytecode (sbt compile first)" >&2
+fi
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \

@@ -8,6 +8,12 @@ set -euo pipefail
 cd /root/repo
 MEM="$1"; MAIN="$2"; shift 2
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# stale-build guard: this script exists to avoid recompiles, so a source
+# edit since the last `sbt compile` would silently run OLD bytecode — a
+# stale ScaleUp/Verify run can mislead a correctness gate. Warn loudly.
+if [ -n "$(find src/main -name '*.scala' -newer target/scala-2.13/classes -print -quit 2>/dev/null)" ]; then
+  echo "WARNING: src/main has edits newer than target/scala-2.13/classes — running STALE bytecode (sbt compile first)" >&2
+fi
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
