@@ -211,6 +211,48 @@ class ExamplesSpec extends SparkSpec {
       // end to end on the stub — the recipe stays executable everywhere
       assert(Multimodal.frameSigsWith(videos, stub).count() > 0)
     }
+
+    // The pure-JDK y4m demuxer runs UNCONDITIONALLY — the real
+    // container-format path (header parse, per-frame plane walk,
+    // corrupt-payload sentinel) executes even in sandboxes without
+    // ffmpeg. Same seam, same plan, same FrameSig contract.
+    import graft.operators.Y4mDemux
+    assert(shape(Y4mDemux.frameSigs _) == shape(stub),
+      "y4m demuxer changed the plan")
+    val ysigs = Multimodal.frameSigsWith(videos, Y4mDemux.frameSigs _)
+      .orderBy("frame_no").collect()
+    assert(ysigs.length == 5, s"expected 5 frames: ${ysigs.toSeq}")
+    assert(ysigs.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(ysigs.forall(_.getInt(2) == FfmpegDemux.W * FfmpegDemux.H))
+    // exact luma sums: the clip was composed from constant planes
+    val wantSums = Seq(40L, 42L, 44L, 200L, 202L)
+      .map(_ * FfmpegDemux.W * FfmpegDemux.H)
+    assert(ysigs.map(_.getLong(3)).toSeq == wantSums,
+      s"luma sums: ${ysigs.map(_.getLong(3)).toSeq}")
+    // the scene operators consume y4m sigs identically: planted cut found
+    val ysc = Multimodal.sceneFramesOf(
+        Multimodal.frameSigsWith(videos, Y4mDemux.frameSigs _), theta = 16L)
+      .orderBy("frame_no").select("frame_no", "scene").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toSeq
+    assert(ysc == Seq(0 -> 0, 1 -> 0, 2 -> 0, 3 -> 1, 4 -> 1), ysc.toString)
+    // corrupt payload → sentinel row, never an exception
+    val ybad = Seq((9L, Array.fill(64)(0x55.toByte))).toDF(
+      "doc_id", "payload")
+    val y9 = Multimodal.frameSigsWith(ybad, Y4mDemux.frameSigs _).head()
+    assert(y9.getInt(1) == -1 && y9.getLong(3) == -1L, y9.toString)
+    // truncated mid-frame: header is valid y4m but the last plane is cut
+    val truncated = clip.dropRight(10)
+    val ytr = Seq((11L, truncated)).toDF("doc_id", "payload")
+    val y11 = Multimodal.frameSigsWith(ytr, Y4mDemux.frameSigs _).head()
+    assert(y11.getInt(1) == -1 && y11.getLong(3) == -1L, y11.toString)
+    if (FfmpegDemux.available) {
+      // both REAL demuxers agree frame-for-frame on the same clip
+      val fsigs = Multimodal.frameSigsWith(videos, FfmpegDemux.frameSigs _)
+        .orderBy("frame_no").collect()
+      assert(fsigs.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+        == ysigs.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq,
+        "ffmpeg and y4m demuxers disagree on the same clip")
+    }
   }
 
   test("CurationExample.curated runs and honors its gates") {
