@@ -214,6 +214,23 @@ object Bench {
     // noise-band anyway — the expensive movers are what the bench gate
     // compares), failures are always listed, and the full-precision map
     // always lands in target/bench.json.
+    // Box fingerprint (cpu model + uptime): each round's box is freshly
+    // provisioned, so cross-round wall-clock anchors carry host variance —
+    // the fingerprint makes "same numbers, different box" visible in the
+    // recorded BENCH file instead of needing forensic triage (r14 burned
+    // hours on anchors that predated a re-provision). Kept tiny: the
+    // stdout metric line has a ~1940-byte truncation budget.
+    val box: String = {
+      def slurp(p: String): String =
+        try scala.io.Source.fromFile(p).mkString catch { case _: Throwable => "" }
+      val cpu = slurp("/proc/cpuinfo").linesIterator
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":").last.trim }
+        .getOrElse("?").replaceAll("""[\\"(){}\[\]]""", "").take(40)
+      val upH = slurp("/proc/uptime").split("\\s+").headOption
+        .flatMap(_.toDoubleOption).map(_ / 3600).getOrElse(-1.0)
+      s""","box":"$cpu up=${fmt(upH, 1)}h""""
+    }
     def line(dec: Int, keep: Int): String = {
       val (bad, good) = results.partition(_._2 < 0)
       val byCost = good.sortBy { case (_, v) => -v }
@@ -228,7 +245,7 @@ object Bench {
       // are (1.0x = perfectly stable; round-7's noise mode would read ~2x)
       val sp = spreads.values.filter(_ > 0).toSeq.sorted
       val p90 = if (sp.isEmpty) -1.0 else sp((sp.size - 1) * 9 / 10)
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","runs":$runs,"spread_p90":${fmt(p90, 2)},"failed":$failed$cvpCompact$omit,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","runs":$runs,"spread_p90":${fmt(p90, 2)},"failed":$failed$box$cvpCompact$omit,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver keeps the LAST ~2000 bytes of stdout and parses the
     // metric line out of that tail (measured: a 2161-byte line truncated
@@ -252,7 +269,7 @@ object Bench {
     val spreadFull = names.map { q => "\"" + q + "\":" + spreads(q) }
       .mkString("{", ",", "}")
     val metricFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"heavy_extra_runs":${extraRuns.size},"heavy_queries":${heavy.size},"failed":$failed$cvpFull,"queries":$qsFull,"raw_runs":$rawFull,"spread":$spreadFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"heavy_extra_runs":${extraRuns.size},"heavy_queries":${heavy.size},"failed":$failed$box$cvpFull,"queries":$qsFull,"raw_runs":$rawFull,"spread":$spreadFull,"sf":"$sfDir"}"""
     // Round-1 driver lesson: the metric line arrived as `[info] {...}` via
     // sbt's logger and parsed to null. Persist to a file AND print last
     // (build.sbt routes forked run output straight to stdout, unprefixed).

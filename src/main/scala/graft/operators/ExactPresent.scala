@@ -55,7 +55,11 @@ object ExactPresent {
     // regression). Guards and semantics are unchanged: nulls pass
     // through, raise_error only on NON-null out-of-range values.
     val denOk = d > 0L && d <= Long.MaxValue / 2
-    val numOk = abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L))
+    // the explicit MinValue exclusion closes abs()'s two's-complement
+    // wrap (abs(MinValue) = MinValue < any bound — it would slip the
+    // guard and corrupt q); MinValue is out of range anyway
+    val numOk = n =!= Long.MinValue &&
+      abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L))
     val q = idiv(abs(n) * lit(2L) + d, d * lit(2L)) *
       when(n < 0, lit(-1L)).otherwise(lit(1L))
     when(n.isNull || d.isNull, lit(null).cast("long"))
@@ -86,7 +90,9 @@ object ExactPresent {
     // a fortiori num·10ᵏ itself fits (den ≥ 1); den ∈ (0, 2^62] keeps
     // 2·den in range. Each condition evaluates ONCE, then one branch.
     val denOk = d > 0L && d <= Long.MaxValue / 2
-    val numOk = abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L * p))
+    // MinValue exclusion: see roundHalfUpInt (abs() wrap)
+    val numOk = n =!= Long.MinValue &&
+      abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L * p))
     val q = idiv(abs(n) * lit(2L * p) + d, d * lit(2L)) *
       when(n < 0, lit(-1L)).otherwise(lit(1L))
     when(n.isNull || d.isNull, lit(null).cast("double"))

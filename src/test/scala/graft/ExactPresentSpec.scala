@@ -85,6 +85,14 @@ class ExactPresentSpec extends SparkSpec {
         .head
     }
     assert(e2.getMessage.contains("overflows int64"), e2.getMessage)
+    // Long.MinValue: abs() wraps negative in two's complement, which
+    // would slip a plain abs-vs-bound guard — must raise, not corrupt
+    val e3 = intercept[Exception] {
+      Seq((Long.MinValue, 1L)).toDF("s", "n")
+        .select(ExactPresent.roundDiv(col("s"), col("n"), 4).as("v"))
+        .head
+    }
+    assert(e3.getMessage.contains("overflows int64"), e3.getMessage)
   }
 
   test("roundDiv is exact at the guard boundary (no false positives)") {

@@ -1043,7 +1043,13 @@ class PipelinesSpec extends SparkSpec {
       // poll plainly to the hard deadline and exit early once ≤ settleTo
       // pins remain. A genuine leak never shrinks to the floor and is
       // still reported in full; only the failure path pays the wait.
-      val deadline = System.nanoTime() + 60000000000L
+      // Deadline 300 s, not 60: the 60 s edition tripped a THIRD time
+      // under a concurrent perf JVM (r9, r13, r14-judging) — a gate that
+      // fails under neighbor load trains people to rerun, which is how
+      // real failures get ignored. Worst observed contention (a full
+      // parallel suite + perf JVMs) clears in well under five minutes;
+      // clean runs still exit the moment pins settle.
+      val deadline = System.nanoTime() + 300000000000L
       def snap() = ids.filter(spark.sparkContext.getPersistentRDDs.keySet)
       var out = snap()
       while (out.size > settleTo && System.nanoTime() < deadline) {

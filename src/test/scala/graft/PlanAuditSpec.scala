@@ -182,6 +182,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t02's stopword scan is bound once — roundDiv guards must not replicate it") {
+    // r14 regression pin: ExactPresent.roundDiv's overflow guards embed
+    // their operands in several when/raise_error branches, and codegen
+    // does not CSE across conditional branches — if the expensive
+    // countIn(ws, stopwords) array scan is ever inlined into roundDiv
+    // again (or a future CollapseProject starts folding the binding
+    // projection away), the scan re-executes per row and t02/t06/sp02/
+    // c05 pay 1.3-1.9x. The scan is the plan's only lambda, so count it.
+    val plan = graft.operators.TextAnalysis.t02Quality(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val scans = "lambdafunction".r.findAllMatchIn(plan).size
+    assert(scans == 1,
+      s"countIn's array scan appears $scans times in t02's optimized plan " +
+        s"(want exactly 1 — the binding projection was collapsed):\n$plan")
+  }
+
   test("q37 top-20 plans as TakeOrdered; sp11/sp12 windows are all partitioned") {
     // q37's limit(20) must fold into TakeOrderedAndProject — per-partition
     // top-20 then a driver merge of 20-row heaps, never a global sort of
