@@ -25,8 +25,14 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  /** Occurrence count of set members in a token array. Was
+    * `size(filter(ws, w => w.isin(words)))`; the lambda has no doGenCode,
+    * which dropped every consuming projection (t02's quality score, t03's
+    * language evidence) out of whole-stage codegen — the native
+    * [[graft.functions.CountInSet]] is value- and type-identical and
+    * keeps the hot path generated. */
   private def countIn(ws: Column, words: Seq[String]): Column =
-    size(filter(ws, w => w.isin(words: _*)))
+    graft.functions.CountInSet.countIn(ws, words)
 
   /** THE quality heuristic (stopword ratio + length prior, rounded 3) —
     * one definition shared by the per-doc score (t02, and through it the

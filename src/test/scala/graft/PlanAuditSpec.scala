@@ -189,13 +189,18 @@ class PlanAuditSpec extends SparkSpec {
     // countIn(ws, stopwords) array scan is ever inlined into roundDiv
     // again (or a future CollapseProject starts folding the binding
     // projection away), the scan re-executes per row and t02/t06/sp02/
-    // c05 pay 1.3-1.9x. The scan is the plan's only lambda, so count it.
+    // c05 pay 1.3-1.9x. Count the scan's expression directly.
     val plan = graft.operators.TextAnalysis.t02Quality(spark, sf)
       .queryExecution.optimizedPlan.toString
-    val scans = "lambdafunction".r.findAllMatchIn(plan).size
+    val scans = "count_in_set".r.findAllMatchIn(plan).size
     assert(scans == 1,
       s"countIn's array scan appears $scans times in t02's optimized plan " +
         s"(want exactly 1 — the binding projection was collapsed):\n$plan")
+    // and the hot projection must carry NO lambda (higher-order functions
+    // have no doGenCode — one lambda drops the whole projection out of
+    // whole-stage codegen; countIn is native precisely to avoid that)
+    assert(!plan.contains("lambdafunction"),
+      s"a lambda crept back into t02's plan:\n$plan")
   }
 
   test("q37 top-20 plans as TakeOrdered; sp11/sp12 windows are all partitioned") {
