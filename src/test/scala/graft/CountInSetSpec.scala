@@ -51,4 +51,26 @@ class CountInSetSpec extends SparkSpec {
     val s = df.select(sum(CountInSet.countIn(col("ws"), words))).head.getLong(0)
     assert(s == 20000L, s"expected 2 matches per row: $s")
   }
+
+  test("the generated code actually COMPILES (fallback would hide it)") {
+    // a janino error silently drops the whole stage to the interpreted
+    // path — correctness survives, performance doesn't, and nothing
+    // fails. Disabling fallback turns a codegen bug into a hard error.
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(0, 100)
+        .select(split(concat_ws(" ",
+          lit("the"), col("id").cast("string")), " ").as("ws"))
+      val s = df.select(sum(CountInSet.countIn(col("ws"), words)))
+        .head.getLong(0)
+      assert(s == 100L, s.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
