@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: how many elements of an `array<string>`
@@ -31,6 +32,24 @@ case class CountInSet(child: Expression, words: Seq[String])
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "count_in_set"
+
+  /** Membership is unconditionally BINARY (UTF8String.equals / hash set):
+    * the "value-identical to size(filter(ws, isin))" claim holds only for
+    * UTF8_BINARY string arrays — on a collated column the composed form
+    * becomes collation-aware while this probe stays byte-wise (ADVICE
+    * r15). All call sites are split()/tokenizer output (default
+    * collation); anything else is rejected at analysis, not miscounted. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // == the UTF8_BINARY singleton (StringType.equals is by collationId;
+    // isUTF8BinaryCollation is private[sql])
+    case ArrayType(st: StringType, _) if st == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckFailure(
+      "count_in_set: membership is byte-equality; non-UTF8_BINARY " +
+        "collated string arrays are not supported")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_in_set needs array<string>, got ${other.sql}")
+  }
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)

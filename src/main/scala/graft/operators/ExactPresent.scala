@@ -62,11 +62,15 @@ object ExactPresent {
       abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L))
     val q = idiv(abs(n) * lit(2L) + d, d * lit(2L)) *
       when(n < 0, lit(-1L)).otherwise(lit(1L))
-    when(n.isNull || d.isNull, lit(null).cast("long"))
-      .when(denOk && numOk, q)
-      .when(!denOk, raise_error(concat(
+    // den is validated FIRST: a null numerator must not mask a non-null
+    // out-of-range denominator (the raise-on-any-non-null-bad-value
+    // contract). A null den makes !denOk null, which CaseWhen skips,
+    // falling through to the null branch — still one evaluation each.
+    when(!denOk, raise_error(concat(
         lit("roundHalfUpInt: den out of range (0, 2^62]: "), d))
         .cast("long"))
+      .when(n.isNull || d.isNull, lit(null).cast("long"))
+      .when(numOk, q)
       .otherwise(raise_error(concat(
         lit("roundHalfUpInt: 2*|num|+den overflows int64: num="), n,
         lit(" den="), d)).cast("long"))
@@ -95,11 +99,13 @@ object ExactPresent {
       abs(n) <= idiv(lit(Long.MaxValue) - d, lit(2L * p))
     val q = idiv(abs(n) * lit(2L * p) + d, d * lit(2L)) *
       when(n < 0, lit(-1L)).otherwise(lit(1L))
-    when(n.isNull || d.isNull, lit(null).cast("double"))
-      .when(denOk && numOk, q.cast("double") / lit(p.toDouble))
-      .when(!denOk, raise_error(concat(
-        lit("roundHalfUpInt: den out of range (0, 2^62]: "), d))
+    // den first, so a null numerator cannot mask a bad denominator —
+    // see [[roundHalfUpInt]] for the branch-order rationale.
+    when(!denOk, raise_error(concat(
+        lit("roundDiv: den out of range (0, 2^62]: "), d))
         .cast("double"))
+      .when(n.isNull || d.isNull, lit(null).cast("double"))
+      .when(numOk, q.cast("double") / lit(p.toDouble))
       .otherwise(raise_error(concat(
         lit(s"roundDiv: |num|*2*10^$k+den overflows int64: num="), n,
         lit(" den="), d)).cast("double"))

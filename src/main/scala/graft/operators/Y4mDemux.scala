@@ -43,13 +43,17 @@ object Y4mDemux {
       val h = param('H').map(_.toInt).getOrElse(return sentinel)
       if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return sentinel
       val luma = w * h
-      // chroma stride by colorspace family (default per spec: 4:2:0)
+      // chroma stride by colorspace family (default per spec: 4:2:0).
+      // Long arithmetic: C444's 2*luma (and the frame stride below) can
+      // wrap int for W*H near Int.MaxValue, which would turn the
+      // truncation check negative and skip it (ADVICE r15) — the
+      // sentinel must come from the guard, not an incidental AIOOBE.
       val cs = param('C').getOrElse("420jpeg")
-      val chroma =
-        if (cs.startsWith("mono")) 0
-        else if (cs.startsWith("444")) 2 * luma
-        else if (cs.startsWith("422")) 2 * ((w / 2) * h)
-        else 2 * ((w / 2) * (h / 2)) // 420 family
+      val chroma: Long =
+        if (cs.startsWith("mono")) 0L
+        else if (cs.startsWith("444")) 2L * luma
+        else if (cs.startsWith("422")) 2L * (w / 2) * h
+        else 2L * (w / 2) * (h / 2) // 420 family
       val sigs = scala.collection.mutable.ArrayBuffer
         .empty[Multimodal.FrameSig]
       var pos = nl + 1
@@ -60,13 +64,15 @@ object Y4mDemux {
           new String(payload, pos, math.min(5, end - pos), "US-ASCII")
             != "FRAME") return sentinel
         val dataStart = end + 1
-        if (dataStart + luma + chroma > payload.length) return sentinel
+        if (dataStart.toLong + luma + chroma > payload.length)
+          return sentinel
         var sum = 0L
         var i = dataStart
         val stop = dataStart + luma
         while (i < stop) { sum += payload(i) & 0xff; i += 1 }
         sigs += Multimodal.FrameSig(id, sigs.length, luma, sum)
-        pos = dataStart + luma + chroma
+        // fits int: the Long guard above bounded it by payload.length
+        pos = (dataStart.toLong + luma + chroma).toInt
       }
       if (sigs.isEmpty) sentinel else sigs.iterator
     } catch {

@@ -73,4 +73,22 @@ class CountInSetSpec extends SparkSpec {
       }
     }
   }
+
+  test("non-UTF8_BINARY and non-string-array inputs fail analysis, not counting") {
+    import spark.implicits._
+    // the probe is byte-equality; on a collated array the composed twin
+    // would be collation-aware — reject at analysis instead of silently
+    // diverging (ADVICE r15)
+    val collated = spark.range(1)
+      .select(expr("array(collate('The', 'UTF8_LCASE'))").as("ws"))
+    val e = intercept[Exception] {
+      collated.select(CountInSet.countIn(col("ws"), words)).head
+    }
+    assert(e.getMessage.contains("UTF8_BINARY"), e.getMessage)
+    val wrong = spark.range(1).select(array(lit(1), lit(2)).as("ws"))
+    val e2 = intercept[Exception] {
+      wrong.select(CountInSet.countIn(col("ws"), words)).head
+    }
+    assert(e2.getMessage.contains("array<string>"), e2.getMessage)
+  }
 }

@@ -245,6 +245,14 @@ class ExamplesSpec extends SparkSpec {
     val ytr = Seq((11L, truncated)).toDF("doc_id", "payload")
     val y11 = Multimodal.frameSigsWith(ytr, Y4mDemux.frameSigs _).head()
     assert(y11.getInt(1) == -1 && y11.getLong(3) == -1L, y11.toString)
+    // crafted header whose C444 frame stride wraps int (ADVICE r15):
+    // W*H fits int but luma+chroma = 3*W*H does not — the Long-side
+    // truncation guard must yield the sentinel, not an incidental AIOOBE
+    val wrapped = ("YUV4MPEG2 W32768 H32768 C444\nFRAME\n" + "x" * 32)
+      .getBytes("US-ASCII")
+    val ywr = Seq((12L, wrapped)).toDF("doc_id", "payload")
+    val y12 = Multimodal.frameSigsWith(ywr, Y4mDemux.frameSigs _).head()
+    assert(y12.getInt(1) == -1 && y12.getLong(3) == -1L, y12.toString)
     if (FfmpegDemux.available) {
       // both REAL demuxers agree frame-for-frame on the same clip
       val fsigs = Multimodal.frameSigsWith(videos, FfmpegDemux.frameSigs _)

@@ -39,12 +39,18 @@ if "GRAFT_SPILL_DIR" not in os.environ:
     # default (per-PID) dir is OURS to clean: a timeout-killed or OOM'd
     # run otherwise orphans a uniquely-named spill dir every invocation —
     # the exact disk-fill mode the comment above reports. atexit covers
-    # normal/exception exits; the stale sweep covers SIGKILL'd siblings
-    # (only dirs whose owning PID is dead).
+    # normal/exception exits; the stale sweep covers SIGKILL'd siblings.
+    # The sweep only touches dirs carrying OUR ownership marker (ADVICE
+    # r15): a dead-PID name match alone could be an outer driver's
+    # GRAFT_SPILL_DIR that merely resembles the default naming.
+    MARKER = ".owned-by-compare"
+    os.makedirs(spill_dir, exist_ok=True)
+    open(os.path.join(spill_dir, MARKER), "w").close()
     atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
     for d in glob.glob("/tmp/duckdb_spill_*"):
         pid = d.rsplit("_", 1)[-1]
-        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+        if (pid.isdigit() and not os.path.exists(f"/proc/{pid}")
+                and os.path.exists(os.path.join(d, MARKER))):
             shutil.rmtree(d, ignore_errors=True)
 # GRAFT_DUCKDB_THREADS: cap DuckDB's parallelism so gate workers can
 # share the box with a concurrent Spark run (default: all cores)

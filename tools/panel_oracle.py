@@ -1,0 +1,445 @@
+#!/usr/bin/env python3
+"""Panel-verified sf10 oracle for the queries whose driver-shape DuckDB
+twins exhaust the box (r15: 7x ENOSPC at the ~75 GB spill ceiling, m09
+OOM+timeout). Two levers, both VERIFIER-side — the Spark engine always
+runs the FULL corpus; only the oracle and the comparison change:
+
+1. Tractable reformulations of the same math (validated against the
+   original oracle SQL at sf0.01/sf0.1 before being trusted at sf10):
+   - 64-term list dot products instead of the unnest(64) element
+     self-join (ss08/c03/c06: the original materializes |A|x|B|x64 rows
+     into a grouped aggregate — the ENOSPC).
+   - A 60-column wide aggregate for simhash instead of
+     unnest(range(0,60)) (c02/c08/dd06: 60x fewer intermediate rows).
+   - Candidate pairs filtered BEFORE DISTINCT (the original's
+     `cand AS (SELECT DISTINCT ...)` materializes every bucket
+     collision; filtering on hamming<=4 first streams them).
+   - Iterative min-label propagation with pointer jumping instead of
+     the recursive-CTE transitive closure (c02/c08/dd06/m09: `reach`
+     materializes O(V*diameter..V^2) rows; label propagation is
+     O(E log V) total). Exactness: cluster = min doc_id of the
+     connected component in both formulations; the 5x12-bit band
+     partition of the 60-bit simhash guarantees by pigeonhole that any
+     pair within hamming 4 shares >=1 band bucket, so the edge set is
+     exactly {hamming <= 4} either way.
+   - m09's per-frame sums via substr+string_split lists instead of the
+     per-CHARACTER unnest (100x fewer intermediate rows).
+
+2. A deterministic salted-md5 id panel (dd20/sp01's rule, the r15
+   verdict's directive) restricting the remaining quadratic arm to
+   panel members where full-corpus is still intractable (ss08's query
+   side, c03's pairwise-losers side, c01's LSH-verify side). The PANEL
+   side of each pair is restricted; the OTHER side stays full-corpus,
+   so every panel member's answer is exact. The Spark parquet is
+   filtered to the same panel at comparison time — the engine itself
+   computed the full decade.
+
+Usage:
+  python3 tools/panel_oracle.py <outDir> <sfDir> <query>[,<query>...]
+      [--per-mille K] [--full] [--against-original]
+  <outDir>: graft.Verify output (parquet per query [+ oracle_sql.json
+            when --against-original]).
+  --full:   disable the panel (pm=1000) — full-corpus verification.
+  --against-original: also run the ORIGINAL oracle SQL and require the
+            variant to match it row-for-row (small-sf validation mode).
+
+Prints one verdict line per query: PANEL-OK / FULL-OK / MISMATCH, with
+row counts and stage timings. Exit 0 iff all requested queries match.
+"""
+import json, sys, os, glob, time, atexit, shutil
+import numpy  # noqa: F401  (see compare.py: import before duckdb fetch)
+import pandas as pd
+import duckdb
+
+SALT = "vpanel:"
+
+def panel(col, pm):
+    if pm >= 1000:
+        return "TRUE"
+    return ("((CAST(('0x' || substr(md5('" + SALT + "' || CAST(" + col +
+            " AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) < %d)" % pm)
+
+def dot64(a, b):
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, 65)) + ")"
+
+QLIST = "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+QUALITY = ("ROUND(CAST(len([w FOR w IN ws IF w IN "
+           "('the','a','of','to','and','in','is','it')]) AS DOUBLE) "
+           "/ len(ws) * 0.5 + CASE WHEN len(ws) BETWEEN 20 AND 80 "
+           "THEN 0.5 ELSE 0.0 END, 3)")
+
+def simhash_wide():
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60))
+    sh = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN (CAST(1 AS BIGINT) << {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(60))
+    return sums, sh
+
+def stage(con, name, sql, timings):
+    t0 = time.time()
+    con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS {sql}")
+    timings.append((name, time.time() - t0,
+                    con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]))
+
+def cc(con, edges, out, timings, max_rounds=80):
+    """Iterative min-label propagation (with pointer jumping) over a
+    symmetric edge table -> `out`(id, l) = min id of each node's
+    connected component. Exactly the recursive CTE's
+    LEAST(COALESCE(min-reachable, id), id) for nodes present in edges."""
+    t0 = time.time()
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE {out} AS
+        SELECT a AS id, MIN(b) AS l FROM (
+          SELECT a, b FROM {edges}
+          UNION ALL SELECT DISTINCT a, a FROM {edges}) GROUP BY a""")
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE {out}_nx AS
+            SELECT id, MIN(l) AS l FROM (
+              SELECT id, l FROM {out}
+              UNION ALL SELECT e.b AS id, c.l FROM {edges} e
+                        JOIN {out} c ON c.id = e.a
+              UNION ALL SELECT x.id, y.l FROM {out} x
+                        JOIN {out} y ON y.id = x.l
+            ) GROUP BY id""")
+        changed = con.execute(
+            f"SELECT COUNT(*) FROM {out}_nx n JOIN {out} o USING (id) "
+            f"WHERE n.l <> o.l").fetchone()[0]
+        con.execute(f"DROP TABLE {out}")
+        con.execute(f"ALTER TABLE {out}_nx RENAME TO {out}")
+        if changed == 0:
+            break
+    timings.append((f"{out}(cc x{rounds})", time.time() - t0,
+                    con.execute(f"SELECT COUNT(*) FROM {out}").fetchone()[0]))
+    if rounds >= max_rounds:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+# ---------------------------------------------------------------- queries
+
+def q_ss08(con, pm, timings):
+    # panel side: the per-query top-3 is independent across queries,
+    # so restricting the QUERY side keeps every panel answer exact
+    stage(con, "qv", f"""SELECT vec_id, {QLIST} AS v FROM embeddings
+        WHERE vec_id % 50 = 0 AND {panel('vec_id', pm)}""", timings)
+    stage(con, "cv", f"""SELECT vec_id, {QLIST} AS v FROM embeddings
+        WHERE vec_id % 50 <> 0""", timings)
+    stage(con, "qn", f"SELECT vec_id, v, {dot64('v','v')} AS n2 FROM qv", timings)
+    stage(con, "cn", f"SELECT vec_id, v, {dot64('v','v')} AS n2 FROM cv", timings)
+    stage(con, "r", f"""SELECT q.vec_id AS qid, c.vec_id AS vid,
+          CAST({dot64('q.v','c.v')} AS DOUBLE) / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cs
+        FROM qn q, cn c""", timings)
+    return ("""SELECT qid, rk, vid AS vec_id, ROUND(cs, 4) AS cos FROM (
+          SELECT qid, vid, cs, row_number() OVER (
+            PARTITION BY qid ORDER BY cs DESC, vid) AS rk FROM r)
+        WHERE rk <= 3 ORDER BY qid, rk""",
+        panel("qid", pm), "qid, rk")
+
+def q_c06(con, pm, timings):
+    # panel side: per-doc max over the (full) benchmark set
+    stage(con, "dv", f"""SELECT vec_id, {QLIST} AS v FROM embeddings
+        WHERE vec_id % 97 <> 0 AND {panel('vec_id', pm)}""", timings)
+    stage(con, "bv", f"""SELECT vec_id, {QLIST} AS v FROM embeddings
+        WHERE vec_id % 97 = 0""", timings)
+    stage(con, "dn", f"SELECT vec_id, v, {dot64('v','v')} AS n2 FROM dv", timings)
+    stage(con, "bn", f"SELECT vec_id, v, {dot64('v','v')} AS n2 FROM bv", timings)
+    stage(con, "mx", f"""SELECT d.vec_id AS vid, ROUND(MAX(
+          CAST({dot64('d.v','b.v')} AS DOUBLE)
+          / sqrt(CAST(d.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))), 4) AS max_cos
+        FROM dn d, bn b GROUP BY d.vec_id""", timings)
+    return ("""SELECT vid AS vec_id, max_cos, max_cos >= 0.4 AS contaminated
+        FROM mx ORDER BY vec_id""",
+        panel("vec_id", pm), "vec_id")
+
+def q_c03(con, pm, timings):
+    # full-corpus centroids + assignment (linear); panel on the LOSER
+    # (idb) side of the pairwise dedup — loser status of a doc depends
+    # only on pairs (., idb), so each panel member's verdict is exact
+    stage(con, "ev", f"SELECT vec_id, label, {QLIST} AS v FROM embeddings", timings)
+    stage(con, "en", f"SELECT vec_id, label, v, {dot64('v','v')} AS n2 FROM ev", timings)
+    csums = ", ".join(f"SUM(v[{i}]) AS c{i}" for i in range(1, 65))
+    stage(con, "cent", f"SELECT label, {csums} FROM ev GROUP BY label", timings)
+    cvec = "[" + ", ".join(f"c{i}" for i in range(1, 65)) + "]"
+    stage(con, "centv", f"SELECT label, {cvec} AS cv FROM cent", timings)
+    stage(con, "centn", f"SELECT label, cv, {dot64('cv','cv')} AS cn2 FROM centv", timings)
+    stage(con, "asg", f"""SELECT vec_id, assigned FROM (
+          SELECT e.vec_id, c.label AS assigned, row_number() OVER (
+            PARTITION BY e.vec_id ORDER BY
+              CAST({dot64('e.v','c.cv')} AS DOUBLE)
+              / sqrt(CAST(c.cn2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) DESC,
+              c.label) AS rk
+          FROM en e, centn c) WHERE rk = 1""", timings)
+    stage(con, "prs", f"""SELECT x.vec_id AS ida, y.vec_id AS idb
+        FROM asg x JOIN asg y ON x.assigned = y.assigned
+          AND x.vec_id < y.vec_id AND {panel('y.vec_id', pm)}""", timings)
+    stage(con, "losers", f"""SELECT DISTINCT idb FROM prs p
+        JOIN en a ON a.vec_id = p.ida JOIN en b ON b.vec_id = p.idb
+        WHERE CAST({dot64('a.v','b.v')} AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4""", timings)
+    stage(con, "q", f"""SELECT doc_id, {QUALITY} AS quality FROM (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents)""", timings)
+    return (f"""SELECT d.doc_id, q.quality FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT idb FROM losers)
+          AND q.quality >= 0.3 AND {panel('d.doc_id', pm)}
+        ORDER BY d.doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+def q_c01(con, pm, timings):
+    # linear arms (quality, exact-dup keep, minhash signatures) run
+    # full-corpus; the LSH-verify join is panel'd on the candidate's
+    # idb side (loser status depends only on pairs (., idb))
+    stage(con, "tok", "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents", timings)
+    stage(con, "q", f"SELECT doc_id, {QUALITY} AS quality FROM tok", timings)
+    stage(con, "keep", """SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS mn FROM (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)) WHERE doc_id = mn""", timings)
+    stage(con, "sh", """SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
+        FROM tok, unnest(range(1, len(ws))) t(i)""", timings)
+    stage(con, "n", "SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id", timings)
+    stage(con, "hh", """SELECT doc_id, s,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM sh""", timings)
+    MH = [(506952114, 40510), (1013904228, 81013), (1520856342, 121516),
+          (2027808456, 162019), (387276923, 202522), (894229037, 243025),
+          (1401181151, 283528), (1908133265, 324031), (267601732, 364534),
+          (774553846, 405037), (1281505960, 445540), (1788458074, 486043),
+          (147926541, 526546), (654878655, 567049), (1161830769, 607552),
+          (1668782883, 648055)]
+    mins = ", ".join(f"MIN(({a}*hm + {b}) % 2147483647) AS m{i+1}"
+                     for i, (a, b) in enumerate(MH))
+    stage(con, "sig", f"SELECT doc_id, {mins} FROM hh GROUP BY doc_id", timings)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b+1} AS k1, m{2*b+2} AS k2 FROM sig"
+        for b in range(8))
+    stage(con, "bands", bands, timings)
+    stage(con, "cand", f"""SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.k1 = y.k1
+          AND x.k2 = y.k2 AND x.doc_id < y.doc_id
+          AND {panel('y.doc_id', pm)}""", timings)
+    stage(con, "inter", """SELECT c.ida, c.idb, COUNT(*) AS cc FROM cand c
+        JOIN sh a ON a.doc_id = c.ida
+        JOIN sh b ON b.doc_id = c.idb AND b.s = a.s
+        GROUP BY c.ida, c.idb""", timings)
+    stage(con, "nd", """SELECT DISTINCT idb FROM inter i
+        JOIN n na ON na.doc_id = i.ida JOIN n nb ON nb.doc_id = i.idb
+        WHERE ROUND(CAST(cc AS DOUBLE) / (na.ns + nb.ns - cc), 3) >= 0.9""", timings)
+    return (f"""SELECT d.doc_id, q.quality FROM documents d
+        JOIN q ON q.doc_id = d.doc_id JOIN keep k ON k.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT idb FROM nd)
+          AND q.quality >= 0.3 AND {panel('d.doc_id', pm)}
+        ORDER BY d.doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+def simhash_cc(con, timings):
+    """Shared c02/c08/dd06 core: wide-aggregate simhash -> edges
+    (hamming<=4, filtered before DISTINCT) -> iterative CC -> `lbl`."""
+    stage(con, "tok", """SELECT DISTINCT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents""", timings)
+    stage(con, "hh", """SELECT doc_id,
+        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok""", timings)
+    sums, sh = simhash_wide()
+    stage(con, "sigw", f"SELECT doc_id, {sums} FROM hh GROUP BY doc_id", timings)
+    stage(con, "sig", f"SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM sigw", timings)
+    stage(con, "bands", """SELECT doc_id, simhash, b.b AS band,
+        (simhash >> (b.b * 12)) & 4095 AS bk
+        FROM sig, unnest(range(0, 5)) b(b)""", timings)
+    # hamming filter BEFORE the distinct: bucket collisions stream
+    # through the filter instead of materializing into a DISTINCT
+    stage(con, "prs", """SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
+          AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 4""", timings)
+    stage(con, "edges", """SELECT ida AS a, idb AS b FROM prs
+        UNION ALL SELECT idb, ida FROM prs""", timings)
+    cc(con, "edges", "lbl", timings)
+
+def q_dd06(con, pm, timings):
+    simhash_cc(con, timings)
+    return (f"""SELECT d.doc_id,
+          CAST(COALESCE(l.l, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+        WHERE {panel('d.doc_id', pm)} ORDER BY d.doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+def q_c02(con, pm, timings):
+    simhash_cc(con, timings)
+    stage(con, "q", f"""SELECT doc_id, {QUALITY} AS quality FROM (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents)""", timings)
+    return (f"""SELECT d.doc_id, q.quality FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN lbl l ON l.id = d.doc_id
+        WHERE COALESCE(l.l, d.doc_id) = d.doc_id AND q.quality >= 0.3
+          AND {panel('d.doc_id', pm)} ORDER BY d.doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+def q_c08(con, pm, timings):
+    simhash_cc(con, timings)
+    return (f"""SELECT doc_id, cluster, CASE WHEN
+          CAST(('0x' || substr(md5('csplit:' || CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000 < 900 THEN 'train' ELSE 'val' END AS split FROM (
+        SELECT d.doc_id, CAST(COALESCE(l.l, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+        WHERE {panel('doc_id', pm)} ORDER BY doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+def q_m09(con, pm, timings):
+    # per-frame char sums via substr+split lists (100x fewer rows than
+    # the per-character unnest that OOM'd the original)
+    stage(con, "fr", """SELECT doc_id, CAST(f.f AS INT) AS frame_no,
+          CAST(len(ch) AS BIGINT) AS c,
+          CAST(list_sum(list_transform(ch, x -> ascii(x))) AS BIGINT) AS s
+        FROM (SELECT doc_id, f.f,
+            string_split(substr(text, CAST(f.f * 100 + 1 AS INT), 100), '') AS ch
+          FROM documents, unnest(range(0, (len(text) + 99) // 100)) f(f)) u(doc_id, f, ch),
+          (SELECT 1) dummy(x)""", timings)
+    stage(con, "sc", """SELECT doc_id, frame_no, c, s, CAST(SUM(cut) OVER (
+          PARTITION BY doc_id ORDER BY frame_no) AS INT) AS scene FROM (
+        SELECT doc_id, frame_no, c, s, CASE WHEN ps IS NOT NULL
+            AND abs(s * pc - ps * c) > 3 * c * pc THEN 1 ELSE 0 END AS cut
+        FROM (SELECT doc_id, frame_no, c, s, lag(s) OVER w AS ps,
+            lag(c) OVER w AS pc FROM fr
+          WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)))""", timings)
+    stage(con, "dsc", """SELECT DISTINCT doc_id, nf, cb, ssum FROM (
+        SELECT doc_id, scene, CAST(COUNT(*) AS BIGINT) AS nf,
+          CAST(SUM(c) AS BIGINT) AS cb, CAST(SUM(s) AS BIGINT) AS ssum
+        FROM sc GROUP BY doc_id, scene)""", timings)
+    stage(con, "ns", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scenes FROM dsc GROUP BY doc_id", timings)
+    stage(con, "flt", """SELECT pr.doc_a, pr.doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS shared
+          FROM dsc a JOIN dsc b ON a.nf = b.nf AND a.cb = b.cb
+            AND a.ssum = b.ssum AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) pr
+        JOIN ns na ON na.doc_id = pr.doc_a
+        JOIN ns nb ON nb.doc_id = pr.doc_b
+        WHERE pr.shared * 1000000 // least(na.n_scenes, nb.n_scenes) >= 500000""", timings)
+    stage(con, "edges", """SELECT doc_a AS a, doc_b AS b FROM flt
+        UNION ALL SELECT doc_b, doc_a FROM flt""", timings)
+    cc(con, "edges", "lbl", timings)
+    return (f"""SELECT d.doc_id,
+          CAST(COALESCE(l.l, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+        WHERE {panel('d.doc_id', pm)} ORDER BY d.doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+QUERIES = {
+    "ss08_knn_join": (q_ss08, 100),
+    "c06_embedding_decontaminate": (q_c06, 1000),
+    "c03_semantic_curation": (q_c03, 20),
+    "c01_curation": (q_c01, 1000),
+    "dd06_neardup_clusters": (q_dd06, 1000),
+    "c02_cluster_curation": (q_c02, 1000),
+    "c08_cluster_safe_split": (q_c08, 1000),
+    "m09_video_clusters": (q_m09, 1000),
+}
+
+# ------------------------------------------------------------------ main
+
+def norm_rows(df):
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in out.columns:
+        out[c] = out[c].map(lambda v: None if v is None or
+                            (isinstance(v, float) and pd.isna(v)) else v)
+    return [tuple(str(v) for v in row) for row in out.itertuples(index=False)]
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    outDir, sfDir, qarg = args[0], args[1], args[2]
+    pm_override = None
+    for i, f in enumerate(flags):
+        if f == "--per-mille":
+            pm_override = int(flags[i + 1].lstrip("-")) if i + 1 < len(flags) else None
+    if "--per-mille" in sys.argv:
+        pm_override = int(sys.argv[sys.argv.index("--per-mille") + 1])
+    full = "--full" in flags
+    against = "--against-original" in flags
+
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+    spill = os.environ.get("GRAFT_SPILL_DIR", f"/tmp/duckdb_spill_{os.getpid()}")
+    con.execute(f"SET temp_directory='{spill}'")
+    if "GRAFT_SPILL_DIR" not in os.environ:
+        os.makedirs(spill, exist_ok=True)
+        open(os.path.join(spill, ".owned-by-compare"), "w").close()
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    con.execute("SET perfect_ht_threshold=0")
+    for p in glob.glob(f"{sfDir}/*.parquet"):
+        name = os.path.basename(p)[: -len(".parquet")]
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+
+    ok = True
+    for q in qarg.split(","):
+        q = q.strip()
+        fn, pm_default = QUERIES[q]
+        pm = 1000 if full else (pm_override if pm_override is not None else pm_default)
+        timings = []
+        t0 = time.time()
+        final_sql, spark_pred, order = fn(con, pm, timings)
+        odf = con.execute(final_sql).fetchdf()
+        t_oracle = time.time() - t0
+        spark_dir = f"{outDir}/{q}.parquet"
+        if not os.path.isdir(spark_dir):
+            spark_dir = f"{outDir}/{q}"
+        sdf = con.execute(
+            f"SELECT * FROM '{spark_dir}/*.parquet' WHERE {spark_pred} "
+            f"ORDER BY {order}").fetchdf()
+        for nm, dt, rows in timings:
+            print(f"    [{q}] stage {nm:<14} {dt:8.1f}s  {rows} rows")
+        tag = "FULL" if pm >= 1000 else f"PANEL pm={pm}"
+        if sorted(odf.columns) != sorted(sdf.columns):
+            print(f"MISMATCH {q} ({tag}): cols oracle={sorted(odf.columns)} spark={sorted(sdf.columns)}")
+            ok = False
+            continue
+        no, ns = norm_rows(odf), norm_rows(sdf)
+        if len(no) != len(ns):
+            print(f"MISMATCH {q} ({tag}): rows oracle={len(no)} spark={len(ns)}")
+            ok = False
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(no, ns)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"MISMATCH {q} ({tag}): {len(bad)} rows differ; first at {i}:")
+            print(f"  oracle: {no[i]}")
+            print(f"  spark:  {ns[i]}")
+            ok = False
+            continue
+        verdict = "FULL-OK" if pm >= 1000 else "PANEL-OK"
+        print(f"{verdict} {q}: {len(no)} rows match ({t_oracle:.1f}s oracle)")
+        if against:
+            osql = json.load(open(f"{outDir}/oracle_sql.json"))[q]
+            t1 = time.time()
+            odf2 = con.execute(osql).fetchdf()
+            # restrict the ORIGINAL oracle's rows to the panel on the
+            # same id column the variant panel'd
+            if pm < 1000:
+                idcol = order.split(",")[0].strip()
+                keep = con.execute(
+                    f"SELECT {idcol} FROM odf2_v WHERE {panel(idcol, pm)}"
+                    .replace("FROM odf2_v", "FROM odf2")).fetchdf() \
+                    if False else None
+                mask = con.execute(
+                    "SELECT " + panel("x", pm) + " FROM (SELECT UNNEST(?) AS x)",
+                    [odf2[idcol].tolist()]).fetchdf().iloc[:, 0].tolist()
+                odf2 = odf2[pd.Series(mask).values].reset_index(drop=True)
+            no2 = norm_rows(odf2)
+            if no2 != no:
+                print(f"VARIANT-DRIFT {q}: variant disagrees with ORIGINAL oracle "
+                      f"({len(no)} vs {len(no2)} rows) [{time.time()-t1:.1f}s]")
+                ok = False
+            else:
+                print(f"  variant == original oracle ({len(no2)} rows, {time.time()-t1:.1f}s)")
+    sys.exit(0 if ok else 1)
+
+if __name__ == "__main__":
+    main()

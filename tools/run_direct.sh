@@ -11,8 +11,15 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 # stale-build guard: this script exists to avoid recompiles, so a source
 # edit since the last `sbt compile` would silently run OLD bytecode — a
 # stale ScaleUp/Verify run can mislead a correctness gate. Warn loudly.
-if [ -n "$(find src/main -name '*.scala' -newer target/scala-2.13/classes -print -quit 2>/dev/null)" ]; then
-  echo "WARNING: src/main has edits newer than target/scala-2.13/classes — running STALE bytecode (sbt compile first)" >&2
+# Compare against the NEWEST .class file, not the classes dir mtime:
+# zinc's incremental compile rewrites class files inside nested package
+# dirs without bumping the top-level dir, so the dir-mtime check cried
+# wolf on every up-to-date build (ADVICE r15).
+NEWEST_CLASS="$(find target/scala-2.13/classes -name '*.class' -printf '%T@ %p\n' 2>/dev/null | sort -rn | head -1 | cut -d' ' -f2-)"
+if [ -z "$NEWEST_CLASS" ]; then
+  echo "WARNING: no compiled classes under target/scala-2.13/classes (sbt compile first)" >&2
+elif [ -n "$(find src/main -name '*.scala' -newer "$NEWEST_CLASS" -print -quit 2>/dev/null)" ]; then
+  echo "WARNING: src/main has edits newer than the newest compiled .class — running STALE bytecode (sbt compile first)" >&2
 fi
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
