@@ -57,7 +57,7 @@ def panel(col, pm):
     if pm >= 1000:
         return "TRUE"
     return ("((CAST(('0x' || substr(md5('" + SALT + "' || CAST(" + col +
-            " AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) < %d)" % pm)
+            " AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) < " + str(pm) + ")")
 
 def dot64(a, b):
     return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, 65)) + ")"
@@ -291,13 +291,12 @@ def q_c08(con, pm, timings):
 def q_m09(con, pm, timings):
     # per-frame char sums via substr+split lists (100x fewer rows than
     # the per-character unnest that OOM'd the original)
-    stage(con, "fr", """SELECT doc_id, CAST(f.f AS INT) AS frame_no,
+    stage(con, "fr", """SELECT doc_id, CAST(fno AS INT) AS frame_no,
           CAST(len(ch) AS BIGINT) AS c,
           CAST(list_sum(list_transform(ch, x -> ascii(x))) AS BIGINT) AS s
-        FROM (SELECT doc_id, f.f,
+        FROM (SELECT doc_id, f.f AS fno,
             string_split(substr(text, CAST(f.f * 100 + 1 AS INT), 100), '') AS ch
-          FROM documents, unnest(range(0, (len(text) + 99) // 100)) f(f)) u(doc_id, f, ch),
-          (SELECT 1) dummy(x)""", timings)
+          FROM documents, unnest(range(0, (len(text) + 99) // 100)) f(f))""", timings)
     stage(con, "sc", """SELECT doc_id, frame_no, c, s, CAST(SUM(cut) OVER (
           PARTITION BY doc_id ORDER BY frame_no) AS INT) AS scene FROM (
         SELECT doc_id, frame_no, c, s, CASE WHEN ps IS NOT NULL
@@ -350,17 +349,16 @@ def norm_rows(df):
     return [tuple(str(v) for v in row) for row in out.itertuples(index=False)]
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = [a for a in sys.argv[1:] if a.startswith("--")]
-    outDir, sfDir, qarg = args[0], args[1], args[2]
+    argv = sys.argv[1:]
     pm_override = None
-    for i, f in enumerate(flags):
-        if f == "--per-mille":
-            pm_override = int(flags[i + 1].lstrip("-")) if i + 1 < len(flags) else None
-    if "--per-mille" in sys.argv:
-        pm_override = int(sys.argv[sys.argv.index("--per-mille") + 1])
-    full = "--full" in flags
-    against = "--against-original" in flags
+    if "--per-mille" in argv:
+        i = argv.index("--per-mille")
+        pm_override = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    full = "--full" in argv
+    against = "--against-original" in argv
+    args = [a for a in argv if not a.startswith("--")]
+    outDir, sfDir, qarg = args[0], args[1], args[2]
 
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
@@ -424,14 +422,10 @@ def main():
             # same id column the variant panel'd
             if pm < 1000:
                 idcol = order.split(",")[0].strip()
-                keep = con.execute(
-                    f"SELECT {idcol} FROM odf2_v WHERE {panel(idcol, pm)}"
-                    .replace("FROM odf2_v", "FROM odf2")).fetchdf() \
-                    if False else None
-                mask = con.execute(
-                    "SELECT " + panel("x", pm) + " FROM (SELECT UNNEST(?) AS x)",
-                    [odf2[idcol].tolist()]).fetchdf().iloc[:, 0].tolist()
-                odf2 = odf2[pd.Series(mask).values].reset_index(drop=True)
+                con.register("odf2_t", odf2)
+                odf2 = con.execute(
+                    f"SELECT * FROM odf2_t WHERE {panel(idcol, pm)}").fetchdf()
+                con.unregister("odf2_t")
             no2 = norm_rows(odf2)
             if no2 != no:
                 print(f"VARIANT-DRIFT {q}: variant disagrees with ORIGINAL oracle "
