@@ -52,10 +52,11 @@ object Dedup {
     * a full-corpus gram pass it will immediately filter away. */
   private[operators] def ngramsOf(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"ngram width: $n")
-    val grams = when(size(col("ws")) >= n,
-      transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => array_join(slice(col("ws"), i, lit(n)), " ")))
-      .otherwise(array())
+    // native n-gram builder: the transform/array_join lambda dropped the
+    // per-row shingle projection out of whole-stage codegen (r16 lambda
+    // audit); coalesce keeps the composed form's null-ws -> [] mapping
+    val grams = coalesce(
+      graft.functions.NgramJoin.ngrams(col("ws"), n), array())
     docs
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(array_distinct(grams)).as("s"))
@@ -251,10 +252,9 @@ object Dedup {
     * same minhashes). */
   private[graft] def rowSigOf(docs: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis.toks
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => array_join(slice(toks, i, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // native bigram builder (see ngramsOf): lambda-free on the hot path
+    val grams = coalesce(graft.functions.NgramJoin.ngrams(toks, 2),
+      array().cast("array<string>"))
     val sigCols = (1 to K).map { j =>
       val a = (j * 2654435761L) % P
       val b = (j * 40503L + 7) % P

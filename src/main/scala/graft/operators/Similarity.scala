@@ -30,9 +30,12 @@ import graft.sources.Tables.t
   */
 object Similarity {
 
-  /** Quantized vector: array<long> of round(x·1000). */
+  /** Quantized vector: array<long> of round(x·1000). Native expression
+    * (one codegen'd loop) — the `transform(c, x => round(...))` lambda
+    * it replaces dropped every quantizing projection out of whole-stage
+    * codegen (r16 lambda audit; the CountInSet mechanism). */
   private[graft] def quantizedOf(c: Column): Column =
-    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    graft.functions.QuantizeMilli.quantize(c)
 
   private def quantized: Column = quantizedOf(col("embedding"))
 

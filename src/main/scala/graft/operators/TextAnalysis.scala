@@ -136,12 +136,9 @@ object TextAnalysis {
     * distinct count, and the ratio are computed per row inside whole-stage
     * codegen, no shuffle except the presentation sort. */
   def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams3 = when(size(col("ws")) >= 3,
-      transform(sequence(lit(1), size(col("ws")) - 2),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1), lit(" "),
-          element_at(col("ws"), i + 2))))
-      .otherwise(array())
+    // native trigram builder: lambda-free per-row projection (r16 audit)
+    val grams3 = coalesce(
+      graft.functions.NgramJoin.ngrams(col("ws"), 3), array())
     t(spark, dir, "documents")
       .select(col("doc_id"), toks.as("ws"))
       .select(col("doc_id"), grams3.as("g"))
@@ -227,11 +224,9 @@ object TextAnalysis {
 
   /** Library surface: corpus bigram top-k at caller-chosen k. */
   def topNgrams(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val grams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1))))
-      .otherwise(array())
+    // native bigram builder: lambda-free per-row projection (r16 audit)
+    val grams = coalesce(
+      graft.functions.NgramJoin.ngrams(col("ws"), 2), array())
     t(spark, dir, "documents")
       .select(toks.as("ws"))
       .select(explode(grams).as("gram"))

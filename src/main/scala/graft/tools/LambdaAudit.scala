@@ -23,6 +23,11 @@ import org.apache.spark.sql.SparkSession
   * per-row projection is not). Plan-only: nothing executes.
   */
 object LambdaAudit {
+
+  /** One audited query: lambda-bearing plan nodes, how many sit on the
+    * raw per-row path, and a where-summary. */
+  case class Audit(query: String, nodes: Int, hot: Int, where: String)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -32,30 +37,52 @@ object LambdaAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val rows = audit(spark, sfDir)
+    println(f"${"query"}%-34s nodes hot  where")
+    rows.foreach(a => println(f"${a.query}%-34s ${a.nodes}%5d ${a.hot}%4d  ${a.where}"))
+    println(s"[lambda-audit] ${rows.size} of ${graft.SparkEntry.queries.size} " +
+      s"queries carry a lambda; ${rows.count(_.hot > 0)} have a RAW-ROW emission")
+    spark.stop()
+  }
+
+  /** Shared by the CLI and PlanAuditSpec's regression pin. */
+  def audit(spark: SparkSession, sfDir: String): Seq[Audit] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // the OPTIMIZED LOGICAL plan: the executed plan hides its tree
+    // under AdaptiveSparkPlanExec (AQE exposes no children to collect),
+    // and hot/cold is a logical property anyway
+    def hasLambda(p: LogicalPlan): Boolean =
+      p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction]))
+    // a lambda node is HOT when nothing below it has reduced the row
+    // stream: no aggregate, window, join or limit between it and the
+    // scan — it executes once per RAW input row, interpreted
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Window | _: Join | _: GlobalLimit |
+           _: LocalLimit => true
+      case _ => false
+    }
+    def subtreeReduced(p: LogicalPlan): Boolean =
+      p.children.exists(c => reduced(c) || subtreeReduced(c))
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          val total = "lambdafunction".r.findAllMatchIn(plan).size
-          if (total == 0) None
+          val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+          val nodes = plan.collect { case p if hasLambda(p) => p }
+          if (nodes.isEmpty) None
           else {
-            // count lambdas on lines inside a WholeStageCodegen span:
-            // toString marks member operators with a leading "*(n)"
-            val inWscg = plan.linesIterator
-              .filter(_.trim.startsWith("*("))
-              .map(l => "lambdafunction".r.findAllMatchIn(l).size)
-              .sum
-            Some((name, total, inWscg))
+            val hot = nodes.count(n => !subtreeReduced(n))
+            val where = nodes.map(n =>
+              s"${n.nodeName}${if (subtreeReduced(n)) "/post-reduce" else "/RAW-ROW"}")
+              .groupBy(identity).map { case (k, v) => s"${v.size}x$k" }
+              .toSeq.sorted.mkString(", ")
+            Some(Audit(name, nodes.size, hot, where))
           }
         } catch {
           case e: Throwable =>
-            Some((s"$name [PLAN-ERROR ${e.getClass.getSimpleName}]", -1, -1))
+            Some(Audit(s"$name [PLAN-ERROR ${e.getClass.getSimpleName}]", -1, -1, ""))
         }
     }
-    println(f"${"query"}%-34s lambdas inWSCG")
-    rows.foreach { case (n, t, w) => println(f"$n%-34s $t%7d $w%6d") }
-    println(s"[lambda-audit] ${rows.size} of ${graft.SparkEntry.queries.size} " +
-      s"queries carry a lambda in the executed plan")
-    spark.stop()
+    rows
   }
 }

@@ -326,4 +326,35 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
+
+  test("RAW-ROW lambda emissions stay inside the audited allowlist") {
+    // r16 lambda sweep (graft.tools.LambdaAudit; SCALING.md §Round-16):
+    // a higher-order function has no doGenCode, so one lambda drops its
+    // whole projection out of whole-stage codegen onto the interpreted
+    // per-row path — the r14 t02 regression mechanism. The two
+    // highest-breadth seams were nativized (QuantizeMilli cleared the
+    // ss/c13 family, NgramJoin the plain shingle builders); every
+    // SURVIVING raw-row emission below is justified in SCALING.md
+    // (fused native hash/struct inside the loop, or bounded per-row
+    // token math). A NEW query appearing here — or a nativized one
+    // regressing back — fails the suite until it is either nativized or
+    // justified in the table.
+    val allow = Set(
+      "c09_benchmark_scrub", "dd07_passage_dedup", "dd09_duplicate_spans",
+      "dd11_winnow", "dd13_cdc_chunks", "dd15_passage_scrub",
+      "dd16_neardup_admit", "dd17_containment", "dd18_self_scrub",
+      "t18_quality_rules", "t20_bigram_logprob", "t21_token_entropy",
+      "t22_readability", "t23_hashed_features", "t28_collocations")
+    val hot = graft.tools.LambdaAudit.audit(spark, sf)
+      .filter(_.hot > 0).map(_.query).toSet
+    val fresh = hot -- allow
+    assert(fresh.isEmpty,
+      s"new RAW-ROW lambda emissions (nativize or justify in SCALING.md " +
+        s"§Round-16 and extend the allowlist): $fresh")
+    // the nativized seams must STAY lambda-free on the raw-row path
+    for (q <- Seq("ss01_cosine_topk", "ss02_neardup", "ss13_mips",
+        "c13_embedding_drift", "t07_repetition", "t09_top_ngrams",
+        "c04_decontaminate", "c07_contamination_report"))
+      assert(!hot.contains(q), s"$q regressed to a RAW-ROW lambda")
+  }
 }

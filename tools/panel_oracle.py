@@ -171,13 +171,16 @@ def q_c03(con, pm, timings):
               / sqrt(CAST(c.cn2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) DESC,
               c.label) AS rk
           FROM en e, centn c) WHERE rk = 1""", timings)
-    stage(con, "prs", f"""SELECT x.vec_id AS ida, y.vec_id AS idb
-        FROM asg x JOIN asg y ON x.assigned = y.assigned
-          AND x.vec_id < y.vec_id AND {panel('y.vec_id', pm)}""", timings)
-    stage(con, "losers", f"""SELECT DISTINCT idb FROM prs p
-        JOIN en a ON a.vec_id = p.ida JOIN en b ON b.vec_id = p.idb
-        WHERE CAST({dot64('a.v','b.v')} AS DOUBLE)
-          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4""", timings)
+    # prs folded into the losers scan: materializing the pair list is
+    # 2e9 rows at sf10 full-corpus — streamed through the dot filter it
+    # never exists as a table
+    stage(con, "asgv", """SELECT a.vec_id, a.assigned, e.v, e.n2
+        FROM asg a JOIN en e ON e.vec_id = a.vec_id""", timings)
+    stage(con, "losers", f"""SELECT DISTINCT y.vec_id AS idb
+        FROM asgv x JOIN asgv y ON x.assigned = y.assigned
+          AND x.vec_id < y.vec_id AND {panel('y.vec_id', pm)}
+        WHERE CAST({dot64('x.v','y.v')} AS DOUBLE)
+          / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) >= 0.4""", timings)
     stage(con, "q", f"""SELECT doc_id, {QUALITY} AS quality FROM (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
         FROM documents)""", timings)
