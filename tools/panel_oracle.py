@@ -191,27 +191,26 @@ def q_c03(con, pm, timings):
         ORDER BY d.doc_id""",
         panel("doc_id", pm), "doc_id")
 
-def q_c01(con, pm, timings):
-    # linear arms (quality, exact-dup keep, minhash signatures) run
-    # full-corpus; the LSH-verify join is panel'd on the candidate's
-    # idb side (loser status depends only on pairs (., idb))
+MH = [(506952114, 40510), (1013904228, 81013), (1520856342, 121516),
+      (2027808456, 162019), (387276923, 202522), (894229037, 243025),
+      (1401181151, 283528), (1908133265, 324031), (267601732, 364534),
+      (774553846, 405037), (1281505960, 445540), (1788458074, 486043),
+      (147926541, 526546), (654878655, 567049), (1161830769, 607552),
+      (1668782883, 648055)]
+
+def minhash_core(con, timings, cand_pred):
+    """Shared c01/dd03/dd16 core: word-bigram shingles -> 16 minhashes ->
+    8 banded (k1,k2) buckets -> candidate pairs (with `cand_pred` as the
+    extra join predicate) -> shingle-intersection counts. Staged temp
+    tables pin the join ORDER: `cand` is materialized (small) before the
+    shingle join, so the optimizer cannot start from sh-x-sh on shingle
+    equality (common-bigram buckets — the original's ENOSPC)."""
     stage(con, "tok", "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents", timings)
-    stage(con, "q", f"SELECT doc_id, {QUALITY} AS quality FROM tok", timings)
-    stage(con, "keep", """SELECT doc_id FROM (
-        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS mn FROM (
-          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-          FROM documents)) WHERE doc_id = mn""", timings)
     stage(con, "sh", """SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
         FROM tok, unnest(range(1, len(ws))) t(i)""", timings)
     stage(con, "n", "SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id", timings)
     stage(con, "hh", """SELECT doc_id, s,
         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS hm FROM sh""", timings)
-    MH = [(506952114, 40510), (1013904228, 81013), (1520856342, 121516),
-          (2027808456, 162019), (387276923, 202522), (894229037, 243025),
-          (1401181151, 283528), (1908133265, 324031), (267601732, 364534),
-          (774553846, 405037), (1281505960, 445540), (1788458074, 486043),
-          (147926541, 526546), (654878655, 567049), (1161830769, 607552),
-          (1668782883, 648055)]
     mins = ", ".join(f"MIN(({a}*hm + {b}) % 2147483647) AS m{i+1}"
                      for i, (a, b) in enumerate(MH))
     stage(con, "sig", f"SELECT doc_id, {mins} FROM hh GROUP BY doc_id", timings)
@@ -221,12 +220,23 @@ def q_c01(con, pm, timings):
     stage(con, "bands", bands, timings)
     stage(con, "cand", f"""SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
         FROM bands x JOIN bands y ON x.band = y.band AND x.k1 = y.k1
-          AND x.k2 = y.k2 AND x.doc_id < y.doc_id
-          AND {panel('y.doc_id', pm)}""", timings)
+          AND x.k2 = y.k2 AND {cand_pred}""", timings)
     stage(con, "inter", """SELECT c.ida, c.idb, COUNT(*) AS cc FROM cand c
         JOIN sh a ON a.doc_id = c.ida
         JOIN sh b ON b.doc_id = c.idb AND b.s = a.s
         GROUP BY c.ida, c.idb""", timings)
+
+def q_c01(con, pm, timings):
+    # linear arms (quality, exact-dup keep, minhash signatures) run
+    # full-corpus; the LSH-verify join is panel'd on the candidate's
+    # idb side (loser status depends only on pairs (., idb))
+    minhash_core(con, timings,
+        f"x.doc_id < y.doc_id AND {panel('y.doc_id', pm)}")
+    stage(con, "q", f"SELECT doc_id, {QUALITY} AS quality FROM tok", timings)
+    stage(con, "keep", """SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS mn FROM (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)) WHERE doc_id = mn""", timings)
     stage(con, "nd", """SELECT DISTINCT idb FROM inter i
         JOIN n na ON na.doc_id = i.ida JOIN n nb ON nb.doc_id = i.idb
         WHERE ROUND(CAST(cc AS DOUBLE) / (na.ns + nb.ns - cc), 3) >= 0.9""", timings)
@@ -330,8 +340,106 @@ def q_m09(con, pm, timings):
         WHERE {panel('d.doc_id', pm)} ORDER BY d.doc_id""",
         panel("doc_id", pm), "doc_id")
 
+def q_dd03(con, pm, timings):
+    # pairs output: panel on the idb side when panel'd (pair (ida,idb)
+    # is emitted iff its bucket collision + jaccard pass — per-pair
+    # independent, so a one-sided panel keeps every emitted pair exact
+    # only if BOTH endpoints' pairs are restricted consistently; dd03's
+    # output is the pair list itself, so the panel filters pairs by idb
+    # on both the oracle and the Spark side)
+    minhash_core(con, timings,
+        f"x.doc_id < y.doc_id AND {panel('y.doc_id', pm)}")
+    return (f"""SELECT i.ida, i.idb,
+          ROUND(CAST(cc AS DOUBLE) / (na.ns + nb.ns - cc), 3) AS jaccard
+        FROM inter i JOIN n na ON na.doc_id = i.ida
+        JOIN n nb ON nb.doc_id = i.idb
+        WHERE CAST(cc AS DOUBLE) / (na.ns + nb.ns - cc) >= 0.3
+        ORDER BY i.ida, i.idb""",
+        panel("idb", pm), "ida, idb")
+
+def q_dd16(con, pm, timings):
+    # admit gate: odd docs are candidates, even docs the ledger; a doc's
+    # n_candidates/admitted depend only on pairs (ida=doc, .) — panel on
+    # the ida side keeps every panel member exact
+    minhash_core(con, timings,
+        f"x.doc_id % 2 = 1 AND y.doc_id % 2 = 0 AND {panel('x.doc_id', pm)}")
+    stage(con, "hit", """SELECT DISTINCT i.ida FROM inter i
+        JOIN n na ON na.doc_id = i.ida JOIN n nb ON nb.doc_id = i.idb
+        WHERE CAST(cc AS DOUBLE) / (na.ns + nb.ns - cc) >= 0.3""", timings)
+    stage(con, "nc", "SELECT ida, COUNT(*) AS n_candidates FROM cand GROUP BY ida", timings)
+    return (f"""SELECT d.doc_id,
+          CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+          (h.ida IS NULL) AS admitted
+        FROM documents d LEFT JOIN nc ON nc.ida = d.doc_id
+        LEFT JOIN hit h ON h.ida = d.doc_id
+        WHERE d.doc_id % 2 = 1 AND {panel('d.doc_id', pm)}
+        ORDER BY d.doc_id""",
+        panel("doc_id", pm), "doc_id")
+
+def q_dd05(con, pm, timings):
+    # simhash candidate pairs with hamming <= 4: wide-agg signature +
+    # filter-before-distinct band join (the dd06 core, pair output)
+    stage(con, "tok", """SELECT DISTINCT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents""", timings)
+    stage(con, "hh", """SELECT doc_id,
+        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok""", timings)
+    sums, sh = simhash_wide()
+    stage(con, "sigw", f"SELECT doc_id, {sums} FROM hh GROUP BY doc_id", timings)
+    stage(con, "sig", f"SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM sigw", timings)
+    stage(con, "bands", """SELECT doc_id, simhash, b.b AS band,
+        (simhash >> (b.b * 12)) & 4095 AS bk
+        FROM sig, unnest(range(0, 5)) b(b)""", timings)
+    stage(con, "prs", f"""SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
+          bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
+          AND x.doc_id < y.doc_id AND {panel('y.doc_id', pm)}
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 4""", timings)
+    return (f"""SELECT ida, idb, hamming FROM prs ORDER BY ida, idb""",
+        panel("idb", pm), "ida, idb")
+
+def q_ss04(con, pm, timings):
+    # 16 integer hyperplanes -> two 8-bit LSH buckets; the projection
+    # coefficients are compile-time constants, so each bucket bit is one
+    # 64-term dot with a constant vector — no unnest, no 64x explosion
+    def coef(i, j):
+        return (((i + 1) * (j + 7) * 2654435761) % 97) - 48
+    def projexpr(j):
+        return "(" + " + ".join(
+            f"v[{i+1}]*({coef(i, j)})" for i in range(64)) + ")"
+    b1 = " + ".join(
+        f"(CASE WHEN {projexpr(j)} >= 0 THEN (CAST(1 AS BIGINT) << {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(8))
+    b2 = " + ".join(
+        f"(CASE WHEN {projexpr(j)} >= 0 THEN (CAST(1 AS BIGINT) << {j - 8}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(8, 16))
+    stage(con, "ev", f"SELECT vec_id, {QLIST} AS v FROM embeddings", timings)
+    stage(con, "en", f"SELECT vec_id, v, {dot64('v','v')} AS n2 FROM ev", timings)
+    stage(con, "bkt", f"SELECT vec_id, CAST({b1} AS BIGINT) AS b1, "
+                      f"CAST({b2} AS BIGINT) AS b2 FROM ev", timings)
+    stage(con, "cand", f"""SELECT DISTINCT ida, idb FROM (
+        SELECT x.vec_id AS ida, y.vec_id AS idb FROM bkt x JOIN bkt y
+          ON x.b1 = y.b1 AND x.vec_id < y.vec_id AND {panel('y.vec_id', pm)}
+        UNION ALL
+        SELECT x.vec_id AS ida, y.vec_id AS idb FROM bkt x JOIN bkt y
+          ON x.b2 = y.b2 AND x.vec_id < y.vec_id AND {panel('y.vec_id', pm)})""",
+        timings)
+    return (f"""SELECT c.ida, c.idb, ROUND(
+          CAST({dot64('a.v','b.v')} AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 4) AS cos
+        FROM cand c JOIN en a ON a.vec_id = c.ida
+        JOIN en b ON b.vec_id = c.idb
+        WHERE CAST({dot64('a.v','b.v')} AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4
+        ORDER BY c.ida, c.idb""",
+        panel("idb", pm), "ida, idb")
+
 QUERIES = {
     "ss08_knn_join": (q_ss08, 100),
+    "dd03_minhash_lsh": (q_dd03, 1000),
+    "dd05_simhash_pairs": (q_dd05, 1000),
+    "dd16_neardup_admit": (q_dd16, 1000),
+    "ss04_lsh_neardup": (q_ss04, 1000),
     "c06_embedding_decontaminate": (q_c06, 1000),
     "c03_semantic_curation": (q_c03, 20),
     "c01_curation": (q_c01, 1000),
