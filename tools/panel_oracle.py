@@ -434,8 +434,48 @@ def q_ss04(con, pm, timings):
         ORDER BY c.ida, c.idb""",
         panel("idb", pm), "ida, idb")
 
+def q_dd02(con, pm, timings):
+    # exact all-pairs ngram jaccard — the documented-quadratic ground
+    # truth. BOTH-endpoint panel (dd20's rule): pairs with both doc_ids
+    # in the panel are computed exactly; the quadratic arm shrinks by
+    # (pm/1000)^2. Output is per-pair independent, so each panel pair
+    # is a real up-scale certificate.
+    stage(con, "shp", f"""SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents WHERE {panel('doc_id', pm)}) w,
+          unnest(range(1, len(ws))) t(i)""", timings)
+    stage(con, "n", "SELECT doc_id, COUNT(*) AS ns FROM shp GROUP BY doc_id", timings)
+    stage(con, "inter", """SELECT a.doc_id AS ida, b.doc_id AS idb,
+          COUNT(*) AS c
+        FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id""", timings)
+    pan = panel("ida", pm) + " AND " + panel("idb", pm)
+    return ("""SELECT ida, idb,
+          ROUND(CAST(c AS DOUBLE) / (na.ns + nb.ns - c), 3) AS jaccard
+        FROM inter JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+        WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.3
+        ORDER BY ida, idb""",
+        pan, "ida, idb")
+
+def q_ss02(con, pm, timings):
+    # exact all-pairs cosine — both-endpoint panel, 64-term list dots
+    stage(con, "ev", f"""SELECT vec_id, {QLIST} AS v FROM embeddings
+        WHERE {panel('vec_id', pm)}""", timings)
+    stage(con, "en", f"SELECT vec_id, v, {dot64('v','v')} AS n2 FROM ev", timings)
+    pan = panel("ida", pm) + " AND " + panel("idb", pm)
+    return (f"""SELECT a.vec_id AS ida, b.vec_id AS idb, ROUND(
+          CAST({dot64('a.v','b.v')} AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 4) AS cos
+        FROM en a JOIN en b ON a.vec_id < b.vec_id
+        WHERE CAST({dot64('a.v','b.v')} AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4
+        ORDER BY ida, idb""",
+        pan, "ida, idb")
+
 QUERIES = {
     "ss08_knn_join": (q_ss08, 100),
+    "dd02_ngram_jaccard": (q_dd02, 100),
+    "ss02_neardup": (q_ss02, 100),
     "dd03_minhash_lsh": (q_dd03, 1000),
     "dd05_simhash_pairs": (q_dd05, 1000),
     "dd16_neardup_admit": (q_dd16, 1000),
@@ -532,10 +572,11 @@ def main():
             # restrict the ORIGINAL oracle's rows to the panel on the
             # same id column the variant panel'd
             if pm < 1000:
-                idcol = order.split(",")[0].strip()
+                # spark_pred IS the panel predicate over output columns
+                # (covers both-endpoint panels like dd02/ss02)
                 con.register("odf2_t", odf2)
                 odf2 = con.execute(
-                    f"SELECT * FROM odf2_t WHERE {panel(idcol, pm)}").fetchdf()
+                    f"SELECT * FROM odf2_t WHERE {spark_pred}").fetchdf()
                 con.unregister("odf2_t")
             no2 = norm_rows(odf2)
             if no2 != no:
