@@ -191,6 +191,26 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardOfPairs(allPairs(spark, dir), threshold)
 
+  /** Same exact arm over a caller-provided documents frame — the
+    * subset/panel surface (dd19/dd20's recipe): a pair's Jaccard depends
+    * on nothing outside the pair, so the exact ground truth on a
+    * deterministic id panel is a valid per-pair certificate at any
+    * corpus scale while the quadratic cost shrinks by the panel
+    * fraction squared. Used by the r16 sf10 gate to certify dd02's
+    * exact arm where the full 1.25e11-pair run is documented-infeasible
+    * (measured: killed at 25 CPU-hours with no completion). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = ngramsOf(docs, 2)
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hs"))).as("set"))
+      .transform(graft.Materialize.pin)
+    val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
+      .repartition(64, col("ida"))
+    val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
+    jaccardOfPairs(a.join(broadcast(b), col("ida") < col("idb")), threshold)
+  }
+
   /** Near-dup LOSERS at rounded Jaccard ≥ `roundedMin` — the curation-path
     * variant, routed through the MinHash-LSH banded candidates (the dd03
     * scale path) instead of the quadratic all-pairs join: at J ≥ 0.9 a
