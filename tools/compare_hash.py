@@ -33,9 +33,11 @@ def digest_sql(row_src: str) -> str:
     parts = ", ".join(
         f"COALESCE(CAST(\"{c}\" AS VARCHAR), '<NULL>')"
         for c in sorted(cols))
-    return (f"SELECT COUNT(*) AS n, COALESCE(SUM(CAST(('0x' || "
-            f"substr(md5(concat_ws(chr(31), {parts})), 1, 15)) AS HUGEINT)"
-            f"), 0) AS h FROM {row_src}")
+    # hex parse via UBIGINT (15 hex chars = 60 bits): DuckDB 1.0.0 rejects
+    # '0x…'::HUGEINT but accepts the unsigned form; widen the SUM after
+    return (f"SELECT COUNT(*) AS n, COALESCE(SUM(CAST(CAST(('0x' || "
+            f"substr(md5(concat_ws(chr(31), {parts})), 1, 15)) AS UBIGINT)"
+            f" AS HUGEINT)), 0) AS h FROM {row_src}")
 
 oracle = json.load(open(f"{outDir}/oracle_sql.json"))
 fails = ok = 0
