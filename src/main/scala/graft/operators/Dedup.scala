@@ -1074,30 +1074,29 @@ object Dedup {
     * (on a real corpus most documents are singletons and never enter the
     * loop); singletons are attached after the fixpoint with one left join. */
   def dd06NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // pin the pair set BEFORE the bidirectional union: both branches then
-    // read materialized blocks instead of executing the whole dd05
-    // pipeline once each (simhashPairs is the unsorted core — dd05's
-    // presentation sort would be pure waste here). The pair-distinct stays
-    // even though min-label propagation is duplicate-insensitive: measured
-    // A/B at sf0.1, paying one dedup shuffle beats re-joining each
-    // duplicated edge (≤ 5× per shared band) every propagation round
-    val pairs = simhashPairs(spark, dir)
-      .select("ida", "idb")
-      .transform(graft.Materialize.pin)
-    // pin the SYMMETRIC edge frame hash-partitioned on the join key: the
+    // SYMMETRIC edge expansion as a map-only explode over the (unsorted)
+    // dd05 pair pipeline — each pair row emits (a,b) and (b,a) in ONE
+    // pass, so the pair set needs no pin of its own (r16 optimization:
+    // the old two-branch unionAll read the pair frame twice, which forced
+    // an extra full materialization of the pair set; the explode has a
+    // single consumer and feeds the edge pin directly). The pair-distinct
+    // inside simhashPairs stays even though min-label propagation is
+    // duplicate-insensitive: measured A/B at sf0.1, paying one dedup
+    // shuffle beats re-joining each duplicated edge (≤ 5× per shared
+    // band) every propagation round.
+    // Pin the SYMMETRIC edge frame hash-partitioned on the join key: the
     // propagation loop joins edges on ida every round, and a pinned leaf
     // advertising HashPartitioning(ida) satisfies the join's required
     // distribution — the E-sized side is shuffled ONCE here instead of
     // once per round (the frontier side, which shrinks round over round,
     // is the only thing that still moves)
-    val edges = pairs
-      .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+    val edges = simhashPairs(spark, dir)
+      .select(explode(array(
+        struct(col("ida"), col("idb")),
+        struct(col("idb").as("ida"), col("ida").as("idb")))).as("__e"))
+      .select(col("__e.ida").as("ida"), col("__e.idb").as("idb"))
       .repartition(col("ida"))
       .transform(graft.Materialize.pin)
-    // the edge pin (eager) was pairs' only consumer; and the label search
-    // materializes every round eagerly, so once it returns, its result
-    // plan references only pinned label leaves — the edge frame is dead
-    graft.Materialize.unpin(pairs)
     val labels = connectedComponents(edges)
     graft.Materialize.unpin(edges)
     t(spark, dir, "documents").select(col("doc_id"))
@@ -1156,6 +1155,11 @@ object Dedup {
       propRounds: Int = 8): DataFrame =
     ccPhase(edges, propRounds, phase = 0)
 
+  /** Optimization-round diagnostics: GRAFT_CC_DEBUG=1 prints one stderr
+    * line per propagation round (phase, round, improved count, wall) —
+    * measurement only, zero cost when unset. */
+  private val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+
   private def ccPhase(edges: DataFrame,
       propRounds: Int, phase: Int): DataFrame = {
     require(propRounds >= 1, s"propRounds: $propRounds")
@@ -1177,7 +1181,15 @@ object Dedup {
       // messages carry a null pre-round tag; each node's own current label
       // carries itself as the tag — after the min-aggregate, `__prev` is
       // exactly the node's pre-round label (one labels row per node), so
-      // "did this round improve me" needs no join against a snapshot
+      // "did this round improve me" needs no join against a snapshot.
+      // (r16 optimization round: a labels-stationary left-join rewrite —
+      // message-min ⋈ labels ⋈ hop, 3 logical exchanges vs this shape's 5
+      // — was built and MEASURED SLOWER at bench scale: 87 vs 73
+      // stage-jobs on dd06, because each extra join spawns its own AQE
+      // shuffle-stage jobs while this union feeds both branches through
+      // ONE aggregate exchange, and pinned partitioning does not survive
+      // AQE coalescing reliably enough for the joins to skip exchanges.
+      // Kept the measured-faster shape.)
       val stepped = edges
         .join(frontier.select(col("doc_id").as("ida"), col("lbl")),
           Seq("ida"))
@@ -1205,6 +1217,9 @@ object Dedup {
       // labels are monotone (the union includes the own-label row), so
       // "improved" is strictly-less — and zero improvements IS the fixpoint
       converged = obs.get("improved").asInstanceOf[Long] == 0L
+      if (ccDebug) System.err.println(
+        s"[cc] phase=$phase round=$rounds improved=" +
+          obs.get("improved") + s" t=${System.nanoTime() / 1e9}")
       // merged is materialized (pin is eager) and carries every label, so
       // the previous round's pinned state is dead — free its blocks now
       // instead of letting round count become peak storage footprint
@@ -1218,7 +1233,12 @@ object Dedup {
       // contract by the labels found so far and recurse; compose through
       // the mapping. Components that already converged have no inter-label
       // edge and drop out of the sub-problem (coalesce keeps their label).
-      val cPairs = edges
+      // same treatment the top-level caller gives its edge frame: expand
+      // the contracted pair set symmetrically in ONE map-only explode (no
+      // separate cPairs pin — the explode has a single consumer) and pin
+      // it hash-partitioned on the join key, so the sub-phase's (doubled)
+      // rounds never re-exchange the edge side
+      val cEdges = edges
         .join(labels.select(col("doc_id").as("ida"), col("lbl").as("__la")),
           Seq("ida"))
         .join(labels.select(col("doc_id").as("idb"), col("lbl").as("__lb")),
@@ -1227,18 +1247,12 @@ object Dedup {
         .select(least(col("__la"), col("__lb")).as("ida"),
           greatest(col("__la"), col("__lb")).as("idb"))
         .distinct()
-        .transform(graft.Materialize.pin)
-      // same treatment the top-level caller gives its edge frame: pin the
-      // symmetric contracted edges hash-partitioned on the join key, so
-      // the sub-phase's (doubled) rounds never re-exchange the edge side
-      val cEdges = cPairs
-        .unionAll(cPairs.select(col("idb").as("ida"), col("ida").as("idb")))
+        .select(explode(array(
+          struct(col("ida"), col("idb")),
+          struct(col("idb").as("ida"), col("ida").as("idb")))).as("__e"))
+        .select(col("__e.ida").as("ida"), col("__e.idb").as("idb"))
         .repartition(col("ida"))
         .transform(graft.Materialize.pin)
-      // cPairs only existed to build cEdges; the sub-phase consumes cEdges
-      // eagerly (its rounds pin), so both die before the composed result
-      // below — which reads only this phase's labels and the sub result
-      graft.Materialize.unpin(cPairs)
       val sub = ccPhase(cEdges, propRounds * 2, phase + 1)
       graft.Materialize.unpin(cEdges)
       labels

@@ -552,24 +552,28 @@ object Multimodal {
     * directly. Every video gets the smallest reachable doc_id as its
     * cluster id; singletons label themselves.
     *
-    * Scale shape is dd06's, inherited verbatim: the pair frame is
-    * pinned before the bidirectional union, the symmetric edge frame is
-    * pinned hash-partitioned on the join key (the E-sized side shuffles
-    * ONCE, only the shrinking frontier moves per round), and the
+    * Scale shape is dd06's, inherited verbatim: the symmetric edge
+    * frame is expanded by a map-only explode (one pass over the pair
+    * pipeline) and pinned hash-partitioned on the join key (the E-sized
+    * side shuffles ONCE, only the shrinking frontier moves per round),
+    * and the
     * component search runs over the edge-TOUCHED subgraph only —
     * per-round state is the duplicated fraction of the corpus, not the
     * corpus. */
   def videoClustersOf(videos: DataFrame, sigs: DataFrame, theta: Long,
       minPpm: Long): DataFrame = {
-    val pairs = duplicateScenesOf(sigs, theta)
+    // symmetric edge expansion as ONE map-only explode over the pair
+    // pipeline (dd06's r16 shape): a single consumer, so the pair set
+    // needs no pin of its own before the edge pin
+    val edges = duplicateScenesOf(sigs, theta)
       .where(col("containment_ppm") >= minPpm)
       .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
-      .transform(graft.Materialize.pin)
-    val edges = pairs
-      .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .select(explode(array(
+        struct(col("ida"), col("idb")),
+        struct(col("idb").as("ida"), col("ida").as("idb")))).as("__e"))
+      .select(col("__e.ida").as("ida"), col("__e.idb").as("idb"))
       .repartition(col("ida"))
       .transform(graft.Materialize.pin)
-    graft.Materialize.unpin(pairs)
     val labels = Dedup.connectedComponents(edges)
     graft.Materialize.unpin(edges)
     videos.select(col("doc_id").cast("long").as("doc_id"))
