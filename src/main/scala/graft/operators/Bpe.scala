@@ -114,6 +114,46 @@ object Bpe {
     // Every-4th-round pinning bounds the lazy suffix at 4 stacked merge
     // folds — O(1) plan depth, 25% of the per-round pin jobs.
     val PinEvery = 4
+    // Merge BATCHING (r16 optimization round): one pair-count job can
+    // safely yield SEVERAL consecutive merges, cutting the count-job
+    // cadence (the dominant cost — each count is a full shuffle job whose
+    // input is the bounded vocab table, so its wall clock is scheduling,
+    // not data). Collect the top `TopM` pairs once, then take the maximal
+    // prefix that is provably the exact sequential merge order:
+    //
+    //  * Taken entries must be pairwise SYMBOL-DISJOINT from all earlier
+    //    taken entries' {l, r, l+r}: merging (l,r)→lr rewrites only l/r
+    //    adjacencies (neighbors of the collapsed pair become adjacent to
+    //    lr, never to each other), so a disjoint pair's count — and hence
+    //    its rank among disjoint pairs — is UNCHANGED by the application.
+    //  * The scan stops at the first entry that TOUCHES taken symbols
+    //    (stopCnt): every touching old pair ranks at or below it (sorted
+    //    order), and every NEW pair (x,lr)/(lr,y) satisfies
+    //    cnt_new ≤ cnt_old of some touching pair ((x,l)/(r,y) resp.),
+    //    so stopCnt bounds everything the applied merges can move up.
+    //  * Truncation bound: pairs beyond the collected TopM have
+    //    cnt ≤ cnt(q_TopM); bound = max(stopCnt, that).
+    //  * A taken entry survives only with cnt STRICTLY above the bound —
+    //    strictness covers count ties that the (l, r) tie-break could
+    //    re-order against a changed or unseen pair.
+    //  * MERGED-STRING UNIQUENESS: the scan also stops at any entry whose
+    //    merged string l+r already names an existing symbol (a previous
+    //    round's merge) or an earlier batch entry's merged string. Without
+    //    it, a pair (x, l+r) could gain occurrences from SEVERAL sources
+    //    (its own pre-existing count plus each colliding merge), and the
+    //    single-stopCnt bound would not cover the sum. With it, every
+    //    count a batch merge creates lands on a pair containing a FRESH
+    //    unique symbol: old count zero, one creating merge, bounded by
+    //    one touching pair ≤ stopCnt.
+    //
+    // Each surviving q_i is therefore the true argmax after applying
+    // q_0..q_{i-1}: entries above it in sorted order are exactly the
+    // already-applied ones (now absent — merging (l,r) zeroes (l,r)),
+    // touching/new/unseen pairs sit strictly below it, and disjoint pairs
+    // keep their original relative order. Exactness is asserted against
+    // the single-node reference trainer (BpeSpec) and the unrolled DuckDB
+    // oracle — the merge list is bit-identical to the one-at-a-time loop.
+    val TopM = 64
     var pinned = graft.Materialize.pin(wordFreq.select(col("freq"),
       concat(regexp_extract_all(col("word"), lit("."), lit(0)),
         array(lit(Marker))).as("s")))
@@ -122,24 +162,60 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (!done && merges.size < numMerges) {
-      val best = cur
+      val top = cur
         .select(col("freq"), explode(arrays_zip(
           slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
           slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("l"), asc("r"))
-        .limit(1).collect() // 1 row by construction — the argmax only
-      if (best.isEmpty || best(0).getAs[Long]("cnt") < minFreq) done = true
+        .limit(TopM).collect() // bounded driver collect: TopM rows
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minFreq) done = true
       else {
-        val (l, r) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
-        merges += Merge(merges.size, l, r, l + r, best(0).getAs[Long]("cnt"))
-        cur = cur.select(col("freq"), mergeExpr(col("s"), l, r).as("s"))
-        sincePin += 1
-        if (sincePin >= PinEvery) {
-          val np = graft.Materialize.pin(cur)
-          graft.Materialize.unpin(pinned)
-          pinned = np; cur = np; sincePin = 0
+        val truncBound =
+          if (top.size == TopM) top.last.getAs[Long]("cnt") else 0L
+        val prevMerged = merges.iterator.map(_.merged).toSet
+        val takenSyms = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopCnt = 0L
+        var i = 0
+        var scanning = true
+        while (scanning && i < top.size) {
+          val (l, r, cnt) = (top(i).getAs[String]("l"),
+            top(i).getAs[String]("r"), top(i).getAs[Long]("cnt"))
+          if (cnt < minFreq) scanning = false
+          else if (i > 0 && (takenSyms.contains(l) || takenSyms.contains(r)
+              || takenSyms.contains(l + r) || prevMerged.contains(l + r))) {
+            stopCnt = cnt; scanning = false
+          } else {
+            batch += ((l, r, cnt))
+            takenSyms += l; takenSyms += r; takenSyms += (l + r)
+            // a HEAD whose merged string collides with an existing symbol
+            // re-feeds that symbol's pairs (their post-merge counts are a
+            // sum the stopCnt bound does not cover) — the head itself is
+            // still the exact argmax, but nothing after it is provable:
+            // close the batch at the head
+            if (i == 0 && prevMerged.contains(l + r)) {
+              stopCnt = Long.MaxValue; scanning = false
+            }
+          }
+          i += 1
+        }
+        val bound = math.max(stopCnt, truncBound)
+        // the head is ALWAYS the true argmax of this count (taken even at
+        // the bound: nothing can move above the observed maximum — changed
+        // counts only decrease, new pairs are bounded by touching pairs
+        // ≤ the head); every later entry needs strict clearance
+        val safe = batch.take(1) ++ batch.drop(1).takeWhile(_._3 > bound)
+        safe.take(numMerges - merges.size).foreach { case (l, r, cnt) =>
+          merges += Merge(merges.size, l, r, l + r, cnt)
+          cur = cur.select(col("freq"), mergeExpr(col("s"), l, r).as("s"))
+          sincePin += 1
+          if (sincePin >= PinEvery) {
+            val np = graft.Materialize.pin(cur)
+            graft.Materialize.unpin(pinned)
+            pinned = np; cur = np; sincePin = 0
+          }
         }
       }
     }

@@ -146,7 +146,15 @@ object Dedup {
     * merge is skipped for size-mismatched pairs at the cost of two
     * comparisons. Emits the raw Jaccard as `jraw`. */
   private def scoredPairs(pairs: DataFrame, sizeRatioMin: Double): DataFrame = {
-    import graft.functions.ArrayIntersect.intersectCount
+    import graft.functions.ArrayIntersect.intersectCountAtLeast
+    // early-exit intersection (r16): every consumer cuts at
+    // jraw ≥ sizeRatioMin downstream, so the merge may abort with −1 the
+    // moment a pair provably cannot reach that Jaccard — the kept-pair
+    // set and every kept c/jraw value are bit-identical to the exhaustive
+    // count (see ArrayIntersectAtLeastLong's exactness guard), while the
+    // dominant non-matching pairs stop scanning at ~(1−J/(1+J))·|set|
+    def intersectCount(a: Column, b: Column): Column =
+      intersectCountAtLeast(a, b, sizeRatioMin)
     pairs
       .withColumn("na", size(col("seta")).cast("long"))
       .withColumn("nb", size(col("setb")).cast("long"))
@@ -177,7 +185,7 @@ object Dedup {
     // splits, and a nested-loop pair join is only as parallel as the
     // streamed side's partition count
     val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
-      .repartition(64, col("ida"))
+      .repartition(spark.sparkContext.defaultParallelism * 8, col("ida"))
     val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
     a.join(broadcast(b), col("ida") < col("idb"))
   }
@@ -206,7 +214,8 @@ object Dedup {
       .agg(sort_array(collect_set(col("hs"))).as("set"))
       .transform(graft.Materialize.pin)
     val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
-      .repartition(64, col("ida"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 8,
+        col("ida"))
     val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
     jaccardOfPairs(a.join(broadcast(b), col("ida") < col("idb")), threshold)
   }
@@ -440,7 +449,8 @@ object Dedup {
     val sets = panelPerMille.fold(panel)(pm =>
       panel.where(inPanel(col("doc_id"), pm)))
     val a = sets.select(col("doc_id").as("ida"), col("set").as("seta"))
-      .repartition(64, col("ida"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism * 8,
+        col("ida"))
     val b = sets.select(col("doc_id").as("idb"), col("set").as("setb"))
     val exact = scoredPairs(a.join(broadcast(b), col("ida") < col("idb")),
         threshold)

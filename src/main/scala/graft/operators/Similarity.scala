@@ -77,7 +77,7 @@ object Similarity {
     // repartition the streamed side — the corpus is few parquet splits and a
     // nested-loop pair join parallelizes only over streamed partitions
     val a = qv.select(col("vec_id").as("ida"), col("q").as("qa"), col("n2").as("na"))
-      .repartition(64, col("ida"))
+      .repartition(spark.sparkContext.defaultParallelism * 8, col("ida"))
     val b = qv.select(col("vec_id").as("idb"), col("q").as("qb"), col("n2").as("nb"))
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))

@@ -38,6 +38,32 @@ class ArrayDotSpec extends SparkSpec {
     assert(out.where(col("fast") =!= col("ref")).isEmpty)
   }
 
+  test("intersectCountAtLeast: exact where kept, sentinel only below the " +
+      "threshold, and compiles") {
+    import graft.functions.ArrayIntersect.{intersectCount, intersectCountAtLeast}
+    val df = spark.range(500).select(
+      col("id"),
+      array_sort(array_distinct(transform(sequence(lit(0), lit(19)),
+        i => pmod(xxhash64(col("id") * 20 + i), lit(40))))).as("a"),
+      array_sort(array_distinct(transform(sequence(lit(0), lit(19)),
+        i => pmod(xxhash64(col("id") * 20 + i + 3), lit(40))))).as("b"))
+    for (t <- Seq(0.0, 0.3, 0.9)) {
+      val out = df.select(col("a"), col("b"),
+        intersectCountAtLeast(col("a"), col("b"), t).as("fast"),
+        intersectCount(col("a"), col("b")).as("ref"),
+        size(col("a")).as("na"), size(col("b")).as("nb"))
+        .withColumn("jref", col("ref").cast("double") /
+          (col("na") + col("nb") - col("ref")))
+      // every pair at or above the threshold keeps the exact count …
+      assert(out.where(col("jref") >= t && col("fast") =!= col("ref")).isEmpty,
+        s"threshold $t dropped or altered a qualifying pair")
+      // … and the sentinel appears only strictly below it
+      assert(out.where(col("fast") === -1L && col("jref") >= t).isEmpty)
+      // non-sentinel values are always the exhaustive count
+      assert(out.where(col("fast") =!= -1L && col("fast") =!= col("ref")).isEmpty)
+    }
+  }
+
   test("dotLong null propagation and empty arrays") {
     val df = Seq(
       (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
