@@ -154,6 +154,9 @@ object Bpe {
     // the single-node reference trainer (BpeSpec) and the unrolled DuckDB
     // oracle — the merge list is bit-identical to the one-at-a-time loop.
     val TopM = 64
+    // optimization-round diagnostics: one stderr line per count job
+    // (batch size taken, scan stop reason, wall) — zero cost when unset
+    val bpeDebug = sys.env.get("GRAFT_BPE_DEBUG").contains("1")
     var pinned = graft.Materialize.pin(wordFreq.select(col("freq"),
       concat(regexp_extract_all(col("word"), lit("."), lit(0)),
         array(lit(Marker))).as("s")))
@@ -161,7 +164,21 @@ object Bpe {
     var sincePin = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
+    // AQE off for the ITERATION jobs only (r17, measured −35% on t24):
+    // each count job is one exchange + TakeOrdered over the bounded,
+    // already-pinned vocab table — AQE's coalescing buys nothing there at
+    // any corpus size (the vocab is ~10⁷–10⁸ rows at 100 TB, one
+    // fixed-partition exchange either way), while its per-stage
+    // materialization adds an extra job round-trip × ~25 iterations.
+    // The one corpus-sized job (wordFreq → the initial pin above) runs
+    // BEFORE this point and keeps AQE. Restored in the finally — same
+    // save/restore discipline as PlanAuditSpec's AQE-off block.
+    val sess = wordFreq.sparkSession
+    val aqePrev = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (!done && merges.size < numMerges) {
+      val t0 = if (bpeDebug) System.nanoTime() else 0L
       val top = cur
         .select(col("freq"), explode(arrays_zip(
           slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
@@ -207,6 +224,10 @@ object Bpe {
         // counts only decrease, new pairs are bounded by touching pairs
         // ≤ the head); every later entry needs strict clearance
         val safe = batch.take(1) ++ batch.drop(1).takeWhile(_._3 > bound)
+        if (bpeDebug) System.err.println(
+          s"[bpe] count-job merges=${merges.size} batch=${batch.size} " +
+            s"safe=${safe.size} stopCnt=$stopCnt trunc=$truncBound " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
         safe.take(numMerges - merges.size).foreach { case (l, r, cnt) =>
           merges += Merge(merges.size, l, r, l + r, cnt)
           cur = cur.select(col("freq"), mergeExpr(col("s"), l, r).as("s"))
@@ -219,6 +240,7 @@ object Bpe {
         }
       }
     }
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqePrev)
     graft.Materialize.unpin(pinned)
     merges.toSeq
   }
@@ -250,14 +272,48 @@ object Bpe {
     * Emits (id, n_ws_tokens, n_bpe_tokens). */
   def segmentWith(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nBpe = udf((ws: Seq[String]) =>
-      ws.iterator.map(w => segment(w, merges).length.toLong).sum)
+    // Per-task memo over distinct words (r17): segment() is a pure
+    // function of (word, merges), and corpora are Zipfian — the same few
+    // thousand words dominate every partition — so replaying the merge
+    // list once per distinct word per task instead of once per OCCURRENCE
+    // cuts the segment pass's per-row work by roughly the type/token
+    // ratio. The map lives in the task's deserialized closure copy
+    // (single-threaded access, freed with the task); the size cap bounds
+    // worst-case memory on adversarial all-unique-token input, where the
+    // memo simply stops filling and the UDF degrades to the uncached cost.
+    val nBpe = udf(new SegmentCounter(merges.toArray))
     docs
       .select(col(idCol),
         split(lower(trim(col(textCol))), "\\s+").as("__ws"))
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_ws_tokens"),
         nBpe(col("__ws")).as("n_bpe_tokens"))
+  }
+
+  /** [[segmentWith]]'s UDF body: per-word BPE token count with a
+    * per-task-instance memo (see the call site for the scale rationale).
+    * A named serializable class rather than a lambda so the memo field
+    * has somewhere to live. */
+  private final class SegmentCounter(merges: Array[(String, String)])
+      extends (Seq[String] => Long) with Serializable {
+    @transient private var cache: java.util.HashMap[String, java.lang.Long] = _
+    private val MaxMemo = 1 << 20
+    override def apply(ws: Seq[String]): Long = {
+      if (cache == null) cache = new java.util.HashMap()
+      var total = 0L
+      val it = ws.iterator
+      while (it.hasNext) {
+        val w = it.next()
+        val hit = cache.get(w)
+        if (hit != null) total += hit.longValue()
+        else {
+          val n = segment(w, merges.toSeq).length.toLong
+          if (cache.size < MaxMemo) cache.put(w, java.lang.Long.valueOf(n))
+          total += n
+        }
+      }
+      total
+    }
   }
 
   /** t24 — BPE TRAINING over the documents corpus: 30 merges, min pair

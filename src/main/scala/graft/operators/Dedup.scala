@@ -1066,8 +1066,12 @@ object Dedup {
     hashed.groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
-      // both sides of the band self-join consume this; materialize once
-      .transform(graft.Materialize.pin)
+    // No pin (r17): every consumer path is SINGLE-reader — dd04 sorts it,
+    // and the band self-join reads it exactly once (hammingPairsOf derives
+    // one bands frame from it, and Skew.selfPairs pins ITS packed frame
+    // internally before fanning out to the join sides). The old pin
+    // predated selfPairs' internal pin and had become a pure extra
+    // materialization barrier (one localCheckpoint job + blocks per query).
   }
 
   /** dd04 — SimHash signatures (the per-document sketch). */
@@ -1170,6 +1174,49 @@ object Dedup {
     * measurement only, zero cost when unset. */
   private val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
 
+  /** PARTITION-LOCAL pointer collapse (r17): union-find over the pointer
+    * pairs (doc_id, lbl) that happen to share a partition, emitting each
+    * node's partition-local component MINIMUM as its new label. This sits
+    * BETWEEN the round's hop join and its pin, and is monotone-valid for
+    * the same reason the single hop is: every pointer pair links two nodes
+    * of the same real component, so the transitive minimum over any
+    * SUBSET of pointer pairs still names a node reachable from (and
+    * smaller than) the current label — the fixpoint (per-component min)
+    * is untouched, only reached in fewer rounds. Complements the hop
+    * join on the two regimes: the hop doubles reach GLOBALLY regardless
+    * of partitioning (the adversarial-diameter guarantee at cluster
+    * scale), while the local collapse closes whole pointer chains the
+    * moment they co-locate — at bench/report scale, where AQE coalesces
+    * the label frame into one or two partitions, a round becomes a full
+    * component solve and the loop exits in seed + solve + confirm
+    * (measured: dd06's 7 observed rounds → 3). Cost: one map-only pass
+    * over the label-sized frame, no exchange (union-find needs no
+    * particular distribution — whatever rows co-locate, collapse). */
+  private def ccLocalJump(stepped: DataFrame): DataFrame = {
+    val spark = stepped.sparkSession
+    import spark.implicits._
+    stepped.as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+        def find(x: Long): Long = {
+          var r = x
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+          var c = x // path compression: point the walked chain at the root
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        rows.foreach { case (d, l, _) =>
+          val rd = find(d); val rl = find(l)
+          if (rd < rl) parent.put(rl, rd)
+          else if (rl < rd) parent.put(rd, rl)
+        }
+        rows.iterator.map { case (d, _, p) => (d, find(d), p) }
+      }
+      .toDF("doc_id", "lbl", "__prev")
+  }
+
   private def ccPhase(edges: DataFrame,
       propRounds: Int, phase: Int): DataFrame = {
     require(propRounds >= 1, s"propRounds: $propRounds")
@@ -1178,13 +1225,29 @@ object Dedup {
     // phase); guards against a logic bug turning into an infinite loop
     require(phase <= 64, "connectedComponents: 64 contraction phases — " +
       "node count must strictly decrease per phase; logic bug")
-    var labels = edges.select(col("ida").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
+    // SEED = the old loop's ROUND 1, fused into one aggregate (r17): with
+    // identity initial labels, round 1 computed min(self, min neighbor
+    // SELF-label) = min(self, min neighbor id), and its pointer jump
+    // hopped through identity labels — a no-op. That whole round is one
+    // groupBy over the pinned edge frame — hash-partitioned on ida, so
+    // the aggregate plans with ZERO exchange — replacing both the old
+    // identity-labels pin (distinct + self-label, one edge-sized shuffle)
+    // and the first full round (join + union + agg + hop join + pin).
+    // State after the seed is bit-identical to the old state after
+    // round 1; the round BUDGET check moves accordingly (the loop below
+    // now runs propRounds − 1 message rounds before contracting — the
+    // seed is this phase's first round).
+    var labels = edges.groupBy(col("ida"))
+      .agg(min(col("idb")).as("__mn"))
+      .select(col("ida").as("doc_id"),
+        least(col("ida"), col("__mn")).as("lbl"))
       .transform(graft.Materialize.pin)
-    // round-0 frontier = every touched node (it just acquired a label);
-    // an edge-free graph is empty here and skips the loop entirely
-    var frontier = labels
-    var rounds = 0
+    // seed frontier = nodes the seed improved (lbl < self); a node whose
+    // id is below all its neighbors' offers nothing new in round 2 (its
+    // round-1 message — its id — already reached every neighbor via the
+    // seed's min). An edge-free graph is empty here and skips the loop.
+    var frontier = labels.where(col("lbl") < col("doc_id"))
+    var rounds = 1
     var converged = frontier.isEmpty
     while (!converged && rounds < propRounds) {
       rounds += 1
@@ -1215,12 +1278,12 @@ object Dedup {
       // (CollectMetrics during checkpoint materialization), so no
       // separate probe job or extra pass over the frame exists at all
       val obs = org.apache.spark.sql.Observation()
-      val merged = stepped
+      val merged = ccLocalJump(stepped
         .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("__hop")),
           Seq("lbl"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("__hop"), col("lbl"))).as("lbl"),
-          col("__prev"))
+          col("__prev")))
         .observe(obs,
           count(when(col("lbl") < col("__prev"), 1)).as("improved"))
         .transform(graft.Materialize.pin)

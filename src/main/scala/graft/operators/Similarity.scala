@@ -1667,15 +1667,18 @@ object Similarity {
       // consumed by the count/centroid aggregates, the residual map, the
       // label lookup, and the query slice — same pin contract as pqParts
       .transform(graft.Materialize.pin)
-    val cnt = quant.groupBy("label").agg(count(lit(1)).as("n"))
-    // integer-mean cell centroid rcm(label) = ⌊Σq / n⌋ elementwise
+    // integer-mean cell centroid rcm(label) = ⌊Σq / n⌋ elementwise; the
+    // cell population n rides the SAME aggregation (every vector emits
+    // exactly one row per dimension i, so count per (label, i) IS the
+    // cell count — r17: this replaces a separate per-label count
+    // aggregate + broadcast join with two columns on an existing one)
     val rcm = quant
       .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("label", "i").agg(sum(col("qi")).as("s"))
+      .groupBy("label", "i")
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
       .groupBy("label")
       .agg(transform(sort_array(collect_list(struct(col("i"), col("s")))),
-        s => s.getField("s")).as("svec"))
-      .join(broadcast(cnt), "label")
+        s => s.getField("s")).as("svec"), max(col("n")).as("n"))
       .select(col("label"),
         transform(col("svec"), x => floorDivCol(x, col("n"))).as("rvec"))
     val res = quant.join(broadcast(rcm), "label")
@@ -1981,10 +1984,12 @@ object Similarity {
   private[operators] def semanticNearDupLosers(spark: SparkSession,
       dir: String, minCos: Double): DataFrame = {
     import graft.functions.ArrayDot.dotLong
+    // no pin (r17): Skew.selfPairs pins its packed frame internally, and
+    // this assignment frame has no other consumer — the old pin here was
+    // a second materialization barrier over the same rows (embCorpus
+    // inside assignedToCentroids still pins: it IS multi-consumer)
     val asg = assignedToCentroids(spark, dir)
       .select(col("assigned"), col("vec_id"), col("q"), col("n2"))
-      // both sides of the salted self-join consume this
-      .transform(graft.Materialize.pin)
     Skew.selfPairs(asg, Seq("assigned"), "vec_id", maxGroup = 4096)
       .withColumn("dot", dotLong(col("a.q"), col("b.q")))
       .withColumn("c", col("dot").cast("double") /
