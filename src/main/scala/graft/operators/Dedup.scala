@@ -988,9 +988,16 @@ object Dedup {
     * frame (the declared query pins k=3/w=4/minShared=2). Emits
     * (ida, idb, n_shared) with ida < idb. */
   def winnowPairsOf(docs: DataFrame, k: Int, w: Int, minShared: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowPairsOfSketch(winnowOf(docs, k, w, idCol, textCol), minShared,
+      idCol)
+
+  /** Pair mining over an ALREADY-BUILT winnow sketch — split out (r17) so
+    * containment (dd17), which also needs per-doc sketch sizes, can build
+    * the sketch ONCE instead of running the O(tokens·w) md5 pass twice. */
+  private def winnowPairsOfSketch(fps: DataFrame, minShared: Long,
+      idCol: String): DataFrame = {
     require(minShared >= 1, s"minShared: $minShared")
-    val fps = winnowOf(docs, k, w, idCol, textCol)
     Skew.selfPairs(fps, Seq("fp"), idCol, maxGroup = 4096)
       .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
@@ -1028,9 +1035,15 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(minContainment >= 0.0 && minContainment <= 1.0,
       s"minContainment: $minContainment")
+    // ONE sketch build feeds both the size frame and the pair miner (r17:
+    // the old shape called winnowOf twice — the dominant per-row md5 pass
+    // ran once per consumer). Pinned because the two consumers would
+    // otherwise still replicate the pass; Skew.selfPairs' internal packed
+    // pin then reads these blocks instead of recomputing.
     val fps = winnowOf(docs, k, w, idCol, textCol)
+      .transform(graft.Materialize.pin)
     val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    winnowPairsOf(docs, k, w, minShared, idCol, textCol)
+    winnowPairsOfSketch(fps, minShared, idCol)
       .join(sizes.select(col(idCol).as("ida"), col("__n").as("n_a")), "ida")
       .join(sizes.select(col(idCol).as("idb"), col("__n").as("n_b")), "idb")
       .withColumn("containment", round(
@@ -1192,6 +1205,13 @@ object Dedup {
     * (measured: dd06's 7 observed rounds → 3). Cost: one map-only pass
     * over the label-sized frame, no exchange (union-find needs no
     * particular distribution — whatever rows co-locate, collapse). */
+  /** Sentinel tagging rows that participate in the union-find but emit no
+    * label row (the first message round's raw-edge rows): impossible as a
+    * real pre-round label — node ids are non-negative at every phase
+    * (doc_ids at phase 0, prior-phase labels — themselves doc_ids —
+    * after contraction). */
+  private val CcEdgeRow = Long.MinValue
+
   private def ccLocalJump(stepped: DataFrame): DataFrame = {
     val spark = stepped.sparkSession
     import spark.implicits._
@@ -1212,7 +1232,9 @@ object Dedup {
           if (rd < rl) parent.put(rl, rd)
           else if (rl < rd) parent.put(rd, rl)
         }
-        rows.iterator.map { case (d, _, p) => (d, find(d), p) }
+        rows.iterator.collect {
+          case (d, _, p) if p != CcEdgeRow => (d, find(d), p)
+        }
       }
       .toDF("doc_id", "lbl", "__prev")
   }
@@ -1278,12 +1300,29 @@ object Dedup {
       // (CollectMetrics during checkpoint materialization), so no
       // separate probe job or extra pass over the frame exists at all
       val obs = org.apache.spark.sql.Observation()
-      val merged = ccLocalJump(stepped
+      val hopped = stepped
         .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("__hop")),
           Seq("lbl"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("__hop"), col("lbl"))).as("lbl"),
-          col("__prev")))
+          col("__prev"))
+      // FIRST message round of each phase additionally feeds the raw edge
+      // set through the local union-find (r17): pointer pairs alone only
+      // record each node's current MINIMUM, so two pointer trees of one
+      // component stay separate until messages bridge them one edge-hop
+      // per round — the edges themselves are same-component certificates
+      // the collapse can use directly. One rebalance exchange of E rows,
+      // once per phase (AQE sizes the partitions: one partition at
+      // report scale = a full component solve in this round; many at
+      // cluster scale = per-partition star contraction), and every later
+      // round stays message-sized. The sentinel __prev keeps edge rows
+      // out of the emitted label set.
+      val ufIn = if (rounds == 2)
+        hopped.unionAll(edges.select(col("ida").as("doc_id"),
+          col("idb").as("lbl"), lit(CcEdgeRow).as("__prev")))
+          .hint("rebalance", "doc_id")
+      else hopped
+      val merged = ccLocalJump(ufIn)
         .observe(obs,
           count(when(col("lbl") < col("__prev"), 1)).as("improved"))
         .transform(graft.Materialize.pin)
@@ -1292,7 +1331,8 @@ object Dedup {
       converged = obs.get("improved").asInstanceOf[Long] == 0L
       if (ccDebug) System.err.println(
         s"[cc] phase=$phase round=$rounds improved=" +
-          obs.get("improved") + s" t=${System.nanoTime() / 1e9}")
+          obs.get("improved") + s" parts=${merged.rdd.getNumPartitions}" +
+          s" t=${System.nanoTime() / 1e9}")
       // merged is materialized (pin is eager) and carries every label, so
       // the previous round's pinned state is dead — free its blocks now
       // instead of letting round count become peak storage footprint
