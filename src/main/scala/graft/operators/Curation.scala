@@ -186,6 +186,9 @@ object Curation {
     val keyed = chunked.select(col("doc_id"),
       posexplode(transform(col("ps"), p => xxhash64(p)))
         .as(Seq("idx", "ph")))
+      // pinned (r17): dd15's stance — text-free (doc_id, idx, ph) rows
+      // feed the anti-join and ride into the kept aggregate
+      .transform(graft.Materialize.pin)
     val benchPh = benchmark
       .select(TextAnalysis.toks.as("ws"))
       .select(explode(chunks).as("passage"))
@@ -357,9 +360,13 @@ object Curation {
   def datasetCardOf(docs: DataFrame, knownTotal: Option[Long] = None)
       : DataFrame = {
     import graft.operators.TextAnalysis.{fingerprint, quality}
+    // pinned (r17): the dup census, the corpus count (when not supplied)
+    // and the rollup join all read this scoring pass — unpinned it ran
+    // once per consumer (quality + fingerprint over the full text)
     val scored = docs.select(col("doc_id"), col("source"), col("lang"),
       size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("__nt"),
       quality(col("text")).as("__q"), fingerprint(col("text")).as("__fp"))
+      .transform(graft.Materialize.pin)
     val dupCounts = scored.groupBy("__fp").agg(count(lit(1)).as("__nd"))
     val total = knownTotal match {
       case Some(n) => docs.sparkSession.range(1)

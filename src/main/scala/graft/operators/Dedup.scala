@@ -79,8 +79,12 @@ object Dedup {
     * fingerprint per input partition crosses the wire) and AQE's skew-join
     * split handles a hot fingerprint on the join side. */
   def dd01Exact(spark: SparkSession, dir: String): DataFrame = {
+    // pinned (r17): the min-per-group aggregate AND the keep join both
+    // read this — unpinned, the fingerprint scan ran once per consumer
+    // (and at 100 TB re-read the corpus text; the pin is 40 B/doc)
     val fps = t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .transform(graft.Materialize.pin)
     val minPer = fps.groupBy("fp").agg(min(col("doc_id")).as("__mn"))
     fps.join(minPer, "fp")
       .withColumn("keep", col("doc_id") === col("__mn"))
@@ -105,8 +109,10 @@ object Dedup {
     * attaches n back. No window over fp (a hot fingerprint group never
     * buffers in one task), document text never moves. */
   def dd14SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    // pinned (r17): same two-consumer shape as dd01
     val fps = t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .transform(graft.Materialize.pin)
     val counts = fps.groupBy("fp").agg(count(lit(1)).as("n_dups"))
     fps.join(counts, "fp")
       .withColumn("weight", round(lit(1.0) / col("n_dups"), 4))
@@ -519,6 +525,9 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.toks.as("ws"))
       .select(col("doc_id"), explode(chunks).as("passage"))
       .select(col("doc_id"), xxhash64(col("passage")).as("ph"))
+      // pinned (r17): occurrence count + join both read this; unpinned,
+      // the tokenize+chunk pass ran twice (16 B/passage pin, text-free)
+      .transform(graft.Materialize.pin)
     val counts = passages.groupBy("ph").agg(count(lit(1)).as("occ"))
     passages.join(counts, "ph")
       .groupBy("doc_id")
@@ -576,6 +585,11 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(transform(col("ps"), p => xxhash64(p)))
           .as(Seq("idx", "ph")))
+      // pinned (r17): canonical-occurrence MIN and the kept join both
+      // read this 24 B/passage frame; the text-bearing `chunked` above
+      // stays lazy (a corpus-text pin is the wrong trade — see
+      // writeNearDupLedger's stance)
+      .transform(graft.Materialize.pin)
     val canon = keyed.groupBy("ph")
       .agg(min(struct(col("doc_id"), col("idx"))).as("canon"))
     val kept = keyed.join(canon, "ph")
@@ -1485,6 +1499,9 @@ object Dedup {
     }), 1)
     val ch = docs.select(col(idCol), explode(chunks).as("chunk"))
       .select(col(idCol), xxhash64(col("chunk")).as("ch"))
+      // pinned (r17): dd07's two-consumer shape — the CDC chunking pass
+      // (the dominant per-row array work) otherwise runs twice
+      .transform(graft.Materialize.pin)
     val counts = ch.groupBy("ch").agg(count(lit(1)).as("occ"))
     ch.join(counts, "ch")
       .groupBy(idCol)

@@ -577,8 +577,11 @@ object Sampling {
     * (doc_id, source, text) frame. */
   def preferencePairsOf(docs: DataFrame, minMargin: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned (r17): consumed by the (source, q) histogram AND the ranked
+    // join — unpinned, the quality-scoring scan ran once per consumer
     val scored = docs.select(col("doc_id"), col("source"),
       graft.operators.TextAnalysis.quality(col("text")).as("q"))
+      .transform(graft.Materialize.pin)
     val cnt = scored.groupBy("source", "q").agg(count(lit(1)).as("__n"))
     val off = cnt.withColumn("__off",
       coalesce(sum(col("__n")).over(Window.partitionBy("source")
@@ -586,11 +589,14 @@ object Sampling {
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("source"), col("q"), col("__off"))
     val tot = cnt.groupBy("source").agg(sum("__n").as("__tot"))
+    // pinned (r17): both the top half and the bottom half read this —
+    // unpinned, the rank window (and everything under it) ran twice
     val ranked = scored
       .join(broadcast(off), Seq("source", "q"))
       .withColumn("rk", col("__off") + row_number().over(
         Window.partitionBy("source", "q").orderBy("doc_id")))
       .join(broadcast(tot), "source")
+      .transform(graft.Materialize.pin)
     val top = ranked.where(col("rk") <= floor(col("__tot") / 2))
       .select(col("source"), col("rk").as("i"),
         col("doc_id").as("chosen_id"), col("q").as("q_chosen"))
